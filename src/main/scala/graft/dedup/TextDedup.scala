@@ -1,0 +1,148 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.{MinHashSignature, SimHash64}
+import graft.functions.TextFunctions._
+
+/** Document deduplication family for large-scale corpus curation:
+  *
+  *  - exact: md5/xxhash64 fingerprint of normalized text → hash group-by.
+  *  - MinHash + LSH: shingle → signature → banded buckets → candidate join →
+  *    exact-jaccard verification. The only shuffles are the band-bucket join
+  *    and the final pair aggregation; no O(n²) stage anywhere.
+  *  - SimHash: 64-bit sign fingerprint, banded on 16-bit chunks; Hamming
+  *    verification with the codegen'd `bit_count(a ^ b)`.
+  *  - n-gram Jaccard: exact shingle-overlap join for candidate pairs (the
+  *    verification kernel of the MinHash path, usable standalone on bounded
+  *    inputs).
+  *
+  * All stages are DataFrame-composable so Catalyst/AQE handle distribution;
+  * skewed buckets (boilerplate shingles, empty docs) are dropped via
+  * `maxBucket`, the standard LSH skew guard.
+  */
+object TextDedup {
+
+  // ---- exact --------------------------------------------------------------
+
+  /** Exact duplicate groups keyed by normalized-text fingerprint:
+    * (fp, keep_doc_id = min id, n_dups). */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** Corpus with exact duplicates removed (keep lowest id per fingerprint). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  final case class MinHashConfig(
+      shingleK: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 64,
+      jaccardThreshold: Double = 0.5) {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    def rowsPerBand: Int = numPerm / bands
+  }
+
+  /** Distinct 64-bit shingle hashes per doc (the MinHash input set).
+    * Shingles come from the *normalized* text (lowercase, collapsed
+    * whitespace) so near-dup detection is case/format-insensitive, matching
+    * the exact-dedup fingerprint semantics. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(array_distinct(shingles(normalized(text), k)), s => xxhash64(s))
+
+  /** doc → (id, shingle-hash set, MinHash signature). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: MinHashConfig): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), cfg.shingleK).as("sh"),
+      MinHashSignature(shingleHashes(col(textCol), cfg.shingleK), cfg.numPerm, cfg.seed).as("sig"))
+
+  /** Exploded (band_key, doc) rows: one per band, key = hash of the band's
+    * signature slice tagged with the band index. */
+  private def bandRows(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bandKeys = transform(
+      sequence(lit(0), lit(cfg.bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))
+    sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+  }
+
+  /** Candidate near-duplicate pairs (a_id < b_id) from LSH banding, before
+    * verification. Bucket-size cap bounds join fan-out under skew. */
+  def candidatePairs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val rows = bandRows(sigs, cfg)
+    val bounded = rows.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band_key"))))
+      .filter(col("bucket_n") <= cfg.maxBucket)
+      .drop("bucket_n")
+    bounded.as("x").join(bounded.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Candidate pairs verified with exact jaccard over the shingle-hash sets;
+    * keeps pairs at or above the configured threshold. */
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, cfg).cache()
+    val sets = sigs.select(col("doc_id"), col("sh"))
+    candidatePairs(sigs, cfg)
+      .join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+      .join(sets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", graft.operators.RelationalOps.round6(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+  }
+
+  /** Connected near-dup pairs collapsed to a survivor set: every b_id that
+    * pairs with a lower a_id is dropped (greedy min-id representative —
+    * single-link within LSH reach). */
+  def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val losers = nearDuplicatePairs(docs, idCol, textCol, cfg)
+      .select(col("b_id").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** doc → 64-bit SimHash fingerprint of its token stream. */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      SimHash64(tokens(normalized(col(textCol)))).as("simhash"))
+
+  /** Near-dup pairs by SimHash: band on the four 16-bit chunks (any chunk
+    * equal → candidate; Hamming ≤ `maxHamming` → pair). Exact for pairs
+    * within Hamming 3 of each other by pigeonhole over 4 bands.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sigs = simHashes(docs, idCol, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b), conv(shiftright(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)), 10, 16))): _*)).as("band_key"))
+    val bounded = banded.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    bounded.as("x").join(bounded.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature of a set of 64-bit element hashes.
+  *
+  * `numPerm` universal-hash permutations h_p(x) = a_p·x + b_p (odd a_p,
+  * derived from a splitmix64 stream seeded by `seed`); the signature is the
+  * per-permutation minimum over the element hashes. Imperative kernel — the
+  * numPerm × |set| multiply/min loop is exactly the work, there is no
+  * shuffle, and it runs once per row (CodegenFallback is fine here: the loop
+  * dominates, not the call overhead).
+  *
+  * Empty input yields Long.MaxValue sentinels so empty docs never collide
+  * into real buckets (their band hashes still match each other, which exact
+  * jaccard verification then rejects).
+  */
+case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    var x = seed
+    def next(): Long = { // splitmix64
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(numPerm)(next() | 1L) // odd multiplier
+    val b = Array.fill(numPerm)(next())
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var p = 0
+      while (p < numPerm) {
+        val v = as(p) * h + bs(p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  def apply(hashes: Column, numPerm: Int, seed: Long): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hashes), numPerm, seed))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Core relational operators of the engine, expressed as composable
+  * DataFrame combinators so Catalyst plans (and optimizes) them natively.
+  *
+  * These are the Spark-first re-expression of the reference's SQL-template
+  * operators (SURVEY.md §2.3/§2.4):
+  *  - duplicate detection  = group-count-having
+  *    (reference GetDuplicatesTemplateQuery.java:33-36)
+  *  - keep-one dedup       = ARRAY_AGG(... LIMIT 1) per key
+  *    (reference RemoveDuplicatesTemplateQuery.java:33-36)
+  *  - state upsert         = MERGE on key
+  *    (reference SetStateQuery.java:34-40)
+  *  - windowed replace     = MERGE ON FALSE over a partition range
+  *    (reference RemoveDuplicatesTemplateQuery.java:29-43)
+  */
+object RelationalOps {
+
+  /** Keys occurring more than once, with their multiplicity.
+    * Shuffle profile: one hash-aggregate with map-side partial aggregation —
+    * at scale only (key, partial-count) pairs cross the wire.
+    */
+  def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("num"))
+      .filter(col("num") > 1)
+
+  /** Keep-one-row-per-key, arbitrary survivor — exact contract of the
+    * reference's ARRAY_AGG(t LIMIT 1)[OFFSET(0)]. Cheapest form: partial
+    * aggregation, no sort.
+    */
+  def dedupAny(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Deterministic keep-one: survivor = first row by `order` within each key
+    * group. Costs a shuffle + per-group sort; use when reproducibility
+    * matters more than throughput (golden tests, oracle comparison).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MERGE-upsert of `updates` into `state` on `key`: matched rows replaced,
+    * unmatched inserted. Anti-join + union — semantically the reference's
+    * `WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` with a right-side-wins
+    * rule. Broadcast the (tiny) update side so the state table never shuffles.
+    */
+  def upsert(state: DataFrame, updates: DataFrame, key: String): DataFrame =
+    state.join(broadcast(updates), Seq(key), "left_anti")
+      .unionByName(updates)
+
+  /** Replace every row matching `window` with `replacement`, keep the rest —
+    * the reference's MERGE ON FALSE ("delete window, insert replacement").
+    * Both branches stay scan-native: the NOT(window) filter pushes to the
+    * source, so at scale this touches only the affected partitions.
+    */
+  def replaceWhere(df: DataFrame, window: Column, replacement: DataFrame): DataFrame =
+    df.filter(!coalesce(window, lit(false))).unionByName(replacement)
+
+  // ---- exact-arithmetic aggregation helpers -------------------------------
+  //
+  // Floating-point SUM is order-dependent, so a distributed double-sum is not
+  // reproducible run-to-run (nor comparable bit-for-bit against another
+  // engine). Monetary/quantity columns here are fixed-point by nature; route
+  // them through DECIMAL so partial aggregation is exact and the final cast
+  // back to double is deterministic regardless of partitioning.
+
+  /** Decimal image of a fixed-point-by-nature double column. 18 digits / 6
+    * fractional keeps products within decimal-38 exactness on both Spark and
+    * the DuckDB oracle.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Decimal → double through the decimal's exact string form. A direct
+    * decimal→double cast is engine-specific (int128/10^s double division vs
+    * BigDecimal.doubleValue) and can differ by an ulp; every engine parses a
+    * plain decimal string correctly-rounded, so string-then-parse is
+    * bit-identical everywhere. (DuckDB mirror:
+    * `CAST(CAST(x AS VARCHAR) AS DOUBLE)`.)
+    */
+  def decToDouble(c: Column): Column = c.cast(StringType).cast(DoubleType)
+
+  /** Order-insensitive exact sum of a fixed-point double column. */
+  def exactSum(c: Column): Column = decToDouble(sum(dec(c)))
+
+  /** Exact-sum-based average (sum exact, single final division). */
+  def exactAvg(c: Column): Column = (decToDouble(sum(dec(c))) / count(c)).cast(DoubleType)
+
+  /** Engine-portable 6-dp rounding: floor(x·10⁶ + 0.5)/10⁶ in plain double
+    * ops. Spark's `round()` routes doubles through BigDecimal's *shortest
+    * string* representation while other engines round the raw double — they
+    * disagree one ulp from a half. This formula is the same IEEE op sequence
+    * everywhere.
+    */
+  def round6(c: Column): Column =
+    (floor(c * 1000000.0 + lit(0.5)).cast(DoubleType) / 1000000.0).cast(DoubleType)
+}

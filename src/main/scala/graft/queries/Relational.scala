@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.RelationalOps._
+
+/** General relational surface of the engine over the TPC-H-ish tables:
+  * aggregation suites, multi-way joins, windows, sorts/limits, set ops,
+  * semi/anti joins, rollup, scalar functions, sessionization. The reference
+  * itself needs none of these beyond §2 (BigQuery supplied them); a drop-in
+  * engine must still ship them, and they are the bench workhorses.
+  */
+object Relational {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  // Exact-decimal images used in revenue math; see RelationalOps scaladoc.
+  private def decP(c: org.apache.spark.sql.Column) = c.cast(DecimalType(15, 4))
+  private def decR(c: org.apache.spark.sql.Column) = c.cast(DecimalType(9, 6))
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: the classic scan → filter → hash-agg suite.
+    Q("q1_pricing",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          decToDouble(sum(decP(col("l_extendedprice")) * decR(lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          decToDouble(sum(decP(col("l_extendedprice")) * decR(lit(1) - col("l_discount"))
+            * decR(lit(1) + col("l_tax")))).as("sum_charge"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_extendedprice")).as("avg_price"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6)) AS DECIMAL(25,10)) * CAST(1 + l_tax AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+             |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // TPC-H Q3 shape: 3-way join → agg → top-N. The limit rides on a
+    // deterministic (revenue DESC, key) order; Spark plans it as
+    // TakeOrderedAndProject — no full sort at scale.
+    Q("q3_shipping",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp_ntz"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(decToDouble(sum(decP(col("l_extendedprice")) * decR(lit(1) - col("l_discount"))))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND o_orderkey = l_orderkey
+             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |  AND l_shipdate > TIMESTAMP '1999-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      headline = true),
+
+    // TPC-H Q5 shape: star join down the region→nation→customer→orders→
+    // lineitem chain; small dims broadcast, one shuffle for the agg.
+    Q("q5_region_rev",
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        broadcast(r).join(n, col("r_regionkey") === col("n_regionkey"))
+          .join(c, col("n_nationkey") === col("c_nationkey"))
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("n_name"))
+          .agg(decToDouble(sum(decP(col("l_extendedprice")) * decR(lit(1) - col("l_discount"))))
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS revenue
+             |FROM region, nation, customer, orders, lineitem
+             |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
+             |  AND n_nationkey = c_nationkey AND c_custkey = o_custkey
+             |  AND o_orderkey = l_orderkey
+             |GROUP BY n_name""".stripMargin),
+      headline = true),
+
+    // ORDER BY + LIMIT (TakeOrderedAndProject).
+    Q("q_sort_limit",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Ranking window: top-3 orders per customer.
+    Q("q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+             |        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |      FROM orders) WHERE rnk <= 3""".stripMargin),
+      headline = true),
+
+    // Running-total window (frame ROWS UNBOUNDED PRECEDING..CURRENT); decimal
+    // accumulation keeps the running double deterministic.
+    Q("q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(expr("ts div 1000"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          decToDouble(sum(dec(col("value"))).over(w)).as("running_value"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value
+             |FROM events""".stripMargin)),
+
+    // Set operations: INTERSECT + EXCEPT over distinct key sets.
+    Q("q_setops",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nk")).distinct()
+        val sup = t(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("nk")).distinct()
+        c.intersect(sup).withColumn("op", lit("both"))
+          .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+      },
+      Some("""SELECT nk, 'both' AS op FROM (
+             |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+             |  INTERSECT
+             |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+             |UNION ALL
+             |SELECT nk, 'customer_only' AS op FROM (
+             |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+             |  EXCEPT
+             |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)""".stripMargin)),
+
+    // Semi + anti join cardinalities (EXISTS / NOT EXISTS).
+    Q("q_semi_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("with_orders"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("without_orders"))
+        semi.crossJoin(anti)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM customer WHERE EXISTS
+             |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+             |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders""".stripMargin)),
+
+    // DISTINCT aggregation alongside plain aggregates.
+    Q("q_distinct_agg",
+      (s, dir) => t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("total")),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+             |  count(*) AS n_orders,
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // ROLLUP grouping sets.
+    Q("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // min/max/avg/count statistics per group.
+    Q("q_stats_agg",
+      (s, dir) => t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          exactAvg(col("c_acctbal")).as("avg_bal")),
+      Some("""SELECT c_nationkey, count(*) AS n, min(c_acctbal) AS min_bal,
+             |  max(c_acctbal) AS max_bal,
+             |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+             |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // Scalar-function suite: string, date-part, conditional, integer math.
+    Q("q_case_scalar",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("pri_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large").as("bucket"),
+        floor(col("o_totalprice") / 1000).cast("long").as("kprice"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("X")).as("status_or_x")),
+      Some("""SELECT o_orderkey,
+             |  upper(substring(o_orderpriority, 1, 1)) AS pri_code,
+             |  o_orderstatus || '-' || o_orderpriority AS status_pri,
+             |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+             |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  CASE WHEN o_totalprice < 50000 THEN 'small'
+             |       WHEN o_totalprice < 200000 THEN 'medium'
+             |       ELSE 'large' END AS bucket,
+             |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS kprice,
+             |  coalesce(nullif(o_orderstatus, 'F'), 'X') AS status_or_x
+             |FROM orders""".stripMargin)),
+
+    // Event-time tumbling window (batch analog of the streaming hourly agg).
+    Q("q_time_bucket",
+      (s, dir) => t(s, dir, "events").groupBy(
+        date_trunc("hour", timestamp_micros(expr("ts div 1000")))
+          .cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value")),
+      Some("""SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour,
+             |  count(*) AS n,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin),
+      headline = true),
+
+    // Sessionization: 30-minute-gap sessions per user via lag + running sum —
+    // the batch image of streaming session windows.
+    Q("q_sessionize",
+      (s, dir) => {
+        val usCol = expr("ts div 1000")
+        val byTime = Window.partitionBy(col("user_id")).orderBy(usCol, col("event_id"))
+        val gapUs = 1800000000L // 30 min
+        val flagged = t(s, dir, "events")
+          .withColumn("ts_us", usCol)
+          .withColumn("new_sess",
+            when(lag(col("ts_us"), 1).over(byTime).isNull
+              || col("ts_us") - lag(col("ts_us"), 1).over(byTime) > gapUs, 1L).otherwise(0L))
+        flagged.withColumn("sid",
+          sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"))
+          .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM (SELECT user_id, SUM(new_sess) OVER (
+             |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM (SELECT user_id, event_id, ts,
+             |              CASE WHEN lag(epoch_us(ts)) OVER (
+             |                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+             |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+             |                   THEN 1 ELSE 0 END AS new_sess
+             |            FROM events))
+             |GROUP BY user_id""".stripMargin),
+      headline = true),
+
+    // JSON extraction feeding aggregation.
+    Q("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k")),
+      Some("""SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(k) AS BIGINT) AS sum_k
+             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |      FROM events)
+             |GROUP BY event_type""".stripMargin)),
+
+    // explode / flatten: corpus word frequencies, top-20.
+    Q("q_explode_words",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20),
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+             |  FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin))
+  )
+}

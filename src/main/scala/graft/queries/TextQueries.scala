@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.TextDedup
+import graft.functions.TextFunctions._
+
+/** Text-analysis / corpus-dedup operators over the `documents` table — the
+  * training-data-pipeline extension family. SQL-expressible members carry a
+  * DuckDB oracle that mirrors the Spark expression tree operation-for-
+  * operation (same fold order, same rounding) so results match exactly;
+  * sketch-based members (MinHash, SimHash) are rows-only checked (hash
+  * functions differ across engines by construction).
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  // DuckDB fragments mirrored by several oracles.
+  private val WS = "string_split_regex(trim(text), '\\s+')"
+  private val WSL = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val Shingles3 =
+    "list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting (whitespace + distinct-token stats).
+    Q("t_token_stats",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($WS) AS BIGINT) AS n_tokens,
+              |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+              |  CAST(len(list_distinct($WS)) AS BIGINT) AS n_distinct_tokens
+              |FROM documents""".stripMargin),
+      headline = true),
+
+    // Language-ID heuristic: per-language stopword hit counts → first-wins
+    // argmax. Oracle mirrors the fold as greatest() + ordered CASE.
+    Q("t_lang_guess",
+      (s, dir) => docs(s, dir).select(col("doc_id"), langGuess(col("text")).as("lang_guess")),
+      Some {
+        val hits = stopwordProfiles.map { case (lang, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(ws, w -> w IN ($inList))) AS ${lang}_h"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id,
+           |  CASE WHEN m <= 0 THEN 'und'
+           |       WHEN en_h = m THEN 'en'
+           |       WHEN fr_h = m THEN 'fr'
+           |       WHEN es_h = m THEN 'es'
+           |       ELSE 'de' END AS lang_guess
+           |FROM (SELECT doc_id, en_h, fr_h, es_h, de_h,
+           |        greatest(en_h, fr_h, es_h, de_h) AS m
+           |      FROM (SELECT doc_id,
+           |  $hits
+           |            FROM (SELECT doc_id, $WSL AS ws FROM documents)))""".stripMargin
+      }),
+
+    // Quality scoring: token count, distinct ratio, mean token length.
+    Q("t_quality",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        graft.operators.RelationalOps.round6(punctRatio(col("text"))).as("punct_ratio")),
+      Some(s"""SELECT doc_id,
+              |  floor((0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+              |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+              |      + 0.3 * least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              |                     / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)) * 1000000 + 0.5) / 1000000 AS quality,
+              |  floor((CASE WHEN length(text) = 0 THEN 0.0
+              |        ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |             / CAST(length(text) AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS punct_ratio
+              |FROM (SELECT doc_id, text, $WS AS ws FROM documents)""".stripMargin),
+      headline = true),
+
+    // Content fingerprint (md5 of normalized text).
+    Q("t_fingerprint",
+      (s, dir) => docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents""".stripMargin),
+      headline = true),
+
+    // Exact dedup: fingerprint groups with survivor id + multiplicity.
+    Q("t_exact_dedup",
+      (s, dir) => TextDedup.exactDuplicateGroups(docs(s, dir), "doc_id", "text"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             |  min(doc_id) AS keep_doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Shingling: distinct word-3-gram count per doc.
+    Q("t_shingle_stats",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"), distinctShingleCount(col("text"), 3).as("n_shingles")),
+      Some(s"""SELECT doc_id, CAST(len(list_distinct($Shingles3)) AS BIGINT) AS n_shingles
+              |FROM (SELECT doc_id, $WS AS ws FROM documents)""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs via shared-shingle join.
+    Q("t_jaccard_pairs",
+      (s, dir) => {
+        val sh = docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), 3))).as("s"))
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = sh.as("x").join(sh.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+          .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+          .withColumn("jaccard", graft.operators.RelationalOps.round6(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
+              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+              |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT a_id, b_id, inter, jaccard FROM (
+              |  SELECT a_id, b_id, inter,
+              |    floor((CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+              |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
+              |WHERE jaccard >= 0.4""".stripMargin)),
+
+    // MinHash-LSH near-dup pairs (sketch path; engine-specific hashes →
+    // rows-only check; exactness covered by t_jaccard_pairs + ScalaTest).
+    Q("t_minhash_pairs",
+      (s, dir) => TextDedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
+        TextDedup.MinHashConfig(jaccardThreshold = 0.4)),
+      None),
+
+    // SimHash fingerprints (rows-only: xxhash64 is Spark-native).
+    Q("t_simhash",
+      (s, dir) => TextDedup.simHashes(docs(s, dir), "doc_id", "text"),
+      None,
+      headline = true),
+
+    // Multimodal blob stats: byte length + first code point of the payload.
+    Q("m_blob_stats",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        ascii(col("text")).cast("long").as("first_byte")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(ascii(text) AS BIGINT) AS first_byte FROM documents""".stripMargin)),
+
+    // Multimodal decode pipeline (stub kernel, real plumbing): rows-only.
+    Q("m_decode_features",
+      (s, dir) => graft.multimodal.Multimodal.featureTable(s, docs(s, dir)),
+      None)
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.similarity.SimilaritySearch
+
+/** Similarity-search operators over the `embeddings` table (`vec_id`,
+  * `embedding array<float>`, `label`).
+  *
+  * Oracle-checked members mirror the Spark in-order double fold with DuckDB
+  * `list_reduce(list_prepend(0.0, ...))` — bit-identical accumulation — and
+  * round scores to 6 dp with id tiebreaks for stable ordering. The LSH path
+  * is rows-only (plane generation is engine-internal) and its recall is
+  * asserted against the brute-force baseline in ScalaTest.
+  */
+object VectorQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  /** DuckDB in-order left fold: sum of `expr` over list `l` (index var i). */
+  private def duckFoldSum(l: String, expr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($l)), i -> $expr)), (a, b) -> a + b)"
+
+  private val DotQ = duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")
+  private val NormE = s"sqrt(${duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)")})"
+  private val NormQ = s"sqrt(${duckFoldSum("qv", "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")})"
+
+  val all: Seq[Q] = Seq(
+
+    // Vector stats: dimension + L2 norm.
+    Q("e_norms",
+      (s, dir) => emb(s, dir).select(
+        col("vec_id"),
+        dim(col("embedding")).as("dim"),
+        graft.operators.RelationalOps.round6(norm(col("embedding"))).as("l2"),
+        col("label")),
+      Some(s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+              |  floor(($NormE) * 1000000 + 0.5) / 1000000 AS l2, label
+              |FROM embeddings""".stripMargin),
+      headline = true),
+
+    // Brute-force cosine top-10 against the vec_id=0 embedding — the exact
+    // ANN baseline. TakeOrderedAndProject: per-partition top-k, driver merge.
+    Q("e_cosine_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), graft.operators.RelationalOps.round6(cosine(col("embedding"), col("qv"))).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |sc AS (SELECT vec_id, $DotQ AS d, $NormE AS na, $NormQ AS nq
+              |       FROM embeddings, q WHERE vec_id <> 0)
+              |SELECT vec_id,
+              |  floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000 AS score
+              |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+      headline = true),
+
+    // Label centroid similarity: exact per-label mean-vector cosine to the
+    // query — aggregation over vectors (element-wise decimal-free but
+    // deterministic: fixed fold inside a row, exact double sums avoided by
+    // operating on per-row cosines). Group stats of per-row cosine scores.
+    Q("e_label_stats",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("label"), graft.operators.RelationalOps.round6(cosine(col("embedding"), col("qv"))).as("score"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |sc AS (SELECT label, $DotQ AS d, $NormE AS na, $NormQ AS nq
+              |       FROM embeddings, q)
+              |SELECT label, count(*) AS n,
+              |  min(floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000) AS min_score,
+              |  max(floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000) AS max_score
+              |FROM sc GROUP BY label""".stripMargin)),
+
+    // LSH-bucketed approximate k-NN join for the first 20 query vectors —
+    // the scale path (candidates via band join, no quadratic stage).
+    // Rows-only; recall vs brute force asserted in SimilaritySpec.
+    Q("e_knn_lsh",
+      (s, dir) => {
+        val e = emb(s, dir)
+        SimilaritySearch.knnJoinLSH(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 5, SimilaritySearch.LshConfig(dim = 64))
+      },
+      None,
+      headline = true),
+
+    // Embedding-cosine near-duplicate pairs (dedup family, embedding space).
+    Q("e_dup_pairs",
+      (s, dir) => SimilaritySearch.embeddingDupPairs(
+        emb(s, dir), "vec_id", "embedding", threshold = 0.95,
+        SimilaritySearch.LshConfig(dim = 64, bands = 16, bitsPerBand = 8)),
+      None)
+  )
+}

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.{CosineSimilarity, HyperplaneBands}
+import graft.functions.VectorFunctions
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * - `topK`: brute-force cosine top-k against one query vector. The sort is
+  *   a global top-k (TakeOrderedAndProject): each partition keeps k rows,
+  *   the driver merges — no full shuffle-sort even at 10⁹ rows.
+  * - `knnJoinLSH`: all-pairs k-NN join via random-hyperplane banding
+  *   (HyperplaneBands): candidates = band-key equi-join, verify = fused
+  *   cosine, per-query top-k = window rank. Scales as O(candidates), not
+  *   O(|Q|·|C|).
+  * - `knnJoinBrute`: exact baseline for recall measurement on samples.
+  */
+object SimilaritySearch {
+
+  /** Fused-codegen cosine column (see [[CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Brute-force top-k rows most cosine-similar to `queryVec`. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int): DataFrame = {
+    val q = lit(queryVec).cast("array<float>")
+    corpus.select(col(idCol), graft.operators.RelationalOps.round6(cosine(col(vecCol), q)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact k-NN join: every query row against every corpus row. Quadratic —
+    * recall-measurement baseline only; broadcast the (small) query side. */
+  def knnJoinBrute(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.operators.RelationalOps.round6(cosine(col("qv"), col("cv"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Band geometry default (32 bands × 6 bits): for neighbors at cosine
+    * ~0.4 (hard, near-random case) the per-band collision rate is ~6%, so 32
+    * bands give ~0.87 recall; clustered real-world embeddings (neighbor
+    * cosine ≥0.7) are found with near-certainty. More `bands` → recall;
+    * more `bitsPerBand` → tighter candidate sets. */
+  final case class LshConfig(
+      dim: Int,
+      bands: Int = 32,
+      bitsPerBand: Int = 6,
+      seed: Long = 42L,
+      maxBucket: Int = 2048)
+
+  /** Approximate k-NN join: band-key candidates → fused-cosine verify →
+    * per-query top-k. Recall rises with `bands`, precision (candidate-set
+    * tightness) with `bitsPerBand`. */
+  def knnJoinLSH(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, cfg: LshConfig): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(HyperplaneBands(col(vecCol), cfg.dim, cfg.bands, cfg.bitsPerBand, cfg.seed))
+          .as("band_key"))
+
+    val qb = banded(queries, "query_id", "qv")
+    val cb = banded(corpus, "cand_id", "cv")
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+      .filter(col("bucket_n") <= cfg.maxBucket)
+      .drop("bucket_n")
+
+    val cands = qb.join(cb, Seq("band_key"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "cand_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    cands.withColumn("score", graft.operators.RelationalOps.round6(cosine(col("qv"), col("cv"))))
+      .select(col("query_id"), col("cand_id"), col("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH candidates —
+    * the embedding-space member of the dedup family. */
+  def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cfg: LshConfig): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(HyperplaneBands(col(vecCol), cfg.dim, cfg.bands, cfg.bitsPerBand, cfg.seed))
+          .as("band_key"))
+    banded(corpus, "a_id", "va").join(banded(corpus, "b_id", "vb"), Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("va"), col("vb"))))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+}

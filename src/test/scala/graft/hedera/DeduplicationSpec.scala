@@ -1,0 +1,115 @@
+package graft.hedera
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+/** Dedupe-job behavior, mirroring the reference's integration scenarios
+  * (IncrementalIntegrationTest.java:112-157) with its generator recipe
+  * (testhelper/TransactionsGenerator.java:55-91): rows with random ≤1s ns
+  * inter-arrival, every 5th duplicated; dedupe restores the unique count and
+  * advances the checkpoint; a gap larger than the catch-up interval
+  * converges over multiple runs; dedupe is idempotent.
+  */
+class DeduplicationSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  /** Reference generator: n unique rows from startNs, every 5th duplicated. */
+  private def genRows(n: Int, startNs: Long, seed: Int = 7): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    var ts = startNs
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    for (i <- 1 to n) {
+      ts += 1 + rnd.nextInt(1000000000)
+      out += ts
+      if (i % 5 == 0) out += ts // duplicate every 5th
+    }
+    out.toSeq
+  }
+
+  private def writeRows(table: TransactionsTable, ns: Seq[Long]): Unit = {
+    import spark.implicits._
+    val df = ns.toDF("consensusTimestamp")
+      .withColumn("consensusTimestampTruncated",
+        timestamp_micros(expr("consensusTimestamp div 1000")))
+      .withColumn("day", to_date(col("consensusTimestampTruncated")))
+    val full = df.select(TransactionSchema.table.fieldNames.map(n =>
+      if (df.columns.contains(n)) col(n)
+      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*)
+    table.append(full)
+  }
+
+  private def mkJob(): (TransactionsTable, StateStore, Deduplication.Job) = {
+    val dir = GraftTestSpark.tmpDir("dedupe")
+    val table = new TransactionsTable(spark, s"$dir/transactions")
+    val state = new StateStore(spark, s"$dir/state")
+    (table, state, new Deduplication.Job(spark, table, state))
+  }
+
+  test("testDeduplication semantics: 100 rows + 20 dups -> 100, checkpoint advances") {
+    val (table, state, job) = mkJob()
+    val rows = genRows(100, startNs = 1600000000L * 1000000000L)
+    assert(rows.size === 120)
+    writeRows(table, rows)
+    val res = job.runIncremental()
+    assert(res.duplicateGroups === 20)
+    assert(res.duplicatesRemoved === 20)
+    assert(table.read().count() === 100)
+    assert(table.read().select(countDistinct(col("consensusTimestamp"))).first().getLong(0) === 100)
+    val ckpt = state.get(Deduplication.IncrementalStateKey).get.toLong
+    assert(ckpt === res.windowEndUs)
+    assert(ckpt > 0)
+  }
+
+  test("dedupe is idempotent: second run finds nothing and moves on") {
+    val (table, state, job) = mkJob()
+    writeRows(table, genRows(50, startNs = 1600000000L * 1000000000L))
+    job.runIncremental()
+    val before = table.read().count()
+    val res2 = job.runIncremental()
+    assert(res2.duplicatesRemoved === 0)
+    assert(table.read().count() === before)
+  }
+
+  test("testGap semantics: chunks separated by >catch-up converge over runs") {
+    val (table, state, job) = mkJob()
+    val day = 86400L * 1000000000L
+    writeRows(table, genRows(50, startNs = 1600000000L * 1000000000L))
+    writeRows(table, genRows(50, startNs = 1600000000L * 1000000000L + 10 * day, seed = 8))
+    var guard = 0
+    var last = -1L
+    while (guard < 10 && {
+      val r = job.runIncremental(); last = r.windowEndUs; r.windowEndUs != r.windowStartUs
+    }) guard += 1
+    // all duplicates repaired across the gap
+    assert(table.read().count() === 100)
+    val maxUs = table.read()
+      .agg(max(unix_micros(col("consensusTimestampTruncated")))).first().getLong(0)
+    assert(state.get(Deduplication.IncrementalStateKey).get.toLong === maxUs)
+  }
+
+  test("full dedupe repairs late duplicates behind the incremental checkpoint") {
+    val (table, state, job) = mkJob()
+    val rows = genRows(40, startNs = 1600000000L * 1000000000L)
+    writeRows(table, rows)
+    job.runIncremental()
+    assert(table.read().count() === 40)
+    // late duplicate arrival of an early row (behind the checkpoint)
+    writeRows(table, Seq(rows.head))
+    assert(table.read().count() === 41)
+    val res = job.runFull()
+    assert(res.duplicatesRemoved === 1)
+    assert(table.read().count() === 40)
+  }
+
+  test("repair only rewrites affected day partitions") {
+    val (table, _, job) = mkJob()
+    val day = 86400L * 1000000000L
+    val d1 = genRows(20, startNs = 1600000000L * 1000000000L)
+    val d2 = Seq(1600000000L * 1000000000L + 30 * day + 123L) // clean far-away day
+    writeRows(table, d1)
+    writeRows(table, d2)
+    job.runIncremental()
+    assert(table.read().count() === 21)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+import graft.operators.RelationalOps._
+
+class RelationalOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("duplicateGroups finds multiplicity > 1 only") {
+    val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
+    val got = duplicateGroups(df, Seq("k")).as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 2L, 3 -> 3L))
+  }
+
+  test("dedupKeepFirst keeps the first row by order, deterministically") {
+    val df = Seq((1, "b"), (1, "a"), (2, "z")).toDF("k", "v")
+    val got = dedupKeepFirst(df, Seq("k"), Seq(col("v")))
+      .as[(Int, String)].collect().toSet
+    assert(got === Set((1, "a"), (2, "z")))
+  }
+
+  test("upsert replaces matched keys and inserts new ones") {
+    val state = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    val updates = Seq(("b", "20"), ("c", "3")).toDF("k", "v")
+    val got = upsert(state, updates, "k").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "1", "b" -> "20", "c" -> "3"))
+  }
+
+  test("replaceWhere swaps only the matching slice") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    val replacement = Seq(30, 40).toDF("x")
+    val got = replaceWhere(df, col("x") >= 3, replacement).as[Int].collect().toSet
+    assert(got === Set(1, 2, 30, 40))
+  }
+
+  test("exactSum is partition-order independent") {
+    val vals = (1 to 1000).map(i => i * 0.01)
+    val a = vals.toDF("v").repartition(13)
+    val b = vals.reverse.toDF("v").repartition(3)
+    val sa = a.agg(exactSum(col("v"))).first().getDouble(0)
+    val sb = b.agg(exactSum(col("v"))).first().getDouble(0)
+    assert(sa === sb)
+    assert(math.abs(sa - 5005.0) < 1e-9)
+  }
+
+  test("round6 matches decimal half-up on representable values") {
+    val got = Seq(0.1234564, 0.1234566, 1.0, 0.0)
+      .toDF("v").select(round6(col("v"))).as[Double].collect()
+    assert(got.toSeq === Seq(0.123456, 0.123457, 1.0, 0.0))
+  }
+}
