@@ -50,5 +50,6 @@ object GraftSession {
   }
 
   def localFromEnv(appName: String): SparkSession =
-    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, appName)
+    local(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors())), appName)
 }

@@ -76,13 +76,14 @@ object TextDedup {
   }
 
   /** Candidate near-duplicate pairs (a_id < b_id) from LSH banding, before
-    * verification. Bucket-size cap bounds join fan-out under skew. */
+    * verification. Bucket-size cap bounds join fan-out under skew (empty/
+    * boilerplate shingle sets); the bucket census is tiny → broadcast join,
+    * so capping adds no extra shuffle of the band rows. */
   def candidatePairs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val rows = bandRows(sigs, cfg)
-    val bounded = rows.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band_key"))))
-      .filter(col("bucket_n") <= cfg.maxBucket)
-      .drop("bucket_n")
+    val ok = rows.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cfg.maxBucket).select(col("band_key"))
+    val bounded = rows.join(broadcast(ok), Seq("band_key"))
     bounded.as("x").join(bounded.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))

@@ -17,9 +17,13 @@ object Relational {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
-  // Exact-decimal images used in revenue math; see RelationalOps scaladoc.
-  private def decP(c: org.apache.spark.sql.Column) = c.cast(DecimalType(15, 4))
-  private def decR(c: org.apache.spark.sql.Column) = c.cast(DecimalType(9, 6))
+  // Exact-decimal images used in revenue math (see RelationalOps scaladoc).
+  // Widths chosen so the price×rate product is DECIMAL(18,5): precision ≤18
+  // keeps Spark's Decimal compact (long-backed, no BigDecimal allocation in
+  // the aggregation hot loop). (12,2) is exact for 2-decimal prices < 10^10;
+  // (5,3) is exact for 2-decimal rates and their 1±r complements.
+  private def decP(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def decR(c: org.apache.spark.sql.Column) = c.cast(DecimalType(5, 3))
 
   val all: Seq[Q] = Seq(
 
@@ -42,8 +46,8 @@ object Relational {
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
              |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-             |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6)) AS DECIMAL(25,10)) * CAST(1 + l_tax AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,3))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,3)) * CAST(1 + l_tax AS DECIMAL(5,3))) AS VARCHAR) AS DOUBLE) AS sum_charge,
              |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
              |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
              |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -72,7 +76,7 @@ object Relational {
           .limit(10)
       },
       Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,3))) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM customer, orders, lineitem
              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
              |  AND o_orderkey = l_orderkey
@@ -100,7 +104,7 @@ object Relational {
             .as("revenue"))
       },
       Some("""SELECT n_name,
-             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,3))) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM region, nation, customer, orders, lineitem
              |WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey
              |  AND n_nationkey = c_nationkey AND c_custkey = o_custkey

@@ -59,30 +59,43 @@ object SimilaritySearch {
       seed: Long = 42L,
       maxBucket: Int = 2048)
 
+  /** (band_key, id) rows — ids only: the banding/join/dedup stages never
+    * carry the vectors, so the heavy bytes cross the shuffle exactly once
+    * (the final vector attach). At 10⁹×768-dim scale that is the difference
+    * between shuffling kilobytes and shuffling the corpus. */
+  private def bandRows(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, cfg: LshConfig): DataFrame =
+    df.select(col(idCol).as(outId),
+      explode(HyperplaneBands(col(vecCol), cfg.dim, cfg.bands, cfg.bitsPerBand, cfg.seed))
+        .as("band_key"))
+
+  /** Drop rows in over-full buckets (degenerate hyperplane regions — the
+    * LSH skew guard). Bucket census ≤ bands·2^bits rows → broadcast join. */
+  private def capBuckets(rows: DataFrame, maxBucket: Int): DataFrame = {
+    val ok = rows.groupBy(col("band_key")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band_key"))
+    rows.join(broadcast(ok), Seq("band_key"))
+  }
+
   /** Approximate k-NN join: band-key candidates → fused-cosine verify →
     * per-query top-k. Recall rises with `bands`, precision (candidate-set
     * tightness) with `bitsPerBand`. */
   def knnJoinLSH(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, cfg: LshConfig): DataFrame = {
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(HyperplaneBands(col(vecCol), cfg.dim, cfg.bands, cfg.bitsPerBand, cfg.seed))
-          .as("band_key"))
-
-    val qb = banded(queries, "query_id", "qv")
-    val cb = banded(corpus, "cand_id", "cv")
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band_key"))))
-      .filter(col("bucket_n") <= cfg.maxBucket)
-      .drop("bucket_n")
-
-    val cands = qb.join(cb, Seq("band_key"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val cands = bandRows(queries, idCol, vecCol, "query_id", cfg)
+      .join(capBuckets(bandRows(corpus, idCol, vecCol, "cand_id", cfg), cfg.maxBucket),
+        Seq("band_key"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
-    cands.withColumn("score", graft.operators.RelationalOps.round6(cosine(col("qv"), col("cv"))))
+    cands.join(c, Seq("cand_id")).join(q, Seq("query_id"))
+      .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("qv"), col("cv"))))
       .select(col("query_id"), col("cand_id"), col("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -92,13 +105,14 @@ object SimilaritySearch {
     * the embedding-space member of the dedup family. */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, cfg: LshConfig): DataFrame = {
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(HyperplaneBands(col(vecCol), cfg.dim, cfg.bands, cfg.bitsPerBand, cfg.seed))
-          .as("band_key"))
-    banded(corpus, "a_id", "va").join(banded(corpus, "b_id", "vb"), Seq("band_key"))
+    val va = corpus.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    val banded = capBuckets(bandRows(corpus, idCol, vecCol, "a_id", cfg), cfg.maxBucket)
+    banded.join(banded.withColumnRenamed("a_id", "b_id"), Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .join(va, Seq("a_id")).join(vb, Seq("b_id"))
       .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("va"), col("vb"))))
       .filter(col("score") >= threshold)
       .select(col("a_id"), col("b_id"), col("score"))

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Run a graft main class directly from compiled classes (bypasses sbt for
+# fast iteration; compile first via the sbt session). Usage:
+#   tools/run_main.sh graft.Explain q3_shipping
+OPTS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPTS="$OPTS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPTS="$OPTS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPTS -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
