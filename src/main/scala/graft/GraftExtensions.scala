@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.expressions._
+
+/** Catalyst integration point: registers the engine's native expressions as
+  * SQL functions, so `spark.sql("SELECT cosine_sim(a, b) ...")` works the
+  * same as the Column API. Install via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * - cosine_sim(array<float>, array<float>) → double  (fused, codegen'd)
+  * - simhash64(array<string>) → bigint
+  * - minhash_sig(array<bigint>, numPerm, seed) → array<bigint>
+  * - hyperplane_bands(array<float>, dim, bands, bits, seed) → array<bigint>
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, numPerm, seed) - MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        intLit(args(1), "numPerm"), longLit(args(2), "seed"))))
+    e.injectFunction((FunctionIdentifier("hyperplane_bands"),
+      info("hyperplane_bands",
+        "hyperplane_bands(vec, dim, bands, bits, seed) - LSH band keys"),
+      (args: Seq[Expression]) => HyperplaneBands(args(0),
+        intLit(args(1), "dim"), intLit(args(2), "bands"),
+        intLit(args(3), "bitsPerBand"), longLit(args(4), "seed"))))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration on an existing session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      args => CosineSimilarity(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args.head), "built-in")
+  }
+}

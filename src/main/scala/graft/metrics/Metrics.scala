@@ -1,0 +1,64 @@
+package graft.metrics
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Engine metrics under the reference's metric names (SURVEY.md §2.7):
+  * Beam counters/distributions → driver-side atomics fed by job results and
+  * a StreamingQueryListener; Micrometer gauges → the same registry.
+  *
+  * Reference names reproduced:
+  *  - latestConsensusTimestamp, ingestionDelay, jsonToTableRowErrors
+  *    (TransactionJsonToTableRow.java:42-49, Utility.java:40-46)
+  *  - dedupe.invocations/failures/start.timestamp/end.timestamp/runtime/
+  *    delay, dedupe.duplicates.count, dedupe.job.runtime/rows
+  *    (AbstractDeduplication.java:128-160, TemplateQuery.java:67-89)
+  */
+final class MetricsRegistry {
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+
+  def counter(name: String): AtomicLong =
+    counters.computeIfAbsent(name, _ => new AtomicLong(0))
+
+  def inc(name: String, by: Long = 1): Unit = counter(name).addAndGet(by)
+  def set(name: String, v: Long): Unit = counter(name).set(v)
+  def get(name: String): Long = counter(name).get()
+  def snapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    counters.asScala.map { case (k, v) => k -> v.get() }.toMap
+  }
+}
+
+object Metrics {
+  val LatestConsensusTimestamp = "latestConsensusTimestamp"
+  val IngestionDelay = "ingestionDelay"
+  val JsonToTableRowErrors = "jsonToTableRowErrors"
+  val DedupeInvocations = "dedupe.invocations"
+  val DedupeFailures = "dedupe.failures"
+  val DedupeStartTimestamp = "dedupe.start.timestamp"
+  val DedupeEndTimestamp = "dedupe.end.timestamp"
+  val DedupeRuntime = "dedupe.runtime"
+  val DedupeDelay = "dedupe.delay"
+  val DuplicatesCount = "dedupe.duplicates.count"
+
+  val global = new MetricsRegistry
+
+  /** Streaming ingest progress → metric registry (rows/sec, batch rows). */
+  final class IngestListener(reg: MetricsRegistry = global) extends StreamingQueryListener {
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      reg.inc("ingest.batches")
+      reg.inc("ingest.rows", event.progress.numInputRows)
+    }
+  }
+
+  def installListener(spark: SparkSession, reg: MetricsRegistry = global): IngestListener = {
+    val l = new IngestListener(reg)
+    spark.streams.addListener(l)
+    l
+  }
+}

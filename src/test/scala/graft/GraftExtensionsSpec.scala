@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  test("imperatively registered SQL functions evaluate") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       simhash64(array('a', 'b')) AS s""".stripMargin).first()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getLong(1) !== 0L)
+  }
+
+  test("extension injection wires without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+  }
+
+  test("cosine_sim SQL equals Column API bit-for-bit") {
+    GraftExtensions.register(spark)
+    val emb = Tables.load(spark, GraftTestSpark.sfDir, "embeddings").limit(50)
+    emb.createOrReplaceTempView("emb_ext_test")
+    val viaSql = spark.sql(
+      "SELECT vec_id, cosine_sim(embedding, embedding) AS c FROM emb_ext_test")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.similarity.SimilaritySearch.cosine(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaCol)
+  }
+}
