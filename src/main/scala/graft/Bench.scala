@@ -20,6 +20,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Pipeline rates vs BASELINE.md targets (ingest throughput; one
+    // incremental dedupe well inside the 5-min schedule). Measured before
+    // the query loop: a heap full of query-stage leftovers was observed to
+    // degrade the write-heavy pipeline measurement several-fold.
+    val rates = try PipelineBench.run(spark, sfDir)
+    catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0) }
+
     val results = Registry.headline.map { q =>
       val t = try math.min(runOnce(q.name), runOnce(q.name))
       catch { case _: Throwable => -1.0 }
@@ -28,7 +35,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows":${rates.ingestRows},""" +
+      s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +
+      s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
+      s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

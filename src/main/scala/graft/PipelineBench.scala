@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.hedera._
+
+/** Pipeline-rate measurements against BASELINE.md's engine-side targets:
+  * batch ingest ≥100k rows/s at sf0.1, one incremental dedupe run well
+  * inside the reference's 5-minute schedule.
+  *
+  * The ingest corpus is synthesized distributed (events → hedera-shaped
+  * JSON via `to_json(struct(...))`), so the measurement covers the real
+  * path: text scan → lenient parse → nested cast → derive → day-partitioned
+  * clustered parquet write + dead-letter split.
+  */
+object PipelineBench {
+
+  final case class Rates(
+      ingestRows: Long, ingestSec: Double, ingestRowsPerSec: Double,
+      dedupeSec: Double, dedupeDuplicates: Long)
+
+  /** events row → minimal hedera-shaped JSON payload (ns key, nested body,
+    * transfer list) — every 5th row duplicated, the reference generator's
+    * recipe (TransactionsGenerator.java:70-81). */
+  private def jsonCorpus(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val payload = struct(
+      col("ts").as("consensusTimestamp"),
+      (col("event_id") % 21 + 7).as("transactionType"),
+      struct(struct(
+        col("props").as("memo"),
+        col("user_id").as("transactionFee")).as("body")).as("transaction"),
+      struct(
+        struct(lit("SUCCESS").as("status")).as("receipt"),
+        (col("value") * 100).cast("long").as("transactionFee"),
+        struct(array(
+          struct(struct(lit(0L).as("shardNum"), lit(0L).as("realmNum"),
+            col("user_id").as("accountNum")).as("accountID"),
+            (-col("value") * 100).cast("long").as("amount")),
+          struct(struct(lit(0L).as("shardNum"), lit(0L).as("realmNum"),
+            lit(3L).as("accountNum")).as("accountID"),
+            (col("value") * 100).cast("long").as("amount"))
+        ).as("accountAmounts")).as("transferList")).as("transactionRecord"))
+    val withDups = ev.select(to_json(payload).as("value"), col("event_id"))
+      .withColumn("copies", when(col("event_id") % 5 === 0, 2).otherwise(1))
+      .select(explode(array_repeat(col("value"), col("copies"))).as("value"))
+    val n = withDups.count()
+    withDups.select("value").write.mode("overwrite").text(outDir)
+    n
+  }
+
+  def run(spark: SparkSession, sfDir: String): Rates = {
+    val base = java.nio.file.Files.createTempDirectory("graft-pipebench").toString
+    val inDir = s"$base/in"
+    val rows = jsonCorpus(spark, sfDir, inDir)
+
+    val table = new TransactionsTable(spark, s"$base/transactions")
+    val errors = new ErrorsTable(spark, s"$base/errors")
+    // preDedupe off: the dedupe JOB is what we measure downstream
+    val pipe = new IngestPipeline(spark, table, errors, preDedupe = false)
+
+    val t0 = System.nanoTime()
+    val (landed, _) = pipe.ingestBatch(inDir)
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    val state = new StateStore(spark, s"$base/state")
+    val job = new Deduplication.Job(spark, table, state,
+      Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
+    val t1 = System.nanoTime()
+    val res = job.runIncremental()
+    val dedupeSec = (System.nanoTime() - t1) / 1e9
+
+    Rates(landed, ingestSec, landed / ingestSec, dedupeSec, res.duplicatesRemoved)
+  }
+}

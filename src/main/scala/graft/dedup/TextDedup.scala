@@ -116,6 +116,30 @@ object TextDedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---- winnowing (rolling-hash fingerprints) ------------------------------
+
+  /** Winnowed rolling-hash fingerprint set per doc (MOSS scheme — see
+    * [[graft.expressions.WinnowFingerprint]]): robust to shared *passages*
+    * rather than shared shingle bags. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.expressions.WinnowFingerprint(normalized(col(textCol)), k, window).as("fps"))
+
+  /** Pairs sharing at least `minShared` winnow fingerprints — shared-passage
+    * candidates. Same shuffle shape as the shingle join: explode ids+hash
+    * only, pair-count aggregate, no quadratic stage. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 3, k: Int = 8, window: Int = 16): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, window)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** doc → 64-bit SimHash fingerprint of its token stream. */

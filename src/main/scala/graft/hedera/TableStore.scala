@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * `sortWithinPartitions(transactionType)` at write: parquet row-group
   * min/max stats then skip row groups for type-filtered queries.
   */
-final class TransactionsTable(spark: SparkSession, path: String) {
+final class TransactionsTable(spark: SparkSession, path: String, filesPerDay: Int = 4) {
 
   def read(): DataFrame = spark.read.schema(TransactionSchema.table).parquet(path)
 
@@ -25,17 +25,26 @@ final class TransactionsTable(spark: SparkSession, path: String) {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Write layout: cluster rows to ≤`filesPerDay` files per day partition
+    * (repartition on day + bounded salt — without this, an N-partition
+    * upstream × D days batch writes N·D splinter files, and every later
+    * table scan pays the open cost), then sort within files by
+    * transactionType so parquet row-group min/max stats give the
+    * clustering-based skipping the reference gets from BigQuery clustering
+    * (scripts/create-tables.sh:16). */
+  private def layout(df: DataFrame): DataFrame =
+    df.repartition(col("day"), pmod(xxhash64(col("consensusTimestamp")), lit(filesPerDay)))
+      .sortWithinPartitions(col("day"), col("transactionType"))
+
   /** Append a batch, day-partitioned, clustered within partitions. */
   def append(df: DataFrame): Unit =
-    df.sortWithinPartitions(col("day"), col("transactionType"))
-      .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+    layout(df).write.mode(SaveMode.Append).partitionBy("day").parquet(path)
 
   /** Replace exactly the `day=` partitions present in `df` — the engine's
     * MERGE-ON-FALSE (RemoveDuplicatesTemplateQuery.java:29-43): with
     * partitionOverwriteMode=dynamic only affected partitions rewrite. */
   def overwriteDays(df: DataFrame): Unit =
-    df.sortWithinPartitions(col("day"), col("transactionType"))
-      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    layout(df).write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
 }
 
 final class ErrorsTable(spark: SparkSession, path: String) {

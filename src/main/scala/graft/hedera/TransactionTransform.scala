@@ -51,28 +51,38 @@ object TransactionTransform {
     stringified(TransactionSchema.payload).asInstanceOf[StructType]
       .add("_corrupt", StringType)
 
-  /** Raw lines (`value` string column) → (typed rows, error rows). */
-  def parse(raw: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = raw.select(
+  /** Lenient parse stage: raw `value` + parsed struct `j`. Callers that
+    * consume both the typed and error branches should cache THIS frame so
+    * the (expensive) from_json runs once, not once per branch. */
+  def parseRaw(raw: DataFrame): DataFrame =
+    raw.select(
       col("value"),
       from_json(col("value"), parsedSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
 
-    val bad = parsed.filter(col("j").isNull || col("j._corrupt").isNotNull
-        || col("j.consensusTimestamp").isNull)
-      .select(col("value").as("tableRow"),
-        lit("""[{"reason":"invalid","message":"Unable to parse transaction json"}]""").as("errors"))
+  private def okPredicate =
+    col("j").isNotNull && col("j._corrupt").isNull && col("j.consensusTimestamp").isNotNull
 
-    val typed = parsed
-      .filter(col("j").isNotNull && col("j._corrupt").isNull
-        && col("j.consensusTimestamp").isNotNull)
+  /** Typed branch of a parsed frame. */
+  def typedRows(parsed: DataFrame): DataFrame =
+    parsed.filter(okPredicate)
       .select(castToSchema(col("j").dropFields("_corrupt"), TransactionSchema.payload).as("t"))
       .select(col("t.*"))
       .withColumn("consensusTimestampTruncated",
         timestamp_micros(expr("consensusTimestamp div 1000")))
       .withColumn("dedupe", lit(null).cast(LongType))
       .withColumn("day", to_date(col("consensusTimestampTruncated")))
+      .select(TransactionSchema.table.fieldNames.map(col): _*)
 
-    (typed.select(TransactionSchema.table.fieldNames.map(col): _*), bad)
+  /** Dead-letter branch of a parsed frame (errors-schema.json shape). */
+  def errorRows(parsed: DataFrame): DataFrame =
+    parsed.filter(!okPredicate)
+      .select(col("value").as("tableRow"),
+        lit("""[{"reason":"invalid","message":"Unable to parse transaction json"}]""").as("errors"))
+
+  /** Raw lines (`value` string column) → (typed rows, error rows). */
+  def parse(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = parseRaw(raw)
+    (typedRows(parsed), errorRows(parsed))
   }
 }

@@ -139,6 +139,13 @@ object TextQueries {
         TextDedup.MinHashConfig(jaccardThreshold = 0.4)),
       None),
 
+    // Winnowed rolling-hash fingerprints (rows-only: the hash scheme is
+    // engine-internal; overlap semantics covered in TextDedupSpec).
+    Q("t_winnow",
+      (s, dir) => TextDedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps")),
+      None),
+
     // SimHash fingerprints (rows-only: xxhash64 is Spark-native).
     Q("t_simhash",
       (s, dir) => TextDedup.simHashes(docs(s, dir), "doc_id", "text"),
