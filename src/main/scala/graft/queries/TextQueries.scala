@@ -152,6 +152,21 @@ object TextQueries {
       None,
       headline = true),
 
+    // BPE-ish subword token estimate (rows-only: the split regex uses
+    // lookaround, which RE2-based engines don't support).
+    Q("t_token_bpeish",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"), tokenCountBpeIsh(col("text")).as("n_subword_tokens")),
+      None),
+
+    // Sketch aggregates: approximate distinct counts (HLL++) per source —
+    // rows-only (sketch values are engine-specific by construction).
+    Q("t_approx_distinct",
+      (s, dir) => docs(s, dir).groupBy(col("source"))
+        .agg(approx_count_distinct(col("text"), 0.02).as("approx_docs"),
+          count(lit(1)).as("exact_rows")),
+      None),
+
     // Multimodal blob stats: byte length + first code point of the payload.
     Q("m_blob_stats",
       (s, dir) => docs(s, dir).select(

@@ -97,6 +97,17 @@ object VectorQueries {
       None,
       headline = true),
 
+    // IVF-bucketed approximate k-NN (coarse-quantizer scale path; rows-only,
+    // recall vs brute force asserted in IvfSpec).
+    Q("e_knn_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        graft.similarity.IvfIndex.knnJoinIVF(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 5, graft.similarity.IvfIndex.Config(nCentroids = 16, nProbe = 8))
+      },
+      None),
+
     // Embedding-cosine near-duplicate pairs (dedup family, embedding space).
     Q("e_dup_pairs",
       (s, dir) => SimilaritySearch.embeddingDupPairs(

@@ -1,0 +1,92 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.NearestCentroids
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the coarse-
+  * quantizer alternative to hyperplane LSH:
+  *
+  *  1. train: spherical k-means (Lloyd, cosine assignment) on a bounded
+  *     corpus sample. The sample is driver-sized by construction
+  *     (`sampleSize ≈ 50·k` rows), which is the standard IVF recipe — the
+  *     quantizer needs only a sketch of the distribution, never the corpus.
+  *  2. assign: every corpus vector to its nearest centroid (one cell);
+  *     every query to its `nProbe` nearest cells (recall dial).
+  *  3. search: equi-join on cell id → fused-cosine verify → per-query
+  *     top-k window. Work is |corpus|/k · nProbe per query instead of
+  *     |corpus| — the scale path when the corpus clusters.
+  */
+object IvfIndex {
+
+  final case class Config(
+      nCentroids: Int = 16,
+      iters: Int = 5,
+      nProbe: Int = 4,
+      sampleSize: Int = 800,
+      seed: Long = 42L)
+
+  /** Spherical k-means on a driver-side sample. Deterministic: seeded
+    * sample, seeded init, fixed iteration count. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, cfg: Config): Seq[Seq[Double]] = {
+    val total = corpus.count()
+    val frac = math.min(1.0, cfg.sampleSize.toDouble / math.max(total, 1))
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .sample(withReplacement = false, frac, cfg.seed)
+      .limit(cfg.sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus sample")
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val normed = sample.map(normalize)
+    val rnd = new scala.util.Random(cfg.seed)
+    var centroids = rnd.shuffle(normed.indices.toList).take(cfg.nCentroids)
+      .map(normed(_)).toArray
+
+    for (_ <- 1 to cfg.iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](normed.head.length))
+      val counts = new Array[Int](centroids.length)
+      normed.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        for (c <- centroids.indices) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * centroids(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }.toArray
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Approximate k-NN join through the IVF cells. */
+  def knnJoinIVF(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, cfg: Config = Config()): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, cfg)
+    val corpusCells = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      explode(NearestCentroids(col(vecCol), centroids, 1)).as("cell"))
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(NearestCentroids(col(vecCol), centroids, cfg.nProbe)).as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        graft.operators.RelationalOps.round6(SimilaritySearch.cosine(col("qv"), col("cv"))))
+      .select(col("query_id"), col("cand_id"), col("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}
