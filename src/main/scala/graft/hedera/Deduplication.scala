@@ -37,28 +37,41 @@ object Deduplication {
       windowStartUs: Long, windowEndUs: Long,
       duplicateGroups: Long, duplicatesRemoved: Long)
 
-  private def usCol = (unix_micros(col("consensusTimestampTruncated"))).as("ts_us")
-
   final class Job(spark: SparkSession, table: TransactionsTable, state: StateStore,
       cfg: Config = Config()) {
 
     private def tsUs = unix_micros(col("consensusTimestampTruncated"))
 
+    /** Day-range image of a µs window, as a predicate on the partition
+      * column. Filtering on `day` DIRECTLY (never through a function of it)
+      * is what engages directory-level partition pruning — the design rule
+      * the reference follows with its partition column (SURVEY.md §4) — so
+      * window jobs list only the window's `day=` directories no matter how
+      * large the table is. The µs filter then bounds rows exactly.
+      */
+    private def dayWindow(startUs: Long, endUs: Long) = {
+      val loDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(startUs, 86400000000L))
+      val hiDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(endUs, 86400000000L))
+      col("day").between(lit(java.sql.Date.valueOf(loDay)), lit(java.sql.Date.valueOf(hiDay)))
+    }
+
+    /** Window scan: partition-pruned by day, row-bounded by µs. */
+    def windowScan(startUs: Long, endUs: Long) =
+      table.read().filter(dayWindow(startUs, endUs) && tsUs.between(startUs, endUs))
+
     /** A1: duplicate key groups inside [startUs, endUs]. */
     def detect(startUs: Long, endUs: Long) =
-      RelationalOps.duplicateGroups(
-        table.read().filter(tsUs.between(startUs, endUs)),
-        Seq("consensusTimestamp"))
+      RelationalOps.duplicateGroups(windowScan(startUs, endUs), Seq("consensusTimestamp"))
 
     /** A2+J2: keep one row per consensusTimestamp inside the window and
       * replace the window's days with the deduped content. */
     def repair(startUs: Long, endUs: Long): Long = {
-      val winDays = table.read().filter(tsUs.between(startUs, endUs))
-      val before = winDays.count()
+      val winRows = windowScan(startUs, endUs)
+      val before = winRows.count()
       // Whole affected days must rewrite together (a day can straddle the
       // window edge): dedupe inside the window, passthrough outside it.
-      val days = winDays.select(col("day")).distinct()
-      val affected = table.read().join(days, Seq("day"), "left_semi").cache()
+      // The affected scan is itself day-pruned to the window's day range.
+      val affected = table.read().filter(dayWindow(startUs, endUs)).cache()
       try {
         val inWin = affected.filter(tsUs.between(startUs, endUs))
         val outWin = affected.filter(!tsUs.between(startUs, endUs))

@@ -102,6 +102,21 @@ class DeduplicationSpec extends AnyFunSuite {
     assert(table.read().count() === 40)
   }
 
+  test("window scans partition-prune on the day directory column") {
+    val (table, _, job) = mkJob()
+    val day = 86400L * 1000000000L
+    writeRows(table, genRows(20, startNs = 1600000000L * 1000000000L))
+    writeRows(table, Seq(1600000000L * 1000000000L + 40 * day)) // far-away day
+    val loUs = 1600000000L * 1000000L
+    val scan = job.windowScan(loUs, loUs + 86400L * 1000000)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"expected day partition filters in:\n$plan")
+    // the far-away day contributes nothing and its directory is pruned
+    // (20 generated rows + 4 every-5th duplicates land in the window)
+    assert(scan.count() === 24)
+  }
+
   test("repair only rewrites affected day partitions") {
     val (table, _, job) = mkJob()
     val day = 86400L * 1000000000L
