@@ -112,6 +112,20 @@ object Relational {
              |GROUP BY n_name""".stripMargin),
       headline = true),
 
+    // Broadcast dimension join + mixed aggregate suite (part side broadcast).
+    Q("q_part_brand",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          exactSum(col("l_quantity")).as("qty"),
+          countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty,
+             |  count(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin)),
+
     // ORDER BY + LIMIT (TakeOrderedAndProject).
     Q("q_sort_limit",
       (s, dir) => t(s, dir, "orders")
