@@ -1,17 +1,79 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
 import graft.queries.Registry
 
+/** Spark task-metrics accumulator: sums executor run/CPU/GC time and
+  * shuffle bytes across all tasks. The CPU-vs-wall split is the bench's
+  * contention detector — on a quiet host, wall ≈ cpu/cores for CPU-bound
+  * stages; a contended or swapping host inflates wall (and GC) while CPU
+  * stays flat, which is exactly the signature that distinguishes
+  * environment noise from a plan regression. */
+final class TaskMetricsListener extends SparkListener {
+  private val runMs, cpuNs, gcMs, shufReadB, shufWriteB = new LongAdder
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      runMs.add(m.executorRunTime); cpuNs.add(m.executorCpuTime); gcMs.add(m.jvmGCTime)
+      shufReadB.add(m.shuffleReadMetrics.totalBytesRead)
+      shufWriteB.add(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  import TaskMetricsListener.Snap
+  /** Listener-bus delivery is async: poll until the counters go quiet so a
+    * snapshot taken right after an action includes that action's tasks. */
+  def settled(): Snap = {
+    var prev = Snap(runMs.sum, cpuNs.sum, gcMs.sum, shufReadB.sum, shufWriteB.sum)
+    var tries = 0
+    while (tries < 20) {
+      Thread.sleep(25)
+      val cur = Snap(runMs.sum, cpuNs.sum, gcMs.sum, shufReadB.sum, shufWriteB.sum)
+      if (cur == prev) return cur
+      prev = cur; tries += 1
+    }
+    prev
+  }
+}
+
+object TaskMetricsListener {
+  final case class Snap(runMs: Long, cpuNs: Long, gcMs: Long, shufReadB: Long, shufWriteB: Long) {
+    def -(o: Snap) = Snap(runMs - o.runMs, cpuNs - o.cpuNs, gcMs - o.gcMs,
+      shufReadB - o.shufReadB, shufWriteB - o.shufWriteB)
+  }
+}
+
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Each query is forced end-to-end through the noop
-  * sink (full plan execution — a bare count() could collapse to metadata),
-  * run twice, best-of reported (first run pays file-listing/JIT warmup the
-  * same way every engine's hot path would not).
+  * prints one JSON line. Methodology (contention-robust by design):
+  *
+  *  - each query is forced end-to-end through the noop sink (full plan
+  *    execution — a bare count() could collapse to metadata);
+  *  - one untimed warmup run per query pays file-listing + codegen + JIT;
+  *  - then THREE timed runs, median reported (min-of-2 hid one slow run but
+  *    not a contended host; the median plus the run list exposes spread);
+  *  - every run also reports Spark-side task metrics (executor run/CPU/GC
+  *    seconds, shuffle bytes) and the OS load average, so a wall-clock
+  *    blowup on a busy host is attributable: cpu_sec stable + load high ⇒
+  *    environment, cpu_sec grown ⇒ real regression.
   */
 object Bench {
+
+  final case class QStats(wall: Seq[Double], cpuSec: Double, gcSec: Double,
+      runSec: Double, shufMB: Double, loadAvg: Double) {
+    def median: Double = wall.sorted.apply(wall.size / 2)
+  }
+
+  private def loadAvg: Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.localFromEnv("graft-bench")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val loadStart = loadAvg
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -24,22 +86,42 @@ object Bench {
     // incremental dedupe well inside the 5-min schedule). Measured before
     // the query loop: a heap full of query-stage leftovers was observed to
     // degrade the write-heavy pipeline measurement several-fold.
-    val rates = try PipelineBench.run(spark, sfDir)
-    catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0) }
+    val rates = try PipelineBench.run(spark, sfDir, listener)
+    catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0, -1, -1) }
 
-    val results = Registry.headline.map { q =>
-      val t = try math.min(runOnce(q.name), runOnce(q.name))
-      catch { case _: Throwable => -1.0 }
-      q.name -> t
+    val results: Seq[(String, QStats)] = Registry.headline.map { q =>
+      val st = try {
+        runOnce(q.name) // warmup: file listing, codegen, JIT — outside timing
+        val la = loadAvg
+        val s0 = listener.settled()
+        val walls = Seq.fill(3)(runOnce(q.name))
+        val d = listener.settled() - s0
+        QStats(walls, d.cpuNs / 1e9, d.gcMs / 1e3, d.runMs / 1e3,
+          d.shufReadB / 1e6, la)
+      } catch { case _: Throwable => QStats(Seq(-1.0, -1.0, -1.0), -1, -1, -1, -1, -1) }
+      q.name -> st
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+
+    def jmap(f: QStats => String): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2.median).filter(_ >= 0).sum
+    // cpu seconds are summed over the 3 timed runs; per-run cpu ≈ /3.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(_.median.toString)},""" +
+      s""""query_runs":${jmap(_.wall.mkString("[", ",", "]"))},""" +
+      s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
+      s""""query_gc_sec_3runs":${jmap(s => f"${s.gcSec}%.3f")},""" +
+      s""""query_shuffle_mb_3runs":${jmap(s => f"${s.shufMB}%.1f")},""" +
+      s""""query_load_avg":${jmap(s => f"${s.loadAvg}%.1f")},""" +
       s""""ingest_rows":${rates.ingestRows},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +
+      s""""ingest_cpu_sec":${f"${rates.ingestCpuSec}%.3f"},""" +
       s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
+      s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""" +
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
+      s""""load_avg_start":${f"$loadStart%.1f"},"load_avg_end":${f"$loadAvg%.1f"},""" +
+      s""""cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""heap_max_gb":${f"${Runtime.getRuntime.maxMemory / 1e9}%.1f"},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -17,7 +17,8 @@ object PipelineBench {
 
   final case class Rates(
       ingestRows: Long, ingestSec: Double, ingestRowsPerSec: Double,
-      dedupeSec: Double, dedupeDuplicates: Long)
+      dedupeSec: Double, dedupeDuplicates: Long,
+      ingestCpuSec: Double, dedupeCpuSec: Double)
 
   /** events row → minimal hedera-shaped JSON payload (ns key, nested body,
     * transfer list) — every 5th row duplicated, the reference generator's
@@ -49,27 +50,34 @@ object PipelineBench {
     n
   }
 
-  def run(spark: SparkSession, sfDir: String): Rates = {
+  def run(spark: SparkSession, sfDir: String,
+      listener: TaskMetricsListener = null): Rates = {
     val base = java.nio.file.Files.createTempDirectory("graft-pipebench").toString
     val inDir = s"$base/in"
     val rows = jsonCorpus(spark, sfDir, inDir)
+    def cpuNs: Long = if (listener == null) 0L else listener.settled().cpuNs
 
     val table = new TransactionsTable(spark, s"$base/transactions")
     val errors = new ErrorsTable(spark, s"$base/errors")
     // preDedupe off: the dedupe JOB is what we measure downstream
     val pipe = new IngestPipeline(spark, table, errors, preDedupe = false)
 
+    val c0 = cpuNs
     val t0 = System.nanoTime()
     val (landed, _) = pipe.ingestBatch(inDir)
     val ingestSec = (System.nanoTime() - t0) / 1e9
+    val ingestCpu = (cpuNs - c0) / 1e9
 
     val state = new StateStore(spark, s"$base/state")
     val job = new Deduplication.Job(spark, table, state,
       Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
+    val c1 = cpuNs
     val t1 = System.nanoTime()
     val res = job.runIncremental()
     val dedupeSec = (System.nanoTime() - t1) / 1e9
+    val dedupeCpu = (cpuNs - c1) / 1e9
 
-    Rates(landed, ingestSec, landed / ingestSec, dedupeSec, res.duplicatesRemoved)
+    Rates(landed, ingestSec, landed / ingestSec, dedupeSec, res.duplicatesRemoved,
+      ingestCpu, dedupeCpu)
   }
 }

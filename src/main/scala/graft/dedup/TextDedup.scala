@@ -91,10 +91,19 @@ object TextDedup {
   }
 
   /** Candidate pairs verified with exact jaccard over the shingle-hash sets;
-    * keeps pairs at or above the configured threshold. */
+    * keeps pairs at or above the configured threshold.
+    *
+    * Docs shorter than `shingleK` tokens have EMPTY shingle sets: their
+    * all-sentinel MinHash signatures collide in every band, and their
+    * jaccard is 0/0 — without a guard, NaN compares greater than any
+    * threshold (Spark NaN ordering) and unrelated short docs would be
+    * reported as near-duplicates. They are excluded before banding (they
+    * carry no shingle evidence either way). */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, cfg).cache()
+    val sigs = signatures(docs, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0)
+      .cache()
     val sets = sigs.select(col("doc_id"), col("sh"))
     candidatePairs(sigs, cfg)
       .join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
@@ -102,7 +111,9 @@ object TextDedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", graft.operators.RelationalOps.round6(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      // belt over braces: a 0/0 NaN (possible only if empty sets reached
+      // here) must never pass the >= threshold via NaN-max ordering
+      .filter(!isnan(col("jaccard")) && col("jaccard") >= cfg.jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 case class HyperplaneBands(child: Expression, dim: Int, bands: Int, bitsPerBand: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+  // In the case-class body so EVERY construction path is validated — the
+  // SQL function registration builds the expression directly, bypassing the
+  // companion apply (GraftExtensions); sign bits above 48 would silently
+  // collide with the band-index tag.
+  require(bitsPerBand >= 1 && bitsPerBand <= 48,
+    "bitsPerBand must be in [1,48]: the band index is packed into the high 16 bits")
+  require(bands >= 1 && dim >= 1, "bands and dim must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -69,9 +76,7 @@ case class HyperplaneBands(child: Expression, dim: Int, bands: Int, bitsPerBand:
 }
 
 object HyperplaneBands {
-  def apply(vec: Column, dim: Int, bands: Int, bitsPerBand: Int, seed: Long = 42L): Column = {
-    require(bitsPerBand <= 48, "band index is packed into the high 16 bits")
+  def apply(vec: Column, dim: Int, bands: Int, bitsPerBand: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(
       HyperplaneBands(ExpressionUtils.expression(vec), dim, bands, bitsPerBand, seed))
-  }
 }

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * shuffle, and it runs once per row (CodegenFallback is fine here: the loop
   * dominates, not the call overhead).
   *
-  * Empty input yields Long.MaxValue sentinels so empty docs never collide
-  * into real buckets (their band hashes still match each other, which exact
-  * jaccard verification then rejects).
+  * Empty input yields Long.MaxValue sentinels, so empty docs never collide
+  * into REAL buckets — but they do all collide with each other (identical
+  * sentinel signatures in every band), and exact jaccard on two empty sets
+  * is 0/0 = NaN, which Spark orders above every threshold. Callers must
+  * exclude empty inputs before banding (TextDedup.nearDuplicatePairs does).
   */
 case class MinHashSignature(child: Expression, numPerm: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+  // In the case-class body so the SQL function path (GraftExtensions),
+  // which constructs the expression directly, is validated too.
+  require(numPerm >= 1, "numPerm must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -1,7 +1,10 @@
 package graft.hedera
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+import graft.metrics.{Metrics, MetricsRegistry}
 import graft.operators.RelationalOps
 
 /** The deduplication jobs: incremental (frequent, windowed) and full
@@ -17,17 +20,30 @@ import graft.operators.RelationalOps
   * UPDATE-probe (IncrementalDeduplication.java:89-107) has no Spark analog —
   * its *role* (never dedupe in-flight data) maps to capping the window at
   * the max ingested timestamp; the steady-state/catch-up two-interval
-  * escalation is kept (DedupeProperties.java:48-49 defaults).
+  * escalation is kept (DedupeProperties.java:48-49 defaults). Repaired
+  * in-window rows get `dedupe = 1`, the reference's processed-window marker
+  * (UpdateDedupeColumnTemplateQuery.java:29-30).
   *
   * Scale shape: detection is one partial-aggregated group-count over only
-  * the window's `day=` partitions (pruned at scan); repair rewrites only
-  * affected days via dynamic partition overwrite. Both are O(window), never
-  * O(table).
+  * the window's `day=` partitions (pruned at scan); repair is ONE pass over
+  * those partitions — keep-one is a row_number over the key, the
+  * before/after counts fold into the same pass as `observe()` metrics, and
+  * the result is staged then swapped in (TransactionsTable.overwriteDays),
+  * so nothing ever re-reads the path being replaced. Both jobs are
+  * O(window), never O(table); only the window-end probe aggregates the full
+  * table (a parquet-footer max, no row materialization).
+  *
+  * Per-run observability mirrors the reference's job metrics
+  * (TemplateQuery.java:67-89 `dedupe.job.runtime/rows`, logged duplicate
+  * groups GetDuplicatesTemplateQuery.java:52-72, run-level counters
+  * AbstractDeduplication.java:128-160).
   */
 object Deduplication {
 
   val IncrementalStateKey = "incrementalLatestEndTimestamp"
   val FullStateKey = "fullLatestEndTimestamp"
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   final case class Config(
       steadyStateIntervalUs: Long = 600L * 1000000,   // 10 min (DedupeProperties.java:49)
@@ -38,9 +54,20 @@ object Deduplication {
       duplicateGroups: Long, duplicatesRemoved: Long)
 
   final class Job(spark: SparkSession, table: TransactionsTable, state: StateStore,
-      cfg: Config = Config()) {
+      cfg: Config = Config(), reg: MetricsRegistry = Metrics.global) {
 
     private def tsUs = unix_micros(col("consensusTimestampTruncated"))
+
+    /** Time one phase, recording the reference's per-query job metrics
+      * (TemplateQuery.java:67-89: `dedupe.job.runtime.<name>` ms and
+      * `dedupe.job.rows.<name>`). */
+    private def phase[A](name: String)(body: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, rows) = body
+      reg.set(s"dedupe.job.runtime.$name", (System.nanoTime() - t0) / 1000000)
+      reg.set(s"dedupe.job.rows.$name", rows)
+      a
+    }
 
     /** Day-range image of a µs window, as a predicate on the partition
       * column. Filtering on `day` DIRECTLY (never through a function of it)
@@ -64,63 +91,100 @@ object Deduplication {
       RelationalOps.duplicateGroups(windowScan(startUs, endUs), Seq("consensusTimestamp"))
 
     /** A2+J2: keep one row per consensusTimestamp inside the window and
-      * replace the window's days with the deduped content. */
-    def repair(startUs: Long, endUs: Long): Long = {
-      val winRows = windowScan(startUs, endUs)
-      val before = winRows.count()
-      // Whole affected days must rewrite together (a day can straddle the
-      // window edge): dedupe inside the window, passthrough outside it.
-      // The affected scan is itself day-pruned to the window's day range.
-      val affected = table.read().filter(dayWindow(startUs, endUs)).cache()
-      try {
-        val inWin = affected.filter(tsUs.between(startUs, endUs))
-        val outWin = affected.filter(!tsUs.between(startUs, endUs))
-        val deduped = inWin.dropDuplicates("consensusTimestamp")
-        val after = deduped.count()
-        table.overwriteDays(outWin.unionByName(deduped))
-        before - after
-      } finally affected.unpersist()
+      * replace the window's days with the deduped content — one pass.
+      *
+      * Whole affected days must rewrite together (a day can straddle the
+      * window edge): in-window rows dedupe via `row_number() = 1` over the
+      * key, out-of-window rows pass through untouched. A duplicate group
+      * lives entirely on one side of the window edge (its rows share one
+      * timestamp), so partitioning the row_number by key across the whole
+      * day range is safe. The removed/group counts ride the same pass as
+      * `observe()` aggregates — no separate before/after count scans — and
+      * kept in-window rows are flagged `dedupe = 1`
+      * (UpdateDedupeColumnTemplateQuery.java:29-30 parity).
+      *
+      * Returns (duplicateGroups, duplicatesRemoved) as observed in-pass.
+      */
+    def repair(startUs: Long, endUs: Long): (Long, Long) = {
+      val obs = Observation()
+      val w = Window.partitionBy(col("consensusTimestamp"))
+        .orderBy(col("consensusTimestamp"))
+      val marked = table.read().filter(dayWindow(startUs, endUs))
+        .withColumn("_inwin", tsUs.between(startUs, endUs))
+        .withColumn("_rn", row_number().over(w))
+        .observe(obs,
+          coalesce(sum(when(col("_inwin") && col("_rn") === 2, 1L)), lit(0L)).as("dup_groups"),
+          coalesce(sum(when(col("_inwin") && col("_rn") > 1, 1L)), lit(0L)).as("removed"))
+      val kept = marked.filter(!col("_inwin") || col("_rn") === 1)
+        .withColumn("dedupe", when(col("_inwin"), lit(1L)).otherwise(col("dedupe")))
+        .drop("_inwin", "_rn")
+      table.overwriteDays(kept)
+      val m = obs.get
+      (m("dup_groups").asInstanceOf[Long], m("removed").asInstanceOf[Long])
     }
 
     /** Window-end selection with steady-state → catch-up escalation, capped
-      * at the latest ingested row (the in-flight-data guard). */
+      * at the latest ingested row (the in-flight-data guard). One aggregate
+      * scan computes both the table max and the first timestamp past the
+      * checkpoint (parquet footer stats; no rows materialize). */
     def probeEnd(startUs: Long): Long = {
-      val maxTs = table.read().agg(max(tsUs)).first() match {
-        case r if r.isNullAt(0) => return startUs
-        case r => r.getLong(0)
-      }
-      val base = table.read().filter(tsUs > startUs).agg(min(tsUs)).first() match {
-        case r if r.isNullAt(0) => return startUs
-        case r => r.getLong(0)
-      }
+      val r = table.read().agg(
+        max(tsUs).as("mx"),
+        min(when(tsUs > startUs, tsUs)).as("mn")).first()
+      if (r.isNullAt(0) || r.isNullAt(1)) return startUs
+      val maxTs = r.getLong(0)
+      val base = r.getLong(1)
       val steady = base + cfg.steadyStateIntervalUs
       if (steady >= maxTs) maxTs
-      else {
-        val catchup = base + cfg.catchupIntervalUs
-        math.min(catchup, maxTs)
+      else math.min(base + cfg.catchupIntervalUs, maxTs)
+    }
+
+    /** Shared run skeleton: detect → repair-if-dirty → checkpoint, with the
+      * reference's run counters (AbstractDeduplication.java:128-160) and
+      * duplicate-group logging (GetDuplicatesTemplateQuery.java:52-72). */
+    private def run(stateKey: String, start: Long, end: Long): Result = {
+      reg.inc(Metrics.DedupeInvocations)
+      reg.set(Metrics.DedupeStartTimestamp, System.currentTimeMillis())
+      val t0 = System.nanoTime()
+      try {
+        if (end == start) return Result(start, end, 0, 0)
+        val dups = phase("detect") { val n = detect(start, end).count(); (n, n) }
+        val (groups, removed) =
+          if (dups > 0) {
+            val sample = detect(start, end).limit(100).collect()
+            log.info(s"dedupe: $dups duplicate groups in [$start,$end]; first ${sample.length}: " +
+              sample.map(r => s"${r.get(0)}->${r.get(1)}").mkString(", "))
+            phase("repair") { val gr = repair(start, end); (gr, gr._2) }
+          } else (0L, 0L)
+        phase("setState") { state.set(stateKey, end.toString); ((), 1L) }
+        reg.inc(Metrics.DuplicatesCount, removed)
+        Result(start, end, groups, removed)
+      } catch {
+        case e: Throwable => reg.inc(Metrics.DedupeFailures); throw e
+      } finally {
+        reg.set(Metrics.DedupeEndTimestamp, System.currentTimeMillis())
+        reg.set(Metrics.DedupeRuntime, (System.nanoTime() - t0) / 1000000)
       }
     }
 
-    /** One incremental run (IncrementalDeduplication.java:66-107). */
+    /** One incremental run (IncrementalDeduplication.java:66-107). Crash
+      * recovery runs FIRST: a swap interrupted mid-repair can have backed a
+      * day out of the live table, and the window probe must see the
+      * restored data (not an artificially empty/short table). */
     def runIncremental(): Result = {
+      table.recoverSwaps()
       val start = state.get(IncrementalStateKey).map(_.toLong).getOrElse(0L)
-      val end = probeEnd(start)
-      if (end == start) return Result(start, end, 0, 0)
-      val dups = detect(start, end).count()
-      val removed = if (dups > 0) repair(start, end) else 0L
-      state.set(IncrementalStateKey, end.toString)
-      Result(start, end, dups, removed)
+      val end = phase("probe") { (probeEnd(start), 1L) }
+      run(IncrementalStateKey, start, end)
     }
 
     /** One full run over everything the incremental job has checkpointed
       * (FullDeduplication.java:62-80). */
     def runFull(): Result = {
+      table.recoverSwaps()
       val end = state.get(IncrementalStateKey).map(_.toLong).getOrElse(0L)
       if (end == 0L) return Result(0, 0, 0, 0)
-      val dups = detect(0L, end).count()
-      val removed = if (dups > 0) repair(0L, end) else 0L
-      state.set(FullStateKey, end.toString)
-      Result(0, end, dups, removed)
+      run(FullStateKey, 0L, end)
     }
   }
 }

@@ -1,26 +1,40 @@
 package graft.hedera
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.metrics.{Metrics, MetricsRegistry}
 
 /** Ingest pipeline: JSON lines → transform → day-partitioned fact table +
   * dead-letter errors table. Batch and Structured Streaming entry points
   * share one `foreachBatch` body, so the streaming path is exactly the
   * batch path applied per micro-batch (PubSubToBigQueryPipeline.java:37-55
-  * re-expressed; checkpointing gives the exactly-once the reference
-  * approximates with insert-retries + later dedupe — README.md:21-22).
+  * re-expressed).
+  *
+  * Delivery guarantee: at-least-once plus periodic dedupe, the reference's
+  * own model (README.md:21-22 — retried streaming inserts + dedupe jobs).
+  * The streaming checkpoint makes batch REPLAY exactly-once, but the two
+  * appends inside a batch (fact table, then errors) are not atomic: a crash
+  * between them replays the batch, and the duplicate fact rows are repaired
+  * by the dedupe job exactly as duplicated inserts are in the reference.
   *
   * Optional `preDedupe` reproduces S1's `withIdAttribute(consensusTimestamp)`
   * broker dedup (PubSubToBigQueryPipeline.java:41) as a within-batch
   * dropDuplicates — best-effort, exactly like the original; the periodic
   * dedupe jobs remain the guarantee.
+  *
+  * Ingest metrics ride the write pass via `observe()` (no extra scan),
+  * under the reference's names (TransactionJsonToTableRow.java:42-49,
+  * Utility.java:40-46): `latestConsensusTimestamp` (max ns key seen),
+  * `ingestionDelay` (wall clock at batch commit − latest event time, ms),
+  * `jsonToTableRowErrors` (dead-letter rows).
   */
 final class IngestPipeline(
     spark: SparkSession,
     table: TransactionsTable,
     errors: ErrorsTable,
-    preDedupe: Boolean = true) {
+    preDedupe: Boolean = true,
+    reg: MetricsRegistry = Metrics.global) {
 
   private def writeBatch(raw: DataFrame): (Long, Long) = {
     // Cache the parse stage, not the branches: from_json over the full
@@ -29,12 +43,19 @@ final class IngestPipeline(
     val parsed = TransactionTransform.parseRaw(raw).cache()
     try {
       val typed = TransactionTransform.typedRows(parsed)
-      val out = if (preDedupe) typed.dropDuplicates("consensusTimestamp") else typed
+      val deduped = if (preDedupe) typed.dropDuplicates("consensusTimestamp") else typed
+      val obs = Observation()
+      val out = deduped.observe(obs, max(col("consensusTimestamp")).as("max_ts_ns"))
       table.append(out)
+      obs.get.get("max_ts_ns").collect { case ts: Long =>
+        reg.set(Metrics.LatestConsensusTimestamp, ts)
+        reg.set(Metrics.IngestionDelay, System.currentTimeMillis() - ts / 1000000)
+      }
       val n = parsed.count()
       val bad = TransactionTransform.errorRows(parsed)
       val nBad = bad.count()
       if (nBad > 0) errors.append(bad)
+      reg.inc(Metrics.JsonToTableRowErrors, nBad)
       (n - nBad, nBad)
     } finally parsed.unpersist()
   }
@@ -54,7 +75,8 @@ final class IngestPipeline(
     writeBatch(fanned)
   }
 
-  /** Streaming ingest: file source + checkpoint → exactly-once appends. */
+  /** Streaming ingest: file source + checkpoint → at-least-once appends
+    * repaired to effective exactly-once by the dedupe jobs (see class doc). */
   def startStream(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.text(inputDir)

@@ -1,11 +1,11 @@
 package graft.hedera
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table layer for the warehouse: day-partitioned fact table,
-  * append-only errors table, tiny atomically-swapped state table.
+  * append-only errors table, tiny crash-safe state table.
   *
   * Layout = the reference's physical design re-expressed for parquet
   * (SURVEY.md §1.4): DAY partitions on the truncated timestamp
@@ -20,10 +20,10 @@ final class TransactionsTable(spark: SparkSession, path: String, filesPerDay: In
 
   def read(): DataFrame = spark.read.schema(TransactionSchema.table).parquet(path)
 
-  def exists(): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(): Boolean = fs.exists(new Path(path))
 
   /** Write layout: cluster rows to ≤`filesPerDay` files per day partition
     * (repartition on day + bounded salt — without this, an N-partition
@@ -40,11 +40,69 @@ final class TransactionsTable(spark: SparkSession, path: String, filesPerDay: In
   def append(df: DataFrame): Unit =
     layout(df).write.mode(SaveMode.Append).partitionBy("day").parquet(path)
 
+  // Dot-prefixed working dirs inside the table path: Spark's file listing
+  // ignores dot-paths, so readers never see staged or backup data, and
+  // same-parent renames are plain same-filesystem metadata ops.
+  private def stageDir = new Path(path, ".graft-stage")
+  private def bakDir = new Path(path, ".graft-bak")
+
   /** Replace exactly the `day=` partitions present in `df` — the engine's
-    * MERGE-ON-FALSE (RemoveDuplicatesTemplateQuery.java:29-43): with
-    * partitionOverwriteMode=dynamic only affected partitions rewrite. */
-  def overwriteDays(df: DataFrame): Unit =
-    layout(df).write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    * MERGE-ON-FALSE (RemoveDuplicatesTemplateQuery.java:29-43 rewrites only
+    * the windowed partition range, never the table).
+    *
+    * Crash/eviction safety: the replacement content is fully materialized to
+    * a staging dir BEFORE any live partition is touched, so a plan that
+    * reads this table can never be recomputed mid-overwrite (the read
+    * finishes when the stage write finishes). The swap is then per-day
+    * metadata renames under a backup protocol:
+    *
+    *   1. rename live `day=D` → `.graft-bak/day=D`
+    *   2. rename `.graft-stage/day=D` → live `day=D`
+    *   3. delete the backup
+    *
+    * A crash at any point is repaired by [[recoverSwaps]] (called on entry
+    * here and by the dedupe job): a surviving backup rolls BACK (restore the
+    * old day, drop the stage) — the caller's job-state checkpoint only
+    * advances after this method returns, so a rolled-back window is simply
+    * re-processed. Each day swap is atomic to readers; cross-day atomicity
+    * matches the reference's per-statement MERGE granularity.
+    */
+  def overwriteDays(df: DataFrame): Unit = {
+    recoverSwaps()
+    val f = fs
+    f.delete(stageDir, true) // stale stage from an aborted run
+    layout(df).write.mode(SaveMode.Overwrite).partitionBy("day").parquet(stageDir.toString)
+
+    val days = f.listStatus(stageDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("day="))
+    if (days.nonEmpty && !f.exists(bakDir)) f.mkdirs(bakDir)
+    days.foreach { d =>
+      val live = new Path(path, d)
+      val bak = new Path(bakDir, d)
+      if (f.exists(live))
+        require(f.rename(live, bak), s"swap: rename $live -> $bak failed")
+      require(f.rename(new Path(stageDir, d), live), s"swap: stage -> $live failed")
+      f.delete(bak, true)
+    }
+    f.delete(stageDir, true)
+    f.delete(bakDir, true)
+  }
+
+  /** Repair a swap interrupted by a crash: for every surviving backup day,
+    * restore it unless the new day already landed (crash between steps 2
+    * and 3 — swap complete, backup is garbage). Then drop any stage. */
+  def recoverSwaps(): Unit = {
+    val f = fs
+    if (f.exists(bakDir)) {
+      f.listStatus(bakDir).filter(_.getPath.getName.startsWith("day=")).foreach { s =>
+        val live = new Path(path, s.getPath.getName)
+        if (f.exists(live)) f.delete(s.getPath, true)
+        else require(f.rename(s.getPath, live), s"recover: restore $live failed")
+      }
+      f.delete(bakDir, true)
+    }
+    f.delete(stageDir, true)
+  }
 }
 
 final class ErrorsTable(spark: SparkSession, path: String) {
@@ -57,16 +115,32 @@ final class ErrorsTable(spark: SparkSession, path: String) {
 /** Key-value job-state table with MERGE-upsert semantics
   * (GetStateQuery/SetStateQuery — AbstractDeduplication.java:99,
   * SetStateQuery.java:34-51). Tiny by construction (a handful of
-  * checkpoints), so each upsert rewrites it via write-new-then-swap, which
-  * on a real cluster FS is the atomic-rename pattern.
+  * checkpoints), so each upsert rewrites it whole under a
+  * backup-rename-swap protocol: the previous state is renamed aside before
+  * the new state is renamed into place, and reads roll back to the backup
+  * if a crash left no live dir — losing a `set` is safe (the caller's job
+  * re-runs its window), losing the whole store is not (an O(table)
+  * re-dedupe from timestamp 0).
   */
 final class StateStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+  private def live = new Path(path)
+  private def bak = new Path(path + ".bak")
+
+  /** Roll back to the backup if a crash between the two renames of [[set]]
+    * left no live dir. (A stale backup NEXT TO a live dir means the crash
+    * was after the new state landed — the live dir wins.) */
+  private def recover(f: FileSystem): Unit =
+    if (!f.exists(live) && f.exists(bak))
+      require(f.rename(bak, live), s"state recover: $bak -> $live failed")
+
   def readAll(): Map[String, String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Map.empty
+    val f = fs
+    recover(f)
+    if (!f.exists(live)) Map.empty
     else spark.read.schema(TransactionSchema.state).parquet(path)
       .as[(String, Option[String])].collect()
       .map { case (k, v) => k -> v.orNull }.toMap
@@ -74,16 +148,21 @@ final class StateStore(spark: SparkSession, path: String) {
 
   def get(name: String): Option[String] = readAll().get(name)
 
-  /** MERGE-upsert one key (SetStateQuery.java:34-40 semantics). */
+  /** MERGE-upsert one key (SetStateQuery.java:34-40 semantics):
+    * write-new → backup-old → rename-new-live → drop-backup, every rename
+    * checked. Crash windows: before the live rename → [[recover]] restores
+    * the backup (the set is lost, callers re-derive it); after → the new
+    * state is live and the stale backup is ignored and replaced next set. */
   def set(name: String, value: String): Unit = {
     val updated = readAll() + (name -> value)
     val df = updated.toSeq.toDF("name", "value")
-    val tmp = path + ".tmp"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new Path(path)
-    val t = new Path(tmp)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    val tmp = new Path(path + ".tmp")
+    val f = fs
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    f.delete(bak, true) // stale backup from a prior crash-after-success
+    if (f.exists(live))
+      require(f.rename(live, bak), s"state set: $live -> $bak failed")
+    require(f.rename(tmp, live), s"state set: $tmp -> $live failed")
+    f.delete(bak, true)
   }
 }

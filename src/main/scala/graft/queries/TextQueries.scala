@@ -100,13 +100,23 @@ object TextQueries {
       Some(s"""SELECT doc_id, CAST(len(list_distinct($Shingles3)) AS BIGINT) AS n_shingles
               |FROM (SELECT doc_id, $WS AS ws FROM documents)""".stripMargin)),
 
-    // Exact n-gram Jaccard near-dup pairs via shared-shingle join.
+    // Exact n-gram Jaccard near-dup pairs via shared-shingle join, with a
+    // document-frequency cap: a shingle in > maxDf docs is boilerplate and
+    // contributes O(df²) join rows (quadratic blowup on real corpora), so
+    // the jaccard universe excludes it — the same skew guard as
+    // TextDedup.candidatePairs' maxBucket. The hot set is tiny by
+    // construction (few shingles exceed the cap) → broadcast anti-join, no
+    // extra shuffle of the shingle rows. The oracle mirrors the cap.
     Q("t_jaccard_pairs",
       (s, dir) => {
+        val maxDf = 100
         val sh = docs(s, dir).select(col("doc_id"),
           explode(array_distinct(shingles(col("text"), 3))).as("s"))
-        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = sh.as("x").join(sh.as("y"),
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        val shc = sh.join(broadcast(hot), Seq("s"), "left_anti")
+        val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = shc.as("x").join(shc.as("y"),
             col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .agg(count(lit(1)).as("inter"))
@@ -121,10 +131,13 @@ object TextQueries {
       Some(s"""WITH sh AS (
               |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
               |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
-              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |shc AS (
+              |  SELECT * FROM sh
+              |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)),
+              |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
               |pairs AS (
               |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
-              |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
               |  GROUP BY 1, 2)
               |SELECT a_id, b_id, inter, jaccard FROM (
               |  SELECT a_id, b_id, inter,

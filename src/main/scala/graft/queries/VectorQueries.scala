@@ -108,11 +108,47 @@ object VectorQueries {
       },
       None),
 
-    // Embedding-cosine near-duplicate pairs (dedup family, embedding space).
+    // Embedding-cosine near-duplicate pairs (dedup family, embedding space),
+    // LSH-bucketed — the 10⁹-row scale path. Threshold 0.4 is tuned to the
+    // synthetic near-orthogonal test corpus (max pairwise cosine ≈ 0.51;
+    // 0.95 matches nothing, a vacuous check) and the band count to recall at
+    // that threshold: P(collide | cos=0.4) = (1−θ/π)^8 ≈ 0.025 per band, so
+    // 96 bands give ≈ 0.91 recall; a production dedup threshold (≥ 0.9)
+    // needs far fewer bands. Deterministic (seeded planes) → stable rows;
+    // exactness of the kernel is oracle-checked via e_dup_pairs_exact, and
+    // LSH-vs-exact recall is asserted in SimilaritySpec.
     Q("e_dup_pairs",
       (s, dir) => SimilaritySearch.embeddingDupPairs(
-        emb(s, dir), "vec_id", "embedding", threshold = 0.95,
-        SimilaritySearch.LshConfig(dim = 64, bands = 16, bitsPerBand = 8)),
-      None)
+        emb(s, dir), "vec_id", "embedding", threshold = 0.4,
+        SimilaritySearch.LshConfig(dim = 64, bands = 96, bitsPerBand = 8)),
+      None),
+
+    // Exact counterpart of e_dup_pairs: all-pairs cosine ≥ threshold.
+    // Quadratic by construction — the recall baseline for bounded corpora,
+    // NOT the scale path (that's e_dup_pairs). Fully oracle-checked: the
+    // DuckDB fold mirrors the Spark in-order double accumulation.
+    Q("e_dup_pairs_exact",
+      (s, dir) => {
+        val a = emb(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("va"))
+        val b = emb(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("va"), col("vb"))))
+          .filter(col("score") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("score"))
+      },
+      Some {
+        val dotAB = duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")
+        val normA = s"sqrt(${duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")})"
+        val normB = s"sqrt(${duckFoldSum("eb", "CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")})"
+        s"""WITH p AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+           |sc AS (SELECT a_id, b_id, $dotAB AS d, $normA AS na, $normB AS nb FROM p)
+           |SELECT a_id, b_id, score FROM (
+           |  SELECT a_id, b_id,
+           |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM sc)
+           |WHERE score >= 0.4""".stripMargin
+      })
   )
 }

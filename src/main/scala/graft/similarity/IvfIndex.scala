@@ -27,16 +27,29 @@ object IvfIndex {
       sampleSize: Int = 800,
       seed: Long = 42L)
 
-  /** Spherical k-means on a driver-side sample. Deterministic: seeded
-    * sample, seeded init, fixed iteration count. */
+  /** Spherical k-means on a driver-side sample. Deterministic: hash-thinned
+    * bounded sample, seeded init, fixed iteration count.
+    *
+    * The sample is taken WITHOUT a `count()` (an extra full-table action at
+    * 100 TB just to size a fraction): hash-thin the stream 1-in-16, then
+    * `limit(sampleSize)` — CollectLimit scans partitions incrementally until
+    * the limit fills, so only a corpus prefix is read. Training on a leading
+    * sample is the standard IVF recipe (FAISS trains on the first N vectors);
+    * the hash thinning decorrelates the sample from storage order within
+    * that prefix. A small corpus that can't fill the thinned sample falls
+    * back to taking the head directly (one cheap re-collect). */
   def trainCentroids(corpus: DataFrame, vecCol: String, cfg: Config): Seq[Seq[Double]] = {
-    val total = corpus.count()
-    val frac = math.min(1.0, cfg.sampleSize.toDouble / math.max(total, 1))
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .sample(withReplacement = false, frac, cfg.seed)
-      .limit(cfg.sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def collectSample(thin: Int): Array[Array[Double]] = {
+      val base = corpus.select(col(vecCol))
+      val thinned =
+        if (thin > 1) base.filter(pmod(xxhash64(col(vecCol)), lit(thin)) === 0)
+        else base
+      thinned.limit(cfg.sampleSize).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+    var sample = collectSample(16)
+    if (sample.length < math.max(cfg.nCentroids, cfg.sampleSize / 2))
+      sample = collectSample(1)
     require(sample.nonEmpty, "empty corpus sample")
 
     def normalize(v: Array[Double]): Array[Double] = {

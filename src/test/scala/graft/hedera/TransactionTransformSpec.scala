@@ -106,4 +106,36 @@ class TransactionTransformSpec extends AnyFunSuite {
     assert(bad.count() === 3)
     assert(bad.columns.toSeq === Seq("tableRow", "errors"))
   }
+
+  test("error rows distinguish malformed / missing-key / cast-failure causes") {
+    // BigQueryErrorsSink.java:67-90 parity: the dead letter carries the
+    // actual per-row failure, not one generic message.
+    import spark.implicits._
+    val raw = Seq(
+      """not json at all""",                                  // malformed
+      """{"transactionType":14}""",                           // missing key
+      """{"consensusTimestamp":"not-a-number"}""",            // cast failure
+      """{"consensusTimestamp":"9","transactionType":14}"""   // quoted ok → typed
+    ).toDF("value")
+    val (typed, bad) = TransactionTransform.parse(raw)
+    assert(typed.count() === 1)
+    val errs = bad.select("tableRow", "errors").as[(String, String)].collect().toMap
+    assert(errs("not json at all").contains("Unable to parse transaction json"))
+    assert(errs("""{"transactionType":14}""")
+      .contains("Missing required field: consensusTimestamp"))
+    assert(errs("""{"consensusTimestamp":"not-a-number"}""")
+      .contains("Invalid int64 for consensusTimestamp: not-a-number"))
+    // the payload is a valid JSON array of {reason, message}
+    errs.values.foreach { e =>
+      assert(e.startsWith("""[{"reason":"invalid""""), e)
+    }
+  }
+
+  test("a cast-failing key never lands a null-identity row in the fact table") {
+    import spark.implicits._
+    val raw = Seq("""{"consensusTimestamp":"oops","transactionType":3}""").toDF("value")
+    val (typed, bad) = TransactionTransform.parse(raw)
+    assert(typed.count() === 0)
+    assert(bad.count() === 1)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.metrics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+import graft.hedera._
+
+/** The reference's ingest + dedupe metrics must actually be WRITTEN, not
+  * just declared (TransactionJsonToTableRow.java:42-49, Utility.java:40-46,
+  * AbstractDeduplication.java:128-160, TemplateQuery.java:67-89).
+  */
+class MetricsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("ingestBatch wires latestConsensusTimestamp / ingestionDelay / jsonToTableRowErrors") {
+    val reg = new MetricsRegistry
+    val base = GraftTestSpark.tmpDir("metrics")
+    val ts = 1600000000L * 1000000000L + 123456789L
+    Seq(
+      s"""{"consensusTimestamp":$ts,"transactionType":14}""",
+      s"""{"consensusTimestamp":${ts + 1000},"transactionType":7}""",
+      """this line is not json"""
+    ).toDF("value").coalesce(1).write.text(s"$base/in")
+
+    val pipe = new IngestPipeline(spark,
+      new TransactionsTable(spark, s"$base/transactions"),
+      new ErrorsTable(spark, s"$base/errors"), reg = reg)
+    val (ok, bad) = pipe.ingestBatch(s"$base/in")
+    assert(ok === 2 && bad === 1)
+
+    assert(reg.get(Metrics.LatestConsensusTimestamp) === ts + 1000,
+      "max ns key of the batch")
+    assert(reg.get(Metrics.JsonToTableRowErrors) === 1)
+    // batch-commit wall clock is 'now', event time is 2020 → large positive ms
+    assert(reg.get(Metrics.IngestionDelay) > 0)
+  }
+
+  test("dedupe job writes run counters and per-phase job metrics") {
+    val reg = new MetricsRegistry
+    val base = GraftTestSpark.tmpDir("metrics-dedupe")
+    val table = new TransactionsTable(spark, s"$base/transactions")
+    val t0 = 1600000000L * 1000000000L
+    val df = (Seq.tabulate(30)(i => t0 + i) ++ Seq(t0, t0 + 1)).toDF("consensusTimestamp")
+      .withColumn("consensusTimestampTruncated",
+        timestamp_micros(expr("consensusTimestamp div 1000")))
+      .withColumn("day", to_date(col("consensusTimestampTruncated")))
+    table.append(df.select(TransactionSchema.table.fieldNames.map(n =>
+      if (df.columns.contains(n)) col(n)
+      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*))
+
+    val job = new Deduplication.Job(spark, table,
+      new StateStore(spark, s"$base/state"), reg = reg)
+    val res = job.runIncremental()
+    assert(res.duplicatesRemoved === 2)
+    assert(reg.get(Metrics.DedupeInvocations) === 1)
+    assert(reg.get(Metrics.DuplicatesCount) === 2)
+    assert(reg.get(Metrics.DedupeStartTimestamp) > 0)
+    assert(reg.get(Metrics.DedupeEndTimestamp) >= reg.get(Metrics.DedupeStartTimestamp))
+    // per-phase job metrics under the reference's dedupe.job.* names
+    assert(reg.snapshot().keys.exists(_.startsWith("dedupe.job.runtime.detect")))
+    assert(reg.get("dedupe.job.rows.detect") === 2) // two duplicate groups
+    assert(reg.snapshot().keys.exists(_.startsWith("dedupe.job.runtime.repair")))
+    assert(reg.get("dedupe.job.rows.repair") === 2)
+  }
+}
