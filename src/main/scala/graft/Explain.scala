@@ -7,15 +7,26 @@ import graft.queries.Registry
   * tool — check PushedFilters reach the scan, joins broadcast where a side
   * is small, WholeStageCodegen spans are wide, and no shuffle appears that
   * the query doesn't need.
+  *
+  * `--exec` first runs each query through the noop sink and then prints the
+  * FINAL adaptive plan: AQE's runtime decisions (shuffle→broadcast
+  * conversion, partition coalescing, skew splits) only exist in the
+  * executed plan, so the static explain under-reports what actually ran.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq else Registry.headline.map(_.name)
+    val exec = args.contains("--exec")
+    val names0 = args.filterNot(_ == "--exec").toSeq
+    val names = if (names0.nonEmpty) names0 else Registry.headline.map(_.name)
     val spark = GraftSession.localFromEnv("graft-explain")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      Registry.byName(n).build(spark, sfDir).explain("formatted")
+      val df = Registry.byName(n).build(spark, sfDir)
+      if (exec) {
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

@@ -75,14 +75,35 @@ final class IngestPipeline(
     writeBatch(fanned)
   }
 
-  /** Streaming ingest: file source + checkpoint → at-least-once appends
-    * repaired to effective exactly-once by the dedupe jobs (see class doc). */
+  /** Batch-id ledger: replaying an already-committed micro-batch must not
+    * append its rows again. The ledger mark is written AFTER both appends,
+    * so the remaining duplicate window is a crash between the last append
+    * and the mark — exactly the reference's retried-insert window, repaired
+    * by the periodic dedupe jobs. */
+  def writeBatchOnce(raw: DataFrame, batchId: Long, ledgerDir: String): (Long, Long) = {
+    val dir = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mark = new org.apache.hadoop.fs.Path(dir, f"batch-$batchId%020d")
+    if (fs.exists(mark)) (0L, 0L)
+    else {
+      val r = writeBatch(raw)
+      fs.mkdirs(dir)
+      fs.create(mark, true).close()
+      r
+    }
+  }
+
+  /** Streaming ingest: file source + checkpoint → at-least-once appends,
+    * made idempotent under batch REPLAY by the batch-id ledger and repaired
+    * to effective exactly-once by the dedupe jobs (see class doc). */
   def startStream(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.text(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => writeBatch(batch); () }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchOnce(batch, id, s"$checkpointDir/graft-batch-ledger"); ()
+      }
       .start()
 }

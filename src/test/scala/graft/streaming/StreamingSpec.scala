@@ -39,6 +39,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.read().count() === 6)
   }
 
+  test("batch-id ledger makes a replayed micro-batch a no-op") {
+    val dir = GraftTestSpark.tmpDir("stream-ledger")
+    val table = new TransactionsTable(spark, s"$dir/transactions")
+    val errors = new ErrorsTable(spark, s"$dir/errors")
+    val pipe = new IngestPipeline(spark, table, errors)
+    val ts = 1600000000L * 1000000000L
+    val batch = Seq(s"""{"consensusTimestamp":$ts,"transactionType":14}""").toDF("value")
+    val (ok1, _) = pipe.writeBatchOnce(batch, batchId = 7, s"$dir/ledger")
+    assert(ok1 === 1)
+    assert(table.read().count() === 1)
+    // foreachBatch replay after a crash: same batch id arrives again
+    val (ok2, _) = pipe.writeBatchOnce(batch, batchId = 7, s"$dir/ledger")
+    assert(ok2 === 0)
+    assert(table.read().count() === 1, "replayed batch must not re-append")
+    // a NEW batch id still lands
+    val (ok3, _) = pipe.writeBatchOnce(batch, batchId = 8, s"$dir/ledger")
+    assert(ok3 === 1)
+    assert(table.read().count() === 2)
+  }
+
   test("watermark + dropDuplicates dedups the stream (idAttribute analog)") {
     val dir = GraftTestSpark.tmpDir("stream-dedup")
     val in = s"$dir/in"
