@@ -23,7 +23,7 @@ object PipelineBench {
   /** events row → minimal hedera-shaped JSON payload (ns key, nested body,
     * transfer list) — every 5th row duplicated, the reference generator's
     * recipe (TransactionsGenerator.java:70-81). */
-  private def jsonCorpus(spark: SparkSession, sfDir: String, outDir: String): Long = {
+  private[graft] def jsonCorpus(spark: SparkSession, sfDir: String, outDir: String): Long = {
     val ev = Tables.load(spark, sfDir, "events")
     val payload = struct(
       col("ts").as("consensusTimestamp"),

@@ -36,28 +36,36 @@ final class IngestPipeline(
     preDedupe: Boolean = true,
     reg: MetricsRegistry = Metrics.global) {
 
-  private def writeBatch(raw: DataFrame): (Long, Long) = {
-    // Cache the parse stage, not the branches: from_json over the full
-    // nested schema is the expensive kernel and must run exactly once for
-    // both the typed and dead-letter outputs.
-    val parsed = TransactionTransform.parseRaw(raw).cache()
-    try {
-      val typed = TransactionTransform.typedRows(parsed)
-      val deduped = if (preDedupe) typed.dropDuplicates("consensusTimestamp") else typed
-      val obs = Observation()
-      val out = deduped.observe(obs, max(col("consensusTimestamp")).as("max_ts_ns"))
-      table.append(out)
-      obs.get.get("max_ts_ns").collect { case ts: Long =>
-        reg.set(Metrics.LatestConsensusTimestamp, ts)
-        reg.set(Metrics.IngestionDelay, System.currentTimeMillis() - ts / 1000000)
-      }
-      val n = parsed.count()
-      val bad = TransactionTransform.errorRows(parsed)
-      val nBad = bad.count()
-      if (nBad > 0) errors.append(bad)
-      reg.inc(Metrics.JsonToTableRowErrors, nBad)
-      (n - nBad, nBad)
-    } finally parsed.unpersist()
+  /** One batch: typed write in a single uncached pass (counts + max event
+    * time ride the write via `observe()`), total line count from a
+    * parse-free scan, and the dead-letter branch recomputed with the cheap
+    * key-only parse ONLY when the batch actually had failures. The previous
+    * shape cached the full nested parse and re-scanned it three times;
+    * columnar-encoding a wide nested struct into the cache cost more than
+    * the parse itself.
+    *
+    * `unfanned` is the same lines as `fanned` without the parallelism
+    * repartition — counting it avoids paying the fan-out shuffle twice.
+    */
+  private def writeBatch(fanned: DataFrame, unfanned: DataFrame): (Long, Long) = {
+    val obs = Observation()
+    val typed = TransactionTransform.typedRows(TransactionTransform.parseRaw(fanned))
+      .observe(obs,
+        count(lit(1)).as("ok_rows"),
+        max(col("consensusTimestamp")).as("max_ts_ns"))
+    val out = if (preDedupe) typed.dropDuplicates("consensusTimestamp") else typed
+    table.append(out)
+    val m = obs.get
+    val ok = m("ok_rows").asInstanceOf[Long]
+    m.get("max_ts_ns").collect { case ts: Long =>
+      reg.set(Metrics.LatestConsensusTimestamp, ts)
+      reg.set(Metrics.IngestionDelay, System.currentTimeMillis() - ts / 1000000)
+    }
+    val nBad = unfanned.count() - ok
+    if (nBad > 0)
+      errors.append(TransactionTransform.errorRows(TransactionTransform.parseKeyOnly(fanned)))
+    reg.inc(Metrics.JsonToTableRowErrors, nBad)
+    (ok, nBad)
   }
 
   /** Batch ingest of a directory of JSONL files. Small-file inputs are
@@ -72,7 +80,7 @@ final class IngestPipeline(
     val fanned =
       if (raw.rdd.getNumPartitions < parallelism) raw.repartition(parallelism)
       else raw
-    writeBatch(fanned)
+    writeBatch(fanned, raw)
   }
 
   /** Batch-id ledger: replaying an already-committed micro-batch must not
@@ -86,7 +94,7 @@ final class IngestPipeline(
     val mark = new org.apache.hadoop.fs.Path(dir, f"batch-$batchId%020d")
     if (fs.exists(mark)) (0L, 0L)
     else {
-      val r = writeBatch(raw)
+      val r = writeBatch(raw, raw)
       fs.mkdirs(dir)
       fs.create(mark, true).close()
       r
