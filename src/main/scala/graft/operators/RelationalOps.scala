@@ -65,6 +65,46 @@ object RelationalOps {
   def replaceWhere(df: DataFrame, window: Column, replacement: DataFrame): DataFrame =
     df.filter(!coalesce(window, lit(false))).unionByName(replacement)
 
+  /** As-of join: for each left row, attach the right row with the greatest
+    * `rightTime` ≤ `leftTime` within the same key (inclusive-match ASOF
+    * semantics, ties on time break toward the right row — i.e. a right row
+    * AT the left timestamp matches).
+    *
+    * Spark has no ASOF operator; the naive range-join is quadratic per key.
+    * This is the scalable one-shuffle form: union both sides tagged, one
+    * hash shuffle on the key, one per-key sort by (time, side), then a
+    * running `last_value(..., ignoreNulls)` carries the latest right
+    * payload forward into each left row. At 10⁹ rows the cost is exactly
+    * one shuffle + sort of left+right — the same profile as a window
+    * aggregate, with no join explosion.
+    *
+    * `rightCols` must be unique per (key, time) — pre-aggregate the right
+    * side otherwise (the survivor among same-timestamp right rows is
+    * undefined).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: Column, rightTime: Column,
+      rightCols: Seq[String]): DataFrame = {
+    val rSchema = right.select(rightCols.map(col): _*).schema
+    val lTagged = left.select(
+      col(leftKey).as("__key"), leftTime.as("__t"), lit(0).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rSchema).as("__r"))
+    val rTagged = right.select(
+      col(rightKey).as("__key"), rightTime.as("__t"), lit(1).as("__side"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(rightCols.map(col): _*).as("__r"))
+    // right rows sort BEFORE left rows at equal time → inclusive match
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0 && col("__match").isNotNull)
+      .select(col("__l.*") +: rightCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
   // ---- exact-arithmetic aggregation helpers -------------------------------
   //
   // Floating-point SUM is order-dependent, so a distributed double-sum is not

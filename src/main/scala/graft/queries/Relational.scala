@@ -323,6 +323,32 @@ object Relational {
              |      FROM events)
              |GROUP BY event_type""".stripMargin)),
 
+    // As-of join: each event attached to the customer's latest order at or
+    // before the event time — the time-series enrichment operator Spark
+    // lacks natively (RelationalOps.asOfJoin: one-shuffle union-window
+    // form, no per-key quadratic range join). The right side pre-aggregates
+    // to one row per (custkey, date) so the survivor is deterministic;
+    // oracle = DuckDB's native ASOF JOIN.
+    Q("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ev_us"))
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+          // o_orderdate is TIMESTAMP_NTZ; the NTZ→TZ cast is identity under
+          // the session's UTC timezone, matching DuckDB's naive epoch_us
+          .withColumn("o_date_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        graft.operators.RelationalOps.asOfJoin(ev, o, "user_id", "o_custkey",
+            col("ev_us"), col("o_date_us"), Seq("o_orderkey", "o_date_us"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_date_us"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |           FROM orders GROUP BY 1, 2)
+             |SELECT event_id, user_id, o_orderkey, epoch_us(o_orderdate) AS o_date_us
+             |FROM events ASOF JOIN o
+             |  ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate""".stripMargin)),
+
     // explode / flatten: corpus word frequencies, top-20.
     Q("q_explode_words",
       (s, dir) => t(s, dir, "documents")

@@ -180,6 +180,41 @@ object TextQueries {
           count(lit(1)).as("exact_rows")),
       None),
 
+    // Deterministic train/val/test split: the assignment is a pure function
+    // of the id's md5 (engine-portable hex), so re-running the pipeline —
+    // on any engine, any partitioning — reproduces the same split. Hex
+    // thresholds 'cccc' / 'e666' ≈ 80 / 10 / 10.
+    Q("t_split",
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+        docs(s, dir).select(col("doc_id"),
+          when(h < "cccc", "train").when(h < "e666", "val").otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+             |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
+    // Repetition signal (quality filtering): frequency of the most repeated
+    // token over the token count — boilerplate/spam detector. Array-native
+    // per row (quadratic in DISTINCT tokens per doc, zero shuffle).
+    Q("t_repetition",
+      (s, dir) => {
+        val ws = tokens(col("text"))
+        val top = array_max(transform(array_distinct(ws),
+          w => size(filter(ws, x => x === w))))
+        docs(s, dir).select(col("doc_id"),
+          top.cast("long").as("top_freq"),
+          graft.operators.RelationalOps.round6(
+            top.cast("double") / size(ws).cast("double")).as("rep_ratio"))
+      },
+      Some(s"""SELECT doc_id, CAST(tf AS BIGINT) AS top_freq,
+              |  floor((CAST(tf AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rep_ratio
+              |FROM (SELECT doc_id, ws,
+              |        list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS tf
+              |      FROM (SELECT doc_id, $WS AS ws FROM documents))""".stripMargin)),
+
     // Multimodal blob stats: byte length + first code point of the payload.
     Q("m_blob_stats",
       (s, dir) => docs(s, dir).select(

@@ -46,6 +46,21 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(math.abs(sa - 5005.0) < 1e-9)
   }
 
+  test("asOfJoin attaches the latest right row at-or-before each left time") {
+    // right: key a has states at t=10 (v=1), t=20 (v=2); key b at t=50
+    val right = Seq(("a", 10L, 1), ("a", 20L, 2), ("b", 50L, 9)).toDF("rk", "rt", "v")
+    // left probes: before any state, exactly at, between, after; key with
+    // no right rows at all; key whose only state is later
+    val left = Seq(
+      ("a", 5L, "before"), ("a", 10L, "at"), ("a", 15L, "between"),
+      ("a", 99L, "after"), ("c", 10L, "nokey"), ("b", 49L, "early")
+    ).toDF("lk", "lt", "tag")
+    val got = asOfJoin(left, right, "lk", "rk", col("lt"), col("rt"), Seq("v"))
+      .select("tag", "v").as[(String, Int)].collect().toMap
+    assert(got === Map("at" -> 1, "between" -> 1, "after" -> 2))
+    // 'before', 'nokey', 'early' have no match and are dropped (inner asof)
+  }
+
   test("round6 matches decimal half-up on representable values") {
     val got = Seq(0.1234564, 0.1234566, 1.0, 0.0)
       .toDF("v").select(round6(col("v"))).as[Double].collect()
