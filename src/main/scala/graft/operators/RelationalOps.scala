@@ -105,6 +105,31 @@ object RelationalOps {
       .select(col("__l.*") +: rightCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** Range self-join: pairs of rows within the same key whose times are at
+    * most `radius` apart (`a_id < b_id` orders each pair once).
+    *
+    * The naive form is a per-key quadratic join with a |Δt| filter. This is
+    * the banded form: bucket time by `radius`, explode the LEFT side into
+    * its bucket and both neighbors, equi-join on (key, bucket), then apply
+    * the exact |Δt| filter. A qualifying pair differs by ≤ 1 bucket, so it
+    * matches in EXACTLY one (left-bucket, right-bucket) combination — no
+    * dedup pass — and work is O(pairs within the radius density), never
+    * O(n²) per key.
+    */
+  def rangeJoinPairs(df: DataFrame, key: String, idCol: String,
+      time: Column, radius: Long): DataFrame = {
+    val base = df.select(col(key).as("__k"), col(idCol).as("__id"), time.as("__t"))
+    val bucket = expr(s"__t div $radius")
+    val a = base.select(col("__k"), col("__id").as("a_id"), col("__t").as("ta"),
+      explode(array(bucket - 1, bucket, bucket + 1)).as("__b"))
+    val b = base.select(col("__k"), col("__id").as("b_id"), col("__t").as("tb"),
+      bucket.as("__b"))
+    a.join(b, Seq("__k", "__b"))
+      .filter(col("a_id") < col("b_id") && abs(col("tb") - col("ta")) <= radius)
+      .select(col("__k").as(key), col("a_id"), col("b_id"),
+        (col("tb") - col("ta")).as("gap"))
+  }
+
   // ---- exact-arithmetic aggregation helpers -------------------------------
   //
   // Floating-point SUM is order-dependent, so a distributed double-sum is not

@@ -349,6 +349,22 @@ object Relational {
              |FROM events ASOF JOIN o
              |  ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate""".stripMargin)),
 
+    // Range join: same-user event pairs within +-5 minutes — the interval
+    // join Spark plans as a per-key nested loop; RelationalOps.rangeJoinPairs
+    // is the banded form (bucket by radius, neighbor-bucket equi-join, exact
+    // filter), O(pairs) instead of O(n^2) per key. Oracle = DuckDB's
+    // inequality join over the same predicate.
+    Q("q_range_join",
+      (s, dir) => graft.operators.RelationalOps.rangeJoinPairs(
+          t(s, dir, "events"), "user_id", "event_id",
+          expr("ts div 1000"), radius = 300000000L)
+        .select(col("user_id"), col("a_id"), col("b_id"), col("gap").as("gap_us")),
+      Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000""".stripMargin)),
+
     // explode / flatten: corpus word frequencies, top-20.
     Q("q_explode_words",
       (s, dir) => t(s, dir, "documents")

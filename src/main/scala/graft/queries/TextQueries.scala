@@ -227,6 +227,30 @@ object TextQueries {
     // Multimodal decode pipeline (stub kernel, real plumbing): rows-only.
     Q("m_decode_features",
       (s, dir) => graft.multimodal.Multimodal.featureTable(s, docs(s, dir)),
-      None)
+      None),
+
+    // Frame sampling, oracle-checked: the even-offset recipe of
+    // Multimodal.sampleOffsets applied to the text payload — 4 sampled
+    // positions per doc, the code point at each. The explode/positional
+    // plumbing is exactly what a video frame-sample stage does; here the
+    // "decode" (one code point) is engine-portable so DuckDB can verify it.
+    Q("m_frame_sample",
+      (s, dir) => docs(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 3), i -> (i * len) div 4)"))
+            .as(Seq("frame_idx", "off")),
+          col("text"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("off"),
+          ascii(col("text").substr(col("off").cast("int") + 1, lit(1)))
+            .cast("long").as("frame_cp")),
+      Some("""SELECT doc_id, frame_idx, off, CAST(ascii(substr(text, CAST(off AS INT) + 1, 1)) AS BIGINT) AS frame_cp
+             |FROM (
+             |  SELECT doc_id, text, CAST(i AS BIGINT) AS frame_idx,
+             |         CAST((i * length(text)) // 4 AS BIGINT) AS off
+             |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i)
+             |  WHERE length(text) > 0)""".stripMargin))
   )
 }

@@ -61,6 +61,16 @@ class RelationalOpsSpec extends AnyFunSuite {
     // 'before', 'nokey', 'early' have no match and are dropped (inner asof)
   }
 
+  test("rangeJoinPairs finds exactly the pairs within the radius, once each") {
+    // key a times 0,95,100,205 at radius 100: (0,100) is boundary-inclusive,
+    // (95,100) spans a bucket edge, (100,205) and (95,205) exceed the radius
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 95L), ("a", 3L, 100L), ("a", 4L, 205L),
+      ("b", 5L, 50L)).toDF("k", "id", "t")
+    val got = rangeJoinPairs(df, "k", "id", col("t"), radius = 100L)
+      .select("a_id", "b_id", "gap").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 95L), (1L, 3L, 100L), (2L, 3L, 5L)))
+  }
+
   test("round6 matches decimal half-up on representable values") {
     val got = Seq(0.1234564, 0.1234566, 1.0, 0.0)
       .toDF("v").select(round6(col("v"))).as[Double].collect()
