@@ -97,7 +97,7 @@ object Bench {
         val walls = Seq.fill(3)(runOnce(q.name))
         val d = listener.settled() - s0
         QStats(walls, d.cpuNs / 1e9, d.gcMs / 1e3, d.runMs / 1e3,
-          d.shufReadB / 1e6, la)
+          (d.shufReadB + d.shufWriteB) / 1e6, la)
       } catch { case _: Throwable => QStats(Seq(-1.0, -1.0, -1.0), -1, -1, -1, -1, -1) }
       q.name -> st
     }
@@ -111,7 +111,8 @@ object Bench {
       s""""query_runs":${jmap(_.wall.mkString("[", ",", "]"))},""" +
       s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
       s""""query_gc_sec_3runs":${jmap(s => f"${s.gcSec}%.3f")},""" +
-      s""""query_shuffle_mb_3runs":${jmap(s => f"${s.shufMB}%.1f")},""" +
+      s""""query_executor_run_sec_3runs":${jmap(s => f"${s.runSec}%.3f")},""" +
+      s""""query_shuffle_rw_mb_3runs":${jmap(s => f"${s.shufMB}%.1f")},""" +
       s""""query_load_avg":${jmap(s => f"${s.loadAvg}%.1f")},""" +
       s""""ingest_rows":${rates.ingestRows},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +

@@ -24,7 +24,10 @@ object Explain {
       println(s"\n========== $n ==========")
       val df = Registry.byName(n).build(spark, sfDir)
       if (exec) {
-        df.write.format("noop").mode("overwrite").save()
+        // Drive THIS DataFrame's own QueryExecution (a sink write would plan
+        // and execute a separate command QueryExecution, leaving df's
+        // AdaptiveSparkPlan unexecuted with isFinalPlan=false).
+        df.queryExecution.toRdd.foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
       } else df.explain("formatted")
     }

@@ -148,11 +148,16 @@ object Deduplication {
       val t0 = System.nanoTime()
       try {
         if (end == start) return Result(start, end, 0, 0)
-        val dups = phase("detect") { val n = detect(start, end).count(); (n, n) }
+        // Detection is a BOUNDED take, not a count: it only gates whether a
+        // repair runs (and feeds the duplicate-group log), while the exact
+        // group/removed counts ride the repair pass itself via observe() —
+        // so a dirty window pays ONE full detection-equivalent scan, not two.
+        val sample = phase("detect") {
+          val s = detect(start, end).limit(100).collect(); (s, s.length.toLong)
+        }
         val (groups, removed) =
-          if (dups > 0) {
-            val sample = detect(start, end).limit(100).collect()
-            log.info(s"dedupe: $dups duplicate groups in [$start,$end]; first ${sample.length}: " +
+          if (sample.nonEmpty) {
+            log.info(s"dedupe: duplicate groups in [$start,$end]; first ${sample.length}: " +
               sample.map(r => s"${r.get(0)}->${r.get(1)}").mkString(", "))
             phase("repair") { val gr = repair(start, end); (gr, gr._2) }
           } else (0L, 0L)

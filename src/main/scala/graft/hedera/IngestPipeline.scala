@@ -38,11 +38,11 @@ final class IngestPipeline(
 
   /** One batch: typed write in a single uncached pass (counts + max event
     * time ride the write via `observe()`), total line count from a
-    * parse-free scan, and the dead-letter branch recomputed with the cheap
-    * key-only parse ONLY when the batch actually had failures. The previous
+    * parse-free scan, and the dead-letter branch recomputed with a second
+    * full parse ONLY when the batch actually had failures. The previous
     * shape cached the full nested parse and re-scanned it three times;
     * columnar-encoding a wide nested struct into the cache cost more than
-    * the parse itself.
+    * re-parsing the (rare) dirty batch does.
     *
     * `unfanned` is the same lines as `fanned` without the parallelism
     * repartition — counting it avoids paying the fan-out shuffle twice.
@@ -62,8 +62,13 @@ final class IngestPipeline(
       reg.set(Metrics.IngestionDelay, System.currentTimeMillis() - ts / 1000000)
     }
     val nBad = unfanned.count() - ok
+    // The dead-letter branch must classify rows with the SAME full-schema
+    // parse as the typed branch: a row corrupt only under the full schema
+    // (scalar where a nested struct is expected) is clean under a reduced
+    // parse and would silently vanish from both tables. The full re-parse
+    // runs only on batches that actually had failures.
     if (nBad > 0)
-      errors.append(TransactionTransform.errorRows(TransactionTransform.parseKeyOnly(fanned)))
+      errors.append(TransactionTransform.errorRows(TransactionTransform.parseRaw(fanned)))
     reg.inc(Metrics.JsonToTableRowErrors, nBad)
     (ok, nBad)
   }

@@ -66,20 +66,6 @@ object TransactionTransform {
       from_json(col("value"), parsedSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
 
-  private val keyOnlySchema: StructType = new StructType()
-    .add("consensusTimestamp", StringType).add("_corrupt", StringType)
-
-  /** Key-only parse: just enough of `j` to evaluate the ok-predicate and
-    * the error taxonomy (corrupt marker + required key). Jackson still
-    * tokenizes the whole line (so malformed-JSON detection is identical to
-    * the full parse), but builds one field instead of the whole nested row
-    * — the cheap second pass for the dead-letter branch, so the expensive
-    * full parse doesn't need to be cached across branches. */
-  def parseKeyOnly(raw: DataFrame): DataFrame =
-    raw.select(
-      col("value"),
-      from_json(col("value"), keyOnlySchema,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
 
   // Rejection taxonomy (checked in order; a row is rejected iff any holds):
   //  1. malformed  — the line is not parseable JSON at all;

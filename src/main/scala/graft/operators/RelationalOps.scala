@@ -99,7 +99,10 @@ object RelationalOps {
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
+    // NULL keys never match in SQL join semantics (and in the ASOF oracle),
+    // but partitionBy would group them together — drop them up front
+    lTagged.filter(col("__key").isNotNull)
+      .unionByName(rTagged.filter(col("__key").isNotNull))
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0 && col("__match").isNotNull)
       .select(col("__l.*") +: rightCols.map(c => col(s"__match.$c").as(c)): _*)

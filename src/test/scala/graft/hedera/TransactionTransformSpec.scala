@@ -131,6 +131,35 @@ class TransactionTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("a row corrupt only under the full schema still dead-letters") {
+    // scalar where the schema expects a nested struct: the key parses fine,
+    // so a reduced-schema error check would misclassify this row as ok and
+    // drop it from BOTH tables
+    import spark.implicits._
+    val raw = Seq("""{"consensusTimestamp":5,"transaction":"not-a-struct"}""").toDF("value")
+    val (typed, bad) = TransactionTransform.parse(raw)
+    val nTyped = typed.count()
+    val nBad = bad.count()
+    assert(nTyped + nBad === 1, "the row must land in exactly one table")
+    assert(nTyped === 0, "full-schema corruption must reject the row")
+  }
+
+  test("ingest batch never drops a row: fact + errors partition the input") {
+    import spark.implicits._
+    val base = GraftTestSpark.tmpDir("ingest-partition")
+    Seq(
+      """{"consensusTimestamp":1,"transactionType":14}""",
+      """{"consensusTimestamp":2,"transaction":"not-a-struct"}""", // full-schema corrupt
+      """not json"""
+    ).toDF("value").coalesce(1).write.text(s"$base/in")
+    val table = new TransactionsTable(spark, s"$base/t")
+    val errors = new ErrorsTable(spark, s"$base/e")
+    val (ok, nBad) = new IngestPipeline(spark, table, errors).ingestBatch(s"$base/in")
+    assert(ok + nBad === 3)
+    assert(table.read().count() === ok)
+    assert(errors.read().count() === nBad, "every rejected row must be dead-lettered")
+  }
+
   test("a cast-failing key never lands a null-identity row in the fact table") {
     import spark.implicits._
     val raw = Seq("""{"consensusTimestamp":"oops","transactionType":3}""").toDF("value")

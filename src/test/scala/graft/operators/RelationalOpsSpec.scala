@@ -61,6 +61,12 @@ class RelationalOpsSpec extends AnyFunSuite {
     // 'before', 'nokey', 'early' have no match and are dropped (inner asof)
   }
 
+  test("asOfJoin never matches NULL keys to each other (SQL join semantics)") {
+    val right = Seq((Option.empty[String], 5L, 1)).toDF("rk", "rt", "v")
+    val left = Seq((Option.empty[String], 10L, "nullkey")).toDF("lk", "lt", "tag")
+    assert(asOfJoin(left, right, "lk", "rk", col("lt"), col("rt"), Seq("v")).count() === 0)
+  }
+
   test("rangeJoinPairs finds exactly the pairs within the radius, once each") {
     // key a times 0,95,100,205 at radius 100: (0,100) is boundary-inclusive,
     // (95,100) spans a bucket edge, (100,205) and (95,205) exceed the radius
