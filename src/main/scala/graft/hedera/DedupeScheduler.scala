@@ -1,7 +1,6 @@
 package graft.hedera
 
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
-import graft.metrics.Metrics
 
 /** Fixed-rate orchestration of the dedupe jobs — the Spring `@Scheduled`
   * analog (IncrementalDeduplication.java:66 every 5 min,
@@ -14,24 +13,19 @@ import graft.metrics.Metrics
 final class DedupeScheduler(
     job: Deduplication.Job,
     incrementalRateMs: Long = 300000L,
-    fullRateMs: Long = 86400000L,
-    registry: graft.metrics.MetricsRegistry = Metrics.global) {
+    fullRateMs: Long = 86400000L) {
 
   private val exec: ScheduledExecutorService = Executors.newSingleThreadScheduledExecutor(r => {
     val t = new Thread(r, "graft-dedupe-scheduler"); t.setDaemon(true); t
   })
 
+  // Run counters (invocations, runtime, timestamps, failures, duplicate
+  // counts, delay) are recorded by the Job itself — the scheduler only
+  // contains the failure so the next tick retries from saved state.
   private def guarded(kind: String)(body: => Deduplication.Result): Unit =
-    try {
-      registry.inc(Metrics.DedupeInvocations)
-      val t0 = System.nanoTime()
-      val res = body
-      registry.set(Metrics.DedupeRuntime, (System.nanoTime() - t0) / 1000000)
-      registry.set(Metrics.DedupeEndTimestamp, res.windowEndUs)
-      registry.inc(Metrics.DuplicatesCount, res.duplicatesRemoved)
-    } catch {
+    try { body; () }
+    catch {
       case e: Throwable =>
-        registry.inc(Metrics.DedupeFailures)
         System.err.println(s"[dedupe-$kind] failed: ${e.getMessage}")
     }
 

@@ -124,16 +124,22 @@ object Deduplication {
     }
 
     /** Window-end selection with steady-state → catch-up escalation, capped
-      * at the latest ingested row (the in-flight-data guard). One aggregate
-      * scan computes both the table max and the first timestamp past the
-      * checkpoint (parquet footer stats; no rows materialize). */
+      * at the latest ingested row (the in-flight-data guard).
+      *
+      * One aggregate over only `day >= day(checkpoint)` — every row past
+      * the checkpoint lives in those days, and any older row in them is
+      * smaller than the post-checkpoint rows it shares a day with, so the
+      * pruned scan yields BOTH the first timestamp past the checkpoint and
+      * the global max. The probe is therefore O(unprocessed data), never
+      * O(table) — the last full-table scan the incremental job had. */
     def probeEnd(startUs: Long): Long = {
-      val r = table.read().agg(
-        max(tsUs).as("mx"),
-        min(when(tsUs > startUs, tsUs)).as("mn")).first()
-      if (r.isNullAt(0) || r.isNullAt(1)) return startUs
-      val maxTs = r.getLong(0)
-      val base = r.getLong(1)
+      val fromDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(startUs, 86400000000L))
+      val r = table.read()
+        .filter(col("day") >= lit(java.sql.Date.valueOf(fromDay)) && tsUs > startUs)
+        .agg(min(tsUs).as("mn"), max(tsUs).as("mx")).first()
+      if (r.isNullAt(0)) return startUs
+      val base = r.getLong(0)
+      val maxTs = r.getLong(1)
       val steady = base + cfg.steadyStateIntervalUs
       if (steady >= maxTs) maxTs
       else math.min(base + cfg.catchupIntervalUs, maxTs)
@@ -163,20 +169,27 @@ object Deduplication {
           } else (0L, 0L)
         phase("setState") { state.set(stateKey, end.toString); ((), 1L) }
         reg.inc(Metrics.DuplicatesCount, removed)
+        // dedupe.delay: how far behind real time the processed window ends
+        // (AbstractDeduplication.java:128-160)
+        reg.set(Metrics.DedupeDelay, math.max(0L, System.currentTimeMillis() - end / 1000))
         Result(start, end, groups, removed)
-      } catch {
-        case e: Throwable => reg.inc(Metrics.DedupeFailures); throw e
       } finally {
         reg.set(Metrics.DedupeEndTimestamp, System.currentTimeMillis())
         reg.set(Metrics.DedupeRuntime, (System.nanoTime() - t0) / 1000000)
       }
     }
 
+    /** Failure accounting for a whole invocation — covers the probe and
+      * recovery phases too, which run before the detect/repair skeleton. */
+    private def counted(body: => Result): Result =
+      try body
+      catch { case e: Throwable => reg.inc(Metrics.DedupeFailures); throw e }
+
     /** One incremental run (IncrementalDeduplication.java:66-107). Crash
       * recovery runs FIRST: a swap interrupted mid-repair can have backed a
       * day out of the live table, and the window probe must see the
       * restored data (not an artificially empty/short table). */
-    def runIncremental(): Result = {
+    def runIncremental(): Result = counted {
       table.recoverSwaps()
       val start = state.get(IncrementalStateKey).map(_.toLong).getOrElse(0L)
       val end = phase("probe") { (probeEnd(start), 1L) }
@@ -185,11 +198,11 @@ object Deduplication {
 
     /** One full run over everything the incremental job has checkpointed
       * (FullDeduplication.java:62-80). */
-    def runFull(): Result = {
+    def runFull(): Result = counted {
       table.recoverSwaps()
       val end = state.get(IncrementalStateKey).map(_.toLong).getOrElse(0L)
-      if (end == 0L) return Result(0, 0, 0, 0)
-      run(FullStateKey, 0L, end)
+      if (end == 0L) Result(0, 0, 0, 0)
+      else run(FullStateKey, 0L, end)
     }
   }
 }

@@ -152,6 +152,17 @@ object TextQueries {
         TextDedup.MinHashConfig(jaccardThreshold = 0.4)),
       None),
 
+    // MinHash near-dup SURVIVOR SET — the operator a curation pipeline
+    // actually runs (keep min-id per connected near-dup reach). Rows-only:
+    // pair-level exactness is covered by t_jaccard_pairs' oracle and the
+    // survivor rule is proven against brute-force jaccard in
+    // NoOracleEquivalenceSpec.
+    Q("t_minhash_dedup",
+      (s, dir) => TextDedup.minHashDedup(docs(s, dir), "doc_id", "text",
+          TextDedup.MinHashConfig(jaccardThreshold = 0.4))
+        .select(col("doc_id"), col("source"), col("lang")),
+      None),
+
     // Winnowed rolling-hash fingerprints (rows-only: the hash scheme is
     // engine-internal; overlap semantics covered in TextDedupSpec).
     Q("t_winnow",

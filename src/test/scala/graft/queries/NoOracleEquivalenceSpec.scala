@@ -69,6 +69,30 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
       "every jaccard>=0.6 pair must survive 16-band/64-perm LSH")
   }
 
+  // ---- t_minhash_dedup: survivor set vs brute-force jaccard rule ----------
+
+  test("t_minhash_dedup: survivors = docs minus higher-id members of exact near-dup pairs") {
+    val survivors = run("t_minhash_dedup").select("doc_id").as[Long].collect().toSet
+    // independent survivor rule from brute-force jaccard over the same
+    // normalized shingle-hash sets
+    val sets = docs.select(col("doc_id"),
+      TextDedup.shingleHashes(col("text"), 3).as("sh")).filter(size(col("sh")) > 0)
+    val exactLosers = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("b_id"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          (size(col("x.sh")) + size(col("y.sh"))
+            - size(array_intersect(col("x.sh"), col("y.sh")))).cast("double")).as("j"))
+      .filter(col("j") >= 0.4).select("b_id").as[Long].collect().toSet
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    // LSH may miss borderline pairs (extra survivors) but must never drop a
+    // doc the exact rule keeps, and must keep the vast majority decision
+    assert(survivors.subsetOf(allIds))
+    assert((allIds -- exactLosers).subsetOf(survivors),
+      "a doc with no exact near-dup (or lowest id in its group) must survive")
+    val agreement = (allIds.size - (survivors -- (allIds -- exactLosers)).size).toDouble / allIds.size
+    assert(agreement >= 0.95, s"survivor agreement $agreement vs exact rule")
+  }
+
   // ---- t_simhash: independent Charikar fold reimplementation --------------
 
   test("t_simhash: matches an independent sign-vector fold over xxhash64 token hashes") {
