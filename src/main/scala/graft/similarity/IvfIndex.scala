@@ -83,7 +83,9 @@ object IvfIndex {
     centroids.map(_.toSeq).toSeq
   }
 
-  /** Approximate k-NN join through the IVF cells. */
+  /** Approximate k-NN join through the IVF cells; per-query top-k via the
+    * bounded-heap aggregate (partial aggregation — see
+    * [[SimilaritySearch.topKPerKey]]). */
   def knnJoinIVF(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, cfg: Config = Config()): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, cfg)
@@ -92,14 +94,14 @@ object IvfIndex {
     val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(NearestCentroids(col(vecCol), centroids, cfg.nProbe)).as("cell"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id"))
-    queryCells.join(corpusCells, Seq("cell"))
+    val scored = queryCells.join(corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score",
         graft.operators.RelationalOps.round6(SimilaritySearch.cosine(col("qv"), col("cv"))))
+      // no (query, cand) duplicates possible: a corpus vector lives in
+      // exactly one cell, so it meets each query through at most one probe
       .select(col("query_id"), col("cand_id"), col("score"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    SimilaritySearch.topKPerKey(scored, "query_id", "score", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
   }
 }

@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.expressions.{CosineSimilarity, HyperplaneBands}
+import graft.expressions.{CosineSimilarity, HyperplaneBands, TopKByScore}
 import graft.functions.VectorFunctions
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -78,9 +78,24 @@ object SimilaritySearch {
     rows.join(broadcast(ok), Seq("band_key"))
   }
 
+  /** Per-key top-k of a scored frame via the [[TopKByScore]] aggregate —
+    * (key, id, score, rnk) rows, score descending, ties to the smaller id:
+    * exactly the window `row_number` contract, but with partial aggregation
+    * (each map task reduces to ≤ k entries per key BEFORE the shuffle, so
+    * the exchange carries the answer, not the candidate set — the window
+    * form shuffles and sorts every candidate row). */
+  def topKPerKey(scored: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame =
+    scored.groupBy(col(keyCol))
+      .agg(TopKByScore(col(scoreCol), col(idCol), k).as("__topk"))
+      .select(col(keyCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(keyCol), col("__e.id").as(idCol), col("__e.score").as(scoreCol),
+        (col("__pos") + 1).cast("long").as("rnk"))
+
   /** Approximate k-NN join: band-key candidates → fused-cosine verify →
-    * per-query top-k. Recall rises with `bands`, precision (candidate-set
-    * tightness) with `bitsPerBand`. */
+    * per-query top-k (bounded-heap aggregate, not a per-key sort). Recall
+    * rises with `bands`, precision (candidate-set tightness) with
+    * `bitsPerBand`. */
   def knnJoinLSH(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, cfg: LshConfig): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -92,13 +107,11 @@ object SimilaritySearch {
       .select(col("query_id"), col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id"))
-    cands.join(c, Seq("cand_id")).join(q, Seq("query_id"))
+    val scored = cands.join(c, Seq("cand_id")).join(q, Seq("query_id"))
       .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("qv"), col("cv"))))
       .select(col("query_id"), col("cand_id"), col("score"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerKey(scored, "query_id", "score", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH candidates —
