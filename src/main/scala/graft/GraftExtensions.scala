@@ -17,6 +17,7 @@ import graft.expressions._
   * - simhash64(array<string>) → bigint
   * - minhash_sig(array<bigint>, numPerm, seed) → array<bigint>
   * - hyperplane_bands(array<float>, dim, bands, bits, seed) → array<bigint>
+  * - topk_by_score(score, id, k) → array<struct<score,id>>  (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -51,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBands(args(0),
         intLit(args(1), "dim"), intLit(args(2), "bands"),
         intLit(args(3), "bitsPerBand"), longLit(args(4), "seed"))))
+    e.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score, id, k) - top-k (score,id) pairs per group, score desc"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1), intLit(args(2), "k"))))
   }
 }
 
@@ -62,5 +67,12 @@ object GraftExtensions {
       args => CosineSimilarity(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("topk_by_score",
+      args => TopKByScore(args(0), args(1), args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other =>
+          throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+      }), "built-in")
   }
 }

@@ -20,6 +20,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must not throw
   }
 
+  test("topk_by_score SQL aggregate evaluates and ranks") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.7, 12L), (2L, 0.1, 20L))
+      .toDF("k", "score", "id").createOrReplaceTempView("topk_ext_test")
+    val rows = spark.sql(
+      "SELECT k, topk_by_score(score, id, 2) AS t FROM topk_ext_test GROUP BY k")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    assert(rows(1L) === Seq((0.9, 11L), (0.7, 12L)))
+    assert(rows(2L) === Seq((0.1, 20L)))
+  }
+
   test("cosine_sim SQL equals Column API bit-for-bit") {
     GraftExtensions.register(spark)
     val emb = Tables.load(spark, GraftTestSpark.sfDir, "embeddings").limit(50)
