@@ -170,6 +170,14 @@ object TextQueries {
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps")),
       None),
 
+    // Winnow shared-passage candidate pairs (rows-only: the rolling-hash
+    // scheme is engine-internal; the join-aggregate path is proven equal to
+    // brute-force fingerprint intersection in NoOracleEquivalenceSpec).
+    Q("t_winnow_pairs",
+      (s, dir) => TextDedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
+        minShared = 3),
+      None),
+
     // SimHash fingerprints (rows-only: xxhash64 is Spark-native).
     Q("t_simhash",
       (s, dir) => TextDedup.simHashes(docs(s, dir), "doc_id", "text"),

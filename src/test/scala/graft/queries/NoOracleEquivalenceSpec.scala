@@ -139,6 +139,23 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  // ---- t_winnow_pairs: join-aggregate path vs brute-force intersection ----
+
+  test("t_winnow_pairs: shared counts equal brute-force fingerprint intersection") {
+    val viaJoin = run("t_winnow_pairs")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute force: all-pairs set intersection over the fingerprint arrays
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text")
+    val brute = fps.as("x").join(fps.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        size(array_intersect(col("x.fps"), col("y.fps"))).cast("long").as("shared"))
+      .filter(col("shared") >= 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(brute.nonEmpty, "corpus must produce shared-passage candidates")
+    assert(viaJoin === brute,
+      "explode-join-aggregate must equal brute-force set intersection")
+  }
+
   // ---- t_token_bpeish: independent JVM-regex reimplementation -------------
 
   test("t_token_bpeish: matches a driver-side regex count exactly") {
