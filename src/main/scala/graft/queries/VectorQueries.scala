@@ -123,6 +123,57 @@ object VectorQueries {
         SimilaritySearch.LshConfig(dim = 64, bands = 96, bitsPerBand = 8)),
       None),
 
+    // Int8 scalar quantization + quantized cosine top-10 — the memory path
+    // at 10⁹×768 scale (4 bytes/dim → 1). Quantize per vector to
+    // round(x/max|x|·127); the dot/norm arithmetic is then INTEGER — exact
+    // in any engine and any order — and only the final normalize/round is
+    // float, mirrored by the oracle. SimilaritySpec-style recall vs exact
+    // cosine is inherent: assert via the shared top-k with e_cosine_topk in
+    // the spec; here the whole computation is byte-checked by DuckDB.
+    Q("e_quant_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        def quant(v: org.apache.spark.sql.Column) = {
+          val mx = array_max(transform(v, x => abs(x.cast("double"))))
+          when(mx === 0.0, transform(v, _ => lit(0L))).otherwise(
+            transform(v, x => floor(x.cast("double") / mx * 127.0 + 0.5).cast("long")))
+        }
+        val withQ = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
+        val q0 = withQ.filter(col("vec_id") === 0).select(col("qv").as("q0"))
+        def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        withQ.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            idot(col("qv"), col("q0")).as("d"),
+            idot(col("qv"), col("qv")).as("na2"),
+            idot(col("q0"), col("q0")).as("nb2"))
+          .select(col("vec_id"), graft.operators.RelationalOps.round6(
+            when(col("na2") * col("nb2") === 0, 0.0).otherwise(
+              col("d").cast("double") /
+                (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))))
+            .as("qscore"))
+          .orderBy(col("qscore").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+             |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS BIGINT)) END AS qv
+             |  FROM (SELECT vec_id, embedding,
+             |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |        FROM embeddings)),
+             |q0 AS (SELECT qv AS v0 FROM q WHERE vec_id = 0),
+             |sc AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v0[i])) AS d,
+             |    list_sum(list_transform(qv, x -> x * x)) AS na2,
+             |    list_sum(list_transform(v0, x -> x * x)) AS nb2
+             |  FROM q, q0 WHERE vec_id <> 0)
+             |SELECT vec_id,
+             |  floor((CASE WHEN na2 * nb2 = 0 THEN 0.0
+             |              ELSE CAST(d AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) END) * 1000000 + 0.5) / 1000000 AS qscore
+             |FROM sc ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Exact counterpart of e_dup_pairs: all-pairs cosine ≥ threshold.
     // Quadratic by construction — the recall baseline for bounded corpora,
     // NOT the scale path (that's e_dup_pairs). Fully oracle-checked: the

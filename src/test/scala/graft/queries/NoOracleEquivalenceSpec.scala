@@ -69,6 +69,16 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
       "every jaccard>=0.6 pair must survive 16-band/64-perm LSH")
   }
 
+  // ---- e_quant_topk: int8 quantization must preserve the exact ranking ----
+
+  test("e_quant_topk: quantized top-10 overlaps the exact-cosine top-10") {
+    val quant = run("e_quant_topk").select("vec_id").as[Long].collect().toSet
+    val exact = run("e_cosine_topk").select("vec_id").as[Long].collect().toSet
+    assert(quant.size === 10 && exact.size === 10)
+    assert((quant & exact).size >= 8,
+      s"int8 quantization lost too much ranking: ${(quant & exact).size}/10")
+  }
+
   // ---- t_minhash_dedup: survivor set vs brute-force jaccard rule ----------
 
   test("t_minhash_dedup: survivors = docs minus higher-id members of exact near-dup pairs") {
