@@ -68,6 +68,19 @@ object Bench {
   private def loadAvg: Double =
     ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** JIT code-cache occupancy (used, max) in MB. A near-full code cache
+    * disables the JIT compiler and the codegen'd query kernels run
+    * INTERPRETED — the one failure mode observed to inflate CPU 30× on a
+    * quiet host with zero GC. Reported so that signature is attributable. */
+  private def codeCacheMb: (Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+    val used = pools.map(_.getUsage.getUsed).sum / 1e6
+    val max = pools.map(_.getUsage.getMax).sum / 1e6
+    (used, max)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.localFromEnv("graft-bench")
@@ -121,6 +134,9 @@ object Bench {
       s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""" +
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
       s""""load_avg_start":${f"$loadStart%.1f"},"load_avg_end":${f"$loadAvg%.1f"},""" +
+      s""""code_cache_used_mb":${f"${codeCacheMb._1}%.0f"},""" +
+      s""""code_cache_max_mb":${f"${codeCacheMb._2}%.0f"},""" +
+      s""""jit_compile_ms":${ManagementFactory.getCompilationMXBean.getTotalCompilationTime},""" +
       s""""cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""heap_max_gb":${f"${Runtime.getRuntime.maxMemory / 1e9}%.1f"},""" +
       s""""sf":"$sfDir"}""")
