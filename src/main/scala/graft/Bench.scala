@@ -133,9 +133,10 @@ object Bench {
       s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
       s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""" +
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
-      s""""load_avg_start":${f"$loadStart%.1f"},"load_avg_end":${f"$loadAvg%.1f"},""" +
-      s""""code_cache_used_mb":${f"${codeCacheMb._1}%.0f"},""" +
-      s""""code_cache_max_mb":${f"${codeCacheMb._2}%.0f"},""" +
+      s""""load_avg_start":${f"$loadStart%.1f"},"load_avg_end":${f"$loadAvg%.1f"},""" + {
+        val (ccUsed, ccMax) = codeCacheMb
+        s""""code_cache_used_mb":${f"$ccUsed%.0f"},"code_cache_max_mb":${f"$ccMax%.0f"},"""
+      } +
       s""""jit_compile_ms":${ManagementFactory.getCompilationMXBean.getTotalCompilationTime},""" +
       s""""cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""heap_max_gb":${f"${Runtime.getRuntime.maxMemory / 1e9}%.1f"},""" +

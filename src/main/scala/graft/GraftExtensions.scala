@@ -24,16 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  private def intLit(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
-  }
-  private def longLit(e: Expression, what: String): Long = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
-    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
-  }
+  import GraftExtensions.{intLit, longLit}
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
@@ -60,6 +51,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private[graft] def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+  private[graft] def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -68,11 +71,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64(args.head), "built-in")
     reg.createOrReplaceTempFunction("topk_by_score",
-      args => TopKByScore(args(0), args(1), args(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-        case other =>
-          throw new IllegalArgumentException(s"k must be an integer literal, got $other")
-      }), "built-in")
+      args => TopKByScore(args(0), args(1), intLit(args(2), "k")), "built-in")
   }
 }

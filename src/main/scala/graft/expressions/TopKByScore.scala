@@ -36,6 +36,18 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def dataType: DataType = TopKByScore.resultType
 
+  // Strict input types: without this, analysis passes for any column types
+  // and update() would ClassCastException at executor runtime on the SQL
+  // path (no implicit cast is inserted for blind eval/asInstanceOf).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (s, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_by_score expects (double, bigint), got (${s.simpleString}, ${i.simpleString})")
+    }
+
   override def createAggregationBuffer(): TopKByScore.Heap = new TopKByScore.Heap(k)
 
   override def update(buf: TopKByScore.Heap, input: InternalRow): TopKByScore.Heap = {
@@ -82,9 +94,15 @@ object TopKByScore {
     private val ids = new Array[Long](k)
     private var n = 0
 
-    // entry a is weaker than entry b (evicted before it)
-    private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    // entry a is weaker than entry b (evicted before it). Double.compare
+    // gives a TOTAL order with NaN greatest — matching Spark's window
+    // ordering (NaN sorts above every double) and keeping the heap sound:
+    // a raw `<` is always false around NaN, which would wedge a NaN at the
+    // root and block every later eviction.
+    private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     private def swap(a: Int, b: Int): Unit = {
       val s = scores(a); scores(a) = scores(b); scores(b) = s
@@ -128,7 +146,12 @@ object TopKByScore {
       val out = new Array[(Double, Long)](n)
       var i = 0
       while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
-      out.sortWith { case ((sa, ia), (sb, ib)) => sa > sb || (sa == sb && ia < ib) }
+      // total order (Double.compare) — a raw > comparator violates the sort
+      // contract under NaN and can throw in TimSort
+      out.sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = java.lang.Double.compare(sa, sb)
+        c > 0 || (c == 0 && ia < ib)
+      }
     }
 
     def toBytes: Array[Byte] = {

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.NearestCentroids
 
@@ -15,8 +14,8 @@ import graft.expressions.NearestCentroids
   *  2. assign: every corpus vector to its nearest centroid (one cell);
   *     every query to its `nProbe` nearest cells (recall dial).
   *  3. search: equi-join on cell id → fused-cosine verify → per-query
-  *     top-k window. Work is |corpus|/k · nProbe per query instead of
-  *     |corpus| — the scale path when the corpus clusters.
+  *     top-k (bounded-heap aggregate). Work is |corpus|/k · nProbe per
+  *     query instead of |corpus| — the scale path when the corpus clusters.
   */
 object IvfIndex {
 

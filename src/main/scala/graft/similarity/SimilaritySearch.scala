@@ -14,8 +14,8 @@ import graft.functions.VectorFunctions
   *   the driver merges — no full shuffle-sort even at 10⁹ rows.
   * - `knnJoinLSH`: all-pairs k-NN join via random-hyperplane banding
   *   (HyperplaneBands): candidates = band-key equi-join, verify = fused
-  *   cosine, per-query top-k = window rank. Scales as O(candidates), not
-  *   O(|Q|·|C|).
+  *   cosine, per-query top-k = bounded-heap aggregate (TopKByScore).
+  *   Scales as O(candidates), not O(|Q|·|C|).
   * - `knnJoinBrute`: exact baseline for recall measurement on samples.
   */
 object SimilaritySearch {
@@ -79,11 +79,14 @@ object SimilaritySearch {
   }
 
   /** Per-key top-k of a scored frame via the [[TopKByScore]] aggregate —
-    * (key, id, score, rnk) rows, score descending, ties to the smaller id:
-    * exactly the window `row_number` contract, but with partial aggregation
-    * (each map task reduces to ≤ k entries per key BEFORE the shuffle, so
-    * the exchange carries the answer, not the candidate set — the window
-    * form shuffles and sorts every candidate row). */
+    * (key, id, score, rnk) rows, score descending (NaN greatest, Spark's
+    * window ordering), ties to the smaller id: the window `row_number`
+    * contract on non-null rows, but with partial aggregation (each map task
+    * reduces to ≤ k entries per key BEFORE the shuffle, so the exchange
+    * carries the answer, not the candidate set — the window form shuffles
+    * and sorts every candidate row). Unlike the window form, null scores
+    * or ids are DROPPED (a null similarity is a non-result), and a key with
+    * only null rows disappears rather than ranking nulls last. */
   def topKPerKey(scored: DataFrame, keyCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame =
     scored.groupBy(col(keyCol))

@@ -52,6 +52,27 @@ class TopKByScoreSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L, 0.9, 1L), (1L, 11L, 0.8, 2L), (2L, 20L, 0.5, 1L)))
   }
 
+  test("NaN scores rank greatest (Spark window ordering) and never wedge the heap") {
+    val df = Seq(
+      (1L, Double.NaN, 10L), (1L, 0.1, 11L), (1L, 0.9, 12L), (1L, 0.95, 13L)
+    ).toDF("key", "score", "id")
+    val got = SimilaritySearch.topKPerKey(df, "key", "score", "id", 2)
+      .select("id", "rnk").as[(Long, Long)].collect().toSet
+    val expected = windowTopK(df, 2).select("id", "rnk")
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got === Set((10L, 1L), (13L, 2L))) // NaN first, then 0.95
+  }
+
+  test("non-(double,bigint) inputs fail analysis, not executors") {
+    val df = Seq((1L, 0.5f, 7)).toDF("key", "score", "id")
+    val e = intercept[Exception] {
+      SimilaritySearch.topKPerKey(df, "key", "score", "id", 2).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("topk_by_score")
+      || e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+
   test("plan uses partial aggregation, not a window sort") {
     val df = randomScored(100, keys = 3, seed = 5)
     val plan = SimilaritySearch.topKPerKey(df, "key", "score", "id", 3)
