@@ -23,10 +23,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heaps above ~31g disable compressed oops: generated code gets larger,
+// JIT/code-cache pressure grows, and a 95g-heap run was measured executing
+// codegen kernels interpreted (85x CPU on a quiet host). Clamp whatever the
+// environment asks for to the compressed-oops boundary — no query here needs
+// more than a few GB of heap anyway.
+def clampHeap(req: String): String = {
+  val pat = "(?i)^(\\d+)\\s*([gmk]?)$".r
+  req.trim match {
+    case pat(n, u) =>
+      val mb = u.toLowerCase match {
+        case "g" => n.toLong * 1024
+        case "m" => n.toLong
+        case "k" => n.toLong / 1024
+        case _   => n.toLong / (1024L * 1024L)
+      }
+      if (mb > 31L * 1024L) "31g" else req.trim
+    case _ => "8g"
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${clampHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
   // Dozens of codegen'd plans churn the default 240m JIT code cache; a full
   // cache disables compilation and turns compute interpreted (30x CPU).
   "-XX:ReservedCodeCacheSize=512m",

@@ -36,20 +36,23 @@ final class IngestPipeline(
     preDedupe: Boolean = true,
     reg: MetricsRegistry = Metrics.global) {
 
-  /** One batch: typed write in a single uncached pass (counts + max event
-    * time ride the write via `observe()`), total line count from a
-    * parse-free scan, and the dead-letter branch recomputed with a second
-    * full parse ONLY when the batch actually had failures. The previous
-    * shape cached the full nested parse and re-scanned it three times;
-    * columnar-encoding a wide nested struct into the cache cost more than
-    * re-parsing the (rare) dirty batch does.
-    *
-    * `unfanned` is the same lines as `fanned` without the parallelism
-    * repartition — counting it avoids paying the fan-out shuffle twice.
+  /** One batch: typed write in a single uncached pass — ok-row count, max
+    * event time AND the total line count all ride the write via `observe()`
+    * (two CollectMetrics nodes, one above the parse and one above the
+    * ok-filter; filters are not pushed through CollectMetrics, so the first
+    * sees every line). A clean batch therefore reads its input exactly
+    * once; the dead-letter branch recomputes with a second full parse ONLY
+    * when the batch actually had failures. The previous shape cached the
+    * full nested parse and re-scanned it three times; columnar-encoding a
+    * wide nested struct into the cache cost more than re-parsing the (rare)
+    * dirty batch does.
     */
-  private def writeBatch(fanned: DataFrame, unfanned: DataFrame): (Long, Long) = {
+  private def writeBatch(fanned: DataFrame): (Long, Long) = {
+    val obsAll = Observation()
     val obs = Observation()
-    val typed = TransactionTransform.typedRows(TransactionTransform.parseRaw(fanned))
+    val parsed = TransactionTransform.parseRaw(fanned)
+      .observe(obsAll, count(lit(1)).as("n_lines"))
+    val typed = TransactionTransform.typedRows(parsed)
       .observe(obs,
         count(lit(1)).as("ok_rows"),
         max(col("consensusTimestamp")).as("max_ts_ns"))
@@ -61,7 +64,7 @@ final class IngestPipeline(
       reg.set(Metrics.LatestConsensusTimestamp, ts)
       reg.set(Metrics.IngestionDelay, System.currentTimeMillis() - ts / 1000000)
     }
-    val nBad = unfanned.count() - ok
+    val nBad = obsAll.get("n_lines").asInstanceOf[Long] - ok
     // The dead-letter branch must classify rows with the SAME full-schema
     // parse as the typed branch: a row corrupt only under the full schema
     // (scalar where a nested struct is expected) is clean under a reduced
@@ -85,7 +88,7 @@ final class IngestPipeline(
     val fanned =
       if (raw.rdd.getNumPartitions < parallelism) raw.repartition(parallelism)
       else raw
-    writeBatch(fanned, raw)
+    writeBatch(fanned)
   }
 
   /** Batch-id ledger: replaying an already-committed micro-batch must not
@@ -99,7 +102,7 @@ final class IngestPipeline(
     val mark = new org.apache.hadoop.fs.Path(dir, f"batch-$batchId%020d")
     if (fs.exists(mark)) (0L, 0L)
     else {
-      val r = writeBatch(raw, raw)
+      val r = writeBatch(raw)
       fs.mkdirs(dir)
       fs.create(mark, true).close()
       r

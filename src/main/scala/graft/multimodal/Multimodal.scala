@@ -1,17 +1,24 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payload + typed metadata
-  * struct, with distributed decode/feature-extract/frame-sample stages.
+  * struct, with distributed encode/decode/feature-extract/frame-sample
+  * stages.
   *
-  * The Spark side — schema, partition-preserving `mapPartitions` batching,
-  * deterministic output contract — is real and tested. The media kernels
-  * (image decode, resampling) are STUBS: this container ships no codec
-  * libraries, so `decodeStub` derives deterministic fake features from the
-  * bytes. Swapping in a real decoder changes only the marked function body;
-  * every surrounding stage (and its plan shape) stays as-is.
+  * The decode kernel is REAL: payloads are PNG-encoded images
+  * (`javax.imageio` — ships in the JDK, zero extra dependencies) and the
+  * feature stage decodes actual pixels executor-side inside a
+  * partition-preserving `mapPartitions` batch — the exact shape a 100 TB
+  * image/audio/video pipeline needs (bytes stay columnar in parquet,
+  * decode is embarrassingly parallel, no shuffle). Swapping PNG for JPEG/
+  * WebP/audio changes only the kernel body; schema, batching and plan
+  * shape stay as-is.
   */
 object Multimodal {
 
@@ -19,15 +26,18 @@ object Multimodal {
     * audio/video columns at rest: bytes in parquet, typed meta alongside). */
   final case class BlobRow(id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
 
-  final case class BlobFeatures(
+  /** Decoded-image features: real dimensions + mean luminance from the
+    * decoded pixels, plus the frame-sample count (video-pipeline shape). */
+  final case class ImageFeatures(
       id: Long,
       n_bytes: Long,
-      mean_byte: Double,
-      head_hex: String,
+      width: Int,
+      height: Int,
+      mean_luma: Double,
       frames_sampled: Int)
 
-  /** Wrap a text corpus as a blob table (test stand-in for a binary media
-    * column; payload = UTF-8 bytes). */
+  /** Wrap a text corpus as a blob table (binary media column stand-in;
+    * payload = UTF-8 bytes). */
   def toBlobTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("id"),
@@ -35,17 +45,86 @@ object Multimodal {
       lit("text/plain").as("mime"),
       octet_length(col(textCol)).cast("long").as("n_bytes"))
 
-  /** ======= STUB KERNEL =======
-    * Stands in for an image/audio decode. Deterministic over the payload
-    * bytes so tests are stable. A real implementation would decode here and
-    * emit real features; signature and batching stay identical. */
-  private def decodeStub(payload: Array[Byte]): (Double, String) = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
-    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-    val head = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-    (mean, head)
+  // ---- image encode (the planted payloads) --------------------------------
+
+  /** Deterministic planted image: a seeded gradient+noise RGB bitmap,
+    * PNG-encoded in memory. Same seed/dims → byte-identical PNG, so tests
+    * and the rows-only driver hash are stable across runs and partitionings. */
+  def plantedPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var x = seed
+    def next(): Long = { // splitmix64
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val noise = (next() & 0x3f).toInt // low 6 bits of the stream
+        val r = (px * 255 / math.max(w - 1, 1) + noise) & 0xff
+        val g = (py * 255 / math.max(h - 1, 1) + noise) & 0xff
+        val b = ((px + py) * 255 / math.max(w + h - 2, 1) + noise) & 0xff
+        img.setRGB(px, py, (r << 16) | (g << 8) | b)
+        px += 1
+      }
+      py += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image dimensions for a given id — varied so the decode is exercised
+    * over many shapes, deterministic so every run plants the same corpus. */
+  def plantedDims(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt * 3, 8 + ((id / 9) % 7).toInt * 4)
+
+  /** Synthesize the image-blob table: one planted PNG per doc id, encoded
+    * executor-side (mapPartitions — the encode never touches the driver).
+    * This is the write half of the multimodal story: binary media columns
+    * materialized next to typed metadata. */
+  def toImageTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h) = plantedDims(id)
+          val png = plantedPng(seed = id * 0x9e3779b97f4a7c15L + 17, w, h)
+          BlobRow(id, png, "image/png", png.length.toLong)
+        }
+      }.toDF()
+  }
+
+  // ---- image decode (the real kernel) -------------------------------------
+
+  /** Decode a PNG/BMP/GIF payload and compute (width, height, mean luma).
+    * Rec. 601 luma over every decoded pixel; the result is rounded to 6
+    * decimals so the value survives engine-side double formatting. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0.0
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val rgb = img.getRGB(px, py)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+        px += 1
+      }
+      py += 1
+    }
+    (w, h, math.rint(sum / (w.toLong * h) * 1e6) / 1e6)
   }
 
   /** Evenly frame-sample `n` byte offsets from a payload — the shape of
@@ -55,21 +134,26 @@ object Multimodal {
     else (0 until n).map(i => ((i.toLong * len) / n).toInt).distinct
 
   /** Distributed feature extraction: one pass per partition, no shuffle; the
-    * decode kernel runs executor-side on the raw bytes. */
-  def extractFeatures(blobs: DataFrame, framesPerBlob: Int = 4): Dataset[BlobFeatures] = {
+    * image decode runs executor-side on the raw payload bytes.
+    * `ImageIO.setUseCache(false)` keeps the decode purely in-memory — the
+    * default disk-backed cache would add a temp-file write per image, which
+    * at 10⁹ images is an I/O storm for zero benefit on small payloads. */
+  def extractImageFeatures(blobs: DataFrame, framesPerBlob: Int = 4): Dataset[ImageFeatures] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("id"), col("payload"), col("n_bytes")).as[(Long, Array[Byte], Long)]
       .mapPartitions { it =>
+        ImageIO.setUseCache(false)
         it.map { case (id, payload, nBytes) =>
-          val (mean, head) = decodeStub(payload)
+          val (w, h, luma) = decodeImage(payload)
           val frames = sampleOffsets(payload.length, framesPerBlob).size
-          BlobFeatures(id, nBytes, mean, head, frames)
+          ImageFeatures(id, nBytes, w, h, luma, frames)
         }
       }
   }
 
-  /** End-to-end demo pipeline over the documents table. */
+  /** End-to-end pipeline over the documents table: plant PNG payloads, then
+    * decode them back and extract real pixel features. */
   def featureTable(spark: SparkSession, docs: DataFrame): DataFrame =
-    extractFeatures(toBlobTable(docs, "doc_id", "text")).toDF()
+    extractImageFeatures(toImageTable(docs, "doc_id")).toDF()
 }

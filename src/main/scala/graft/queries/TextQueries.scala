@@ -243,7 +243,10 @@ object TextQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  CAST(ascii(text) AS BIGINT) AS first_byte FROM documents""".stripMargin)),
 
-    // Multimodal decode pipeline (stub kernel, real plumbing): rows-only.
+    // Multimodal decode pipeline: plant one PNG per doc, decode REAL pixels
+    // (javax.imageio) executor-side, emit width/height/mean-luma. Rows-only
+    // for the driver (DuckDB cannot decode PNG); the kernel is verified by a
+    // driver-side independent pixel-math oracle in NoOracleEquivalenceSpec.
     Q("m_decode_features",
       (s, dir) => graft.multimodal.Multimodal.featureTable(s, docs(s, dir)),
       None),

@@ -64,6 +64,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(h13 === 0L)
   }
 
+  test("short docs (< shingleK tokens) are never reported as near-dups nor dropped") {
+    // Empty shingle sets produce identical all-sentinel MinHash signatures
+    // (collide in every band) and a 0/0 = NaN jaccard; without the
+    // empty-set exclusion + isnan guard these unrelated docs would pair up
+    // and minHashDedup would silently drop them.
+    val shorts = Seq((100L, "one"), (101L, "two words"), (102L, ""), (103L, "  "))
+    val docs = corpus().union(shorts.toDF("doc_id", "text"))
+    val pairs = nearDuplicatePairs(docs, "doc_id", "text",
+      MinHashConfig(jaccardThreshold = 0.3))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L))
+    assert(pairs.forall(p => !p._4.isNaN))
+    val kept = minHashDedup(docs, "doc_id", "text", MinHashConfig(jaccardThreshold = 0.3))
+    assert(kept.filter(col("doc_id") >= 100).count() === shorts.size)
+  }
+
   test("jaccard verification values are sane") {
     val pairs = nearDuplicatePairs(corpus(), "doc_id", "text",
       MinHashConfig(jaccardThreshold = 0.3))

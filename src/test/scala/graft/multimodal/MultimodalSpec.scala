@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{GraftTestSpark, Tables}
@@ -17,17 +20,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_bytes") === r.getAs[Array[Byte]]("payload").length.toLong)
   }
 
-  test("feature extraction is distributed, deterministic, and complete") {
+  test("planted PNGs are real images: deterministic bytes, decodable dims") {
+    val a = Multimodal.plantedPng(7L, 20, 12)
+    val b = Multimodal.plantedPng(7L, 20, 12)
+    assert(a.sameElements(b)) // byte-identical across calls
+    // PNG magic
+    assert((a(0) & 0xff) === 0x89 && a(1) === 'P'.toByte && a(2) === 'N'.toByte)
+    val img = ImageIO.read(new ByteArrayInputStream(a))
+    assert(img.getWidth === 20 && img.getHeight === 12)
+    // different seed → different image
+    assert(!Multimodal.plantedPng(8L, 20, 12).sameElements(a))
+  }
+
+  test("image feature extraction decodes real pixels, distributed and deterministic") {
     val docs = Tables.load(spark, GraftTestSpark.sfDir, "documents")
     val feats = Multimodal.featureTable(spark, docs).cache()
     assert(feats.count() === docs.count())
     val a = feats.orderBy("id").limit(5).collect().toSeq
     val b = Multimodal.featureTable(spark, docs.repartition(7)).orderBy("id").limit(5).collect().toSeq
     assert(a.toString === b.toString) // partitioning must not change features
+    // spot-check id 0 against a fully driver-side decode with independent
+    // pixel math (raster band samples, not getRGB bit twiddling)
     val r = feats.filter(col("id") === 0).first()
-    assert(r.getAs[Double]("mean_byte") > 0)
-    assert(r.getAs[String]("head_hex").length === 8)
+    val (w0, h0) = Multimodal.plantedDims(0L)
+    assert(r.getAs[Int]("width") === w0 && r.getAs[Int]("height") === h0)
+    val payload = Multimodal.plantedPng(17L, w0, h0) // id 0 seed = 0*phi + 17
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val raster = img.getRaster
+    val n = w0 * h0
+    def bandMean(band: Int): Double =
+      raster.getSamples(0, 0, w0, h0, band, new Array[Double](n)).sum / n
+    val expLuma = 0.299 * bandMean(0) + 0.587 * bandMean(1) + 0.114 * bandMean(2)
+    assert(math.abs(r.getAs[Double]("mean_luma") - expLuma) < 1e-4)
+    assert(r.getAs[Long]("n_bytes") === payload.length.toLong)
     assert(r.getAs[Int]("frames_sampled") === 4)
+  }
+
+  test("decode rejects non-image payloads loudly") {
+    intercept[Exception] {
+      Multimodal.decodeImage("not a png".getBytes("UTF-8"))
+    }
   }
 
   test("frame sampling offsets are even and bounded") {

@@ -216,6 +216,7 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
     val hits = got.map(r => (r._1, r._2)).toSet
     val brute = bruteTop5.toSeq.flatMap { case (q, cs) => cs.map((q, _)) }.toSet
     val recall = (hits & brute).size.toDouble / brute.size
+    info(s"$name recall@5 = $recall (floor $minRecall)")
     assert(recall >= minRecall, s"$name recall@5=$recall")
   }
 
@@ -227,22 +228,32 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
     knnChecks("e_knn_ivf", minRecall = 0.3)
   }
 
-  // ---- m_decode_features: independent kernel reimplementation -------------
+  // ---- m_decode_features: driver-side independent decode oracle -----------
 
-  test("m_decode_features: features match driver-side byte math") {
+  test("m_decode_features: real PNG decode matches driver-side pixel math") {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    import graft.multimodal.Multimodal
     val got = run("m_decode_features").filter(col("id") < 10)
-      .select("id", "n_bytes", "mean_byte", "head_hex", "frames_sampled")
-      .as[(Long, Long, Double, String, Int)].collect().sortBy(_._1)
-    val texts = docs.filter(col("doc_id") < 10)
-      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      .select("id", "n_bytes", "width", "height", "mean_luma", "frames_sampled")
+      .as[(Long, Long, Int, Int, Double, Int)].collect().sortBy(_._1)
     assert(got.nonEmpty)
-    got.foreach { case (id, nBytes, mean, head, frames) =>
-      val bytes = texts(id).getBytes("UTF-8")
-      assert(nBytes === bytes.length.toLong)
-      val expMean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
-      assert(math.abs(mean - expMean) < 1e-9, s"doc $id mean_byte")
-      assert(head === bytes.take(4).map(b => f"${b & 0xff}%02x").mkString)
-      assert(frames === (if (bytes.length >= 4) 4 else bytes.length))
+    got.foreach { case (id, nBytes, w, h, luma, frames) =>
+      // regenerate the planted payload, decode it DRIVER-side, and compute
+      // the expected luma with independent pixel math (raster band samples,
+      // not the kernel's getRGB bit twiddling)
+      val (ew, eh) = Multimodal.plantedDims(id)
+      val payload = Multimodal.plantedPng(id * 0x9e3779b97f4a7c15L + 17, ew, eh)
+      assert(nBytes === payload.length.toLong, s"doc $id n_bytes")
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      assert(w === img.getWidth && h === img.getHeight, s"doc $id dims")
+      val n = w * h
+      val raster = img.getRaster
+      def bandMean(band: Int): Double =
+        raster.getSamples(0, 0, w, h, band, new Array[Double](n)).sum / n
+      val exp = 0.299 * bandMean(0) + 0.587 * bandMean(1) + 0.114 * bandMean(2)
+      assert(math.abs(luma - exp) < 1e-4, s"doc $id mean_luma")
+      assert(frames === math.min(4, payload.length))
     }
   }
 }
