@@ -135,6 +135,31 @@ object Relational {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // Grouped top-k via the bounded-heap TopKByScore aggregate — the
+    // shuffle-light alternative to the q_window_rank shape: partial
+    // aggregation reduces each map task to ≤k entries per group BEFORE the
+    // exchange, so the shuffle carries O(groups·k) instead of every
+    // candidate row. Oracle = the equivalent row_number window in DuckDB
+    // (score desc, ties to the smaller id — the aggregate's documented
+    // order). Scores pass through as raw doubles: no arithmetic, so the
+    // engines agree bit-for-bit.
+    Q("q_group_topk",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(graft.expressions.TopKByScore(col("o_totalprice"), col("o_orderkey"), 5)
+          .as("topk"))
+        .select(col("priority"), posexplode(col("topk")).as(Seq("pos", "e")))
+        .select(col("priority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.id").as("order_id"), col("e.score").as("score")),
+      Some("""SELECT o_orderpriority AS priority, CAST(rn AS BIGINT) AS rnk,
+             |  o_orderkey AS order_id, o_totalprice AS score
+             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 5""".stripMargin),
+      headline = true),
+
     // Ranking window: top-3 orders per customer.
     Q("q_window_rank",
       (s, dir) => {

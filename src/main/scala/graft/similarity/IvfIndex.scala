@@ -21,7 +21,7 @@ object IvfIndex {
 
   final case class Config(
       nCentroids: Int = 16,
-      iters: Int = 5,
+      iters: Int = 10,
       nProbe: Int = 4,
       sampleSize: Int = 800,
       seed: Long = 42L)
@@ -57,26 +57,63 @@ object IvfIndex {
     }
     val normed = sample.map(normalize)
     val rnd = new scala.util.Random(cfg.seed)
-    var centroids = rnd.shuffle(normed.indices.toList).take(cfg.nCentroids)
-      .map(normed(_)).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    // k-means++ seeding (D² weighting, cosine distance d = 1 − cos): spreads
+    // the initial centroids over the sample instead of clumping them where a
+    // uniform draw happens to land — the single biggest quantizer-quality
+    // (hence recall) lever on weakly-clustered corpora.
+    val k = math.min(cfg.nCentroids, normed.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(normed(rnd.nextInt(normed.length)))
+    val d2 = normed.map(v => { val d = 1.0 - dot(v, chosen.head); d * d })
+    while (chosen.length < k) {
+      val total = d2.sum
+      val next =
+        if (total <= 0) normed(rnd.nextInt(normed.length))
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          normed(i)
+        }
+      chosen += next
+      var i = 0
+      while (i < normed.length) {
+        val d = 1.0 - dot(normed(i), next)
+        if (d * d < d2(i)) d2(i) = d * d
+        i += 1
+      }
+    }
+    var centroids = chosen.toArray
 
     for (_ <- 1 to cfg.iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](normed.head.length))
       val counts = new Array[Int](centroids.length)
-      normed.foreach { v =>
+      // track each cluster's worst-assigned member: the reseed candidate
+      // for any cluster that empties out
+      val worst = new Array[Int](centroids.length)
+      val worstDot = Array.fill(centroids.length)(Double.MaxValue)
+      normed.zipWithIndex.foreach { case (v, vi) =>
         var best = 0; var bestDot = Double.MinValue
         for (c <- centroids.indices) {
-          var dot = 0.0
-          var i = 0
-          while (i < v.length) { dot += v(i) * centroids(c)(i); i += 1 }
-          if (dot > bestDot) { bestDot = dot; best = c }
+          val d = dot(v, centroids(c))
+          if (d > bestDot) { bestDot = d; best = c }
         }
         counts(best) += 1
+        if (bestDot < worstDot(best)) { worstDot(best) = bestDot; worst(best) = vi }
         var i = 0
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
       }
+      // an empty cluster is a wasted probe cell forever: reseed it on the
+      // worst-fitting member of the fullest cluster
+      val fullest = counts.indices.maxBy(counts)
       centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+        if (counts(c) == 0) normed(worst(fullest))
+        else normalize(sums(c))
       }.toArray
     }
     centroids.map(_.toSeq).toSeq
