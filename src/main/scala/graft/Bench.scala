@@ -145,9 +145,11 @@ object Bench {
       s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
       s""""total":$total,"value":$total}"""
     // Belt and braces: persist the full record where a repo snapshot finds it
-    // even if stdout capture truncates.
+    // even if stdout capture truncates. GRAFT_BENCH_OUT redirects (e.g. an
+    // sf1 scale-evidence run must not clobber the sf0.1 record).
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(json)

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for the test tables: replicates the fact tables
+  * `factor`× with shifted keys (join semantics preserved) and copies the
+  * dimensions, producing a larger corpus for scale evidence (e.g. sf0.1 ×10
+  * ≈ sf1). Usage:
+  *
+  *   graft.GenScale <inDir> <outDir> <factor>
+  *
+  * Replication is one distributed pass per table — a broadcast cross join
+  * against a `range(factor)` of replica indices (never a driver loop, never
+  * N re-reads of the input):
+  *
+  *  - orders/lineitem: o_orderkey/l_orderkey shifted by replica·stride so
+  *    the order join stays 1:N and order keys stay unique; customer keys
+  *    are left alone (each replica's orders belong to the same customers —
+  *    dims grow sublinearly in a warehouse).
+  *  - events: event_id and user_id shifted — replica users, so per-user
+  *    session/window workloads scale in group count, not group size.
+  *  - documents: doc_id shifted; replicas get a tiny `r<i> ` prefix so they
+  *    are near-duplicates (a realistic curation corpus: heavy near-dup
+  *    clusters) rather than exact clones.
+  *  - embeddings: vec_id shifted, vectors copied (exact-dup clusters —
+  *    the dedup-by-embedding worst case, which is what we want to stress).
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: GenScale <inDir> <outDir> <factor>")
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val spark = GraftSession.localFromEnv("graft-genscale")
+
+    def in(name: String): DataFrame = Tables.load(spark, inDir, name)
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+      println(s"wrote $name")
+    }
+
+    // dimension tables: straight copies
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      write(n, in(n))
+    }
+
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    val orders = in("orders")
+    val orderStride = stride(orders, "o_orderkey")
+    val reps = () => broadcast(spark.range(factor).select(col("id").as("__rep")))
+
+    write("orders", orders.crossJoin(reps())
+      .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * orderStride)
+      .drop("__rep"))
+
+    val lineitem = in("lineitem")
+    write("lineitem", lineitem.crossJoin(reps())
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * orderStride)
+      .drop("__rep"))
+
+    val events = in("events")
+    val eventStride = stride(events, "event_id")
+    val userStride = stride(events, "user_id")
+    // ts (ns epoch long) must ALSO shift: it is the ingest dedupe key, and
+    // unshifted replicas would make the scaled corpus 90% duplicates —
+    // shifting by the base span extends the corpus to factor× the time
+    // range (more day partitions), which is how a warehouse actually grows.
+    val Array(tsLo, tsHi) = events.agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val tsSpan = tsHi - tsLo + 1L
+    write("events", events.crossJoin(reps())
+      .withColumn("event_id", col("event_id") + col("__rep") * eventStride)
+      .withColumn("user_id", col("user_id") + col("__rep") * userStride)
+      .withColumn("ts", col("ts") + col("__rep") * tsSpan)
+      .drop("__rep"))
+
+    val docs = in("documents")
+    val docStride = stride(docs, "doc_id")
+    write("documents", docs.crossJoin(reps())
+      .withColumn("doc_id", col("doc_id") + col("__rep") * docStride)
+      .withColumn("text",
+        when(col("__rep") === 0, col("text"))
+          .otherwise(concat(lit("r"), col("__rep"), lit(" "), col("text"))))
+      .drop("__rep"))
+
+    val emb = in("embeddings")
+    val vecStride = stride(emb, "vec_id")
+    write("embeddings", emb.crossJoin(reps())
+      .withColumn("vec_id", col("vec_id") + col("__rep") * vecStride)
+      .drop("__rep"))
+
+    spark.stop()
+  }
+}

@@ -47,7 +47,7 @@ final class IngestPipeline(
     * wide nested struct into the cache cost more than re-parsing the (rare)
     * dirty batch does.
     */
-  private def writeBatch(fanned: DataFrame): (Long, Long) = {
+  private def writeBatch(fanned: DataFrame, prePartitioned: Boolean): (Long, Long) = {
     val obsAll = Observation()
     val obs = Observation()
     val parsed = TransactionTransform.parseRaw(fanned)
@@ -57,7 +57,7 @@ final class IngestPipeline(
         count(lit(1)).as("ok_rows"),
         max(col("consensusTimestamp")).as("max_ts_ns"))
     val out = if (preDedupe) typed.dropDuplicates("consensusTimestamp") else typed
-    table.append(out)
+    if (prePartitioned) table.appendPrePartitioned(out) else table.append(out)
     val m = obs.get
     val ok = m("ok_rows").asInstanceOf[Long]
     m.get("max_ts_ns").collect { case ts: Long =>
@@ -76,20 +76,46 @@ final class IngestPipeline(
     (ok, nBad)
   }
 
-  /** Batch ingest of a directory of JSONL files. Small-file inputs are
-    * fanned out to the session's full parallelism before the parse: the
-    * parse kernel dominates end-to-end cost, and Spark's size-based file
-    * packing would otherwise leave most cores idle on a corpus of a few
-    * compact files (at warehouse scale file counts dwarf cores and the
-    * repartition collapses to a no-op decision). */
-  def ingestBatch(inputDir: String): (Long, Long) = {
-    val raw = spark.read.text(inputDir)
-    val parallelism = spark.sparkContext.defaultParallelism
-    val fanned =
-      if (raw.rdd.getNumPartitions < parallelism) raw.repartition(parallelism)
-      else raw
-    writeBatch(fanned)
-  }
+  /** Batch ingest of a directory of JSONL files. */
+  def ingestBatch(inputDir: String): (Long, Long) =
+    writeRouted(spark.read.text(inputDir))
+
+  /** Shuffle strategy per config:
+    *
+    *  - `preDedupe = false` (the at-scale config — the dedupe jobs are the
+    *    delivery guarantee, the reference's own model): ONE shuffle total.
+    *    Raw lines are keyed by (day, file-salt) extracted with a cheap
+    *    regex on the int64 key, so the parse fan-out and the table's write
+    *    layout are the SAME exchange, and the wide typed rows are never
+    *    shuffled — parse, cast, sort and parquet encode all run in a
+    *    single post-shuffle stage. A line whose key defies the regex (a
+    *    dead letter, or an escaping variant the full parse still accepts)
+    *    merely lands in an approximate bucket: layout becomes best-effort
+    *    for that row, correctness is untouched.
+    *  - `preDedupe = true` (S1's withIdAttribute parity): the within-batch
+    *    dropDuplicates needs its own exchange on the key anyway, so the
+    *    input is fanned out to full parallelism for the parse and the
+    *    table's layout shuffle restores clustering afterwards.
+    */
+  private def writeRouted(raw: DataFrame): (Long, Long) =
+    if (preDedupe) {
+      val parallelism = spark.sparkContext.defaultParallelism
+      val fanned =
+        if (raw.rdd.getNumPartitions < parallelism) raw.repartition(parallelism)
+        else raw
+      writeBatch(fanned, prePartitioned = false)
+    } else {
+      val keyed = raw
+        .withColumn("__ts", regexp_extract(col("value"),
+          "\"consensusTimestamp\"\\s*:\\s*\"?(-?\\d+)", 1).try_cast("long"))
+        .withColumn("__day", to_date(timestamp_micros(expr("__ts div 1000"))))
+        // EXACTLY the layout salt (TransactionsTable.layout): same hash of
+        // the same long → the pre-shuffle and the write layout agree
+        .withColumn("__salt", pmod(xxhash64(col("__ts")), lit(table.filesPerDay)))
+        .repartition(col("__day"), col("__salt"))
+        .select(col("value"))
+      writeBatch(keyed, prePartitioned = true)
+    }
 
   /** Batch-id ledger: replaying an already-committed micro-batch must not
     * append its rows again. The ledger mark is written AFTER both appends,
@@ -102,7 +128,7 @@ final class IngestPipeline(
     val mark = new org.apache.hadoop.fs.Path(dir, f"batch-$batchId%020d")
     if (fs.exists(mark)) (0L, 0L)
     else {
-      val r = writeBatch(raw)
+      val r = writeRouted(raw)
       fs.mkdirs(dir)
       fs.create(mark, true).close()
       r

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * `sortWithinPartitions(transactionType)` at write: parquet row-group
   * min/max stats then skip row groups for type-filtered queries.
   */
-final class TransactionsTable(spark: SparkSession, path: String, filesPerDay: Int = 4) {
+final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay: Int = 4) {
 
   def read(): DataFrame = spark.read.schema(TransactionSchema.table).parquet(path)
 
@@ -39,6 +39,17 @@ final class TransactionsTable(spark: SparkSession, path: String, filesPerDay: In
   /** Append a batch, day-partitioned, clustered within partitions. */
   def append(df: DataFrame): Unit =
     layout(df).write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+
+  /** Append a batch that is ALREADY hash-partitioned by
+    * (day, pmod(xxhash64(consensusTimestamp), filesPerDay)) — the
+    * single-shuffle ingest path (IngestPipeline): the layout exchange is
+    * skipped and rows only pay the in-task sort that yields day-split,
+    * type-clustered files. The files-per-day bound still holds: each
+    * (day, salt) combination lives in exactly one upstream task, so a day
+    * receives at most `filesPerDay` writers. */
+  def appendPrePartitioned(df: DataFrame): Unit =
+    df.sortWithinPartitions(col("day"), col("transactionType"))
+      .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
 
   // Dot-prefixed working dirs inside the table path: Spark's file listing
   // ignores dot-paths, so readers never see staged or backup data, and

@@ -8,53 +8,76 @@ import graft.GraftTestSpark
   * (a filter that stops pushing, a dimension that stops broadcasting, a
   * top-N that becomes a global sort, a join that degrades to a cartesian)
   * fails the suite, not just the bench.
+  *
+  * The whole battery runs against the test scale factor, and AGAIN against
+  * the locally generated sf1 corpus when present (tools: `graft.GenScale`)
+  * — one order of magnitude of scale evidence that the shapes hold as
+  * file-size statistics grow (broadcasts must not silently flip to
+  * shuffle joins, pushdown must survive bigger row groups).
   */
 class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
 
-  private def plan(name: String): String =
-    Registry.byName(name).build(spark, GraftTestSpark.sfDir)
+  private val sf1Dir = "/root/repo/testdata-sf1"
+  private val dirs: Seq[(String, String)] =
+    Seq("" -> GraftTestSpark.sfDir) ++
+      (if (new java.io.File(sf1Dir).isDirectory) Seq(" [sf1]" -> sf1Dir) else Nil)
+
+  private def plan(dir: String, name: String): String =
+    Registry.byName(name).build(spark, dir)
       .queryExecution.executedPlan.toString
 
-  test("filters reach the parquet scans (pushdown)") {
-    Seq("q1_pricing", "q3_shipping", "q5_region_rev").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Equal"),
-        s"$q: no pushed filters in\n$p")
+  for ((tag, dir) <- dirs) {
+
+    test(s"filters reach the parquet scans (pushdown)$tag") {
+      Seq("q1_pricing", "q3_shipping", "q5_region_rev").foreach { q =>
+        val p = plan(dir, q)
+        assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Equal"),
+          s"$q: no pushed filters in\n$p")
+      }
     }
-  }
 
-  test("no query plans a cartesian or nested-loop join except the brute-force baselines") {
-    val exempt = Set("e_cosine_topk", "e_label_stats", "e_dup_pairs_exact")
-    Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
-      val p = plan(q.name)
-      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian join")
+    test(s"no query plans a cartesian or nested-loop join except the brute-force baselines$tag") {
+      val exempt = Set("e_cosine_topk", "e_label_stats", "e_dup_pairs_exact")
+      Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
+        val p = plan(dir, q.name)
+        assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian join")
+      }
     }
-  }
 
-  test("dimension joins broadcast (q5 star chain, type decode)") {
-    assert(plan("q5_region_rev").contains("BroadcastHashJoin"))
-    assert(plan("h_type_decode").contains("BroadcastHashJoin"))
-  }
-
-  test("top-N queries avoid a global sort (TakeOrderedAndProject)") {
-    Seq("q_sort_limit", "q3_shipping", "e_cosine_topk").foreach { q =>
-      assert(plan(q).contains("TakeOrderedAndProject"),
-        s"$q: top-N should be TakeOrderedAndProject, not a global sort")
+    test(s"dimension joins broadcast (q5 star chain, type decode)$tag") {
+      assert(plan(dir, "q5_region_rev").contains("BroadcastHashJoin"))
+      assert(plan(dir, "h_type_decode").contains("BroadcastHashJoin"))
     }
-  }
 
-  test("column pruning: q1 scans only the aggregated lineitem columns") {
-    val p = plan("q1_pricing")
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    // identity keys are not part of the aggregate — pruned at the scan
-    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
-      s"unexpected ReadSchema: $readSchema")
-  }
+    test(s"top-N queries avoid a global sort (TakeOrderedAndProject)$tag") {
+      Seq("q_sort_limit", "q3_shipping", "e_cosine_topk").foreach { q =>
+        assert(plan(dir, q).contains("TakeOrderedAndProject"),
+          s"$q: top-N should be TakeOrderedAndProject, not a global sort")
+      }
+    }
 
-  test("similarity join shuffles band keys, not a cross product") {
-    val p = plan("e_knn_lsh")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "LSH knn must stay an equi-join on band keys")
+    test(s"column pruning: q1 scans only the aggregated lineitem columns$tag") {
+      val p = plan(dir, "q1_pricing")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      // identity keys are not part of the aggregate — pruned at the scan
+      assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+        s"unexpected ReadSchema: $readSchema")
+    }
+
+    test(s"similarity join shuffles band keys, not a cross product$tag") {
+      val p = plan(dir, "e_knn_lsh")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "LSH knn must stay an equi-join on band keys")
+    }
+
+    test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
+      val p = plan(dir, "q_group_topk")
+      // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+      // phase before the exchange — the O(groups·k) shuffle property
+      assert(p.contains("ObjectHashAggregate"),
+        s"q_group_topk should aggregate via ObjectHashAggregate:\n$p")
+      assert(!p.contains("Window"), "q_group_topk must not fall back to a window sort")
+    }
   }
 }
