@@ -36,14 +36,21 @@ object GenScale {
     val spark = GraftSession.localFromEnv("graft-genscale")
 
     def in(name: String): DataFrame = Tables.load(spark, inDir, name)
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    // Fact tables land as many files: the sf0.1 inputs are single-file, and
+    // a crossJoin against a broadcast range inherits that one partition — a
+    // single ~50 MB parquet file reads as ONE scan task, which makes every
+    // downstream measurement a single-core number. A warehouse table of
+    // this size is dozens-to-thousands of files; 32 matches local[32] and
+    // splits files well under maxPartitionBytes so scans parallelize.
+    def write(name: String, df: DataFrame, files: Int = 32): Unit = {
+      df.repartition(files)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
       println(s"wrote $name")
     }
 
-    // dimension tables: straight copies
+    // dimension tables: straight copies (small — one file each)
     Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
-      write(n, in(n))
+      write(n, in(n), files = 1)
     }
 
     def stride(df: DataFrame, key: String): Long =

@@ -28,6 +28,14 @@ object GraftSession {
   /** Apply Graft's semantic configs to any builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Static conf, default 100: a workload with dozens of concurrent plans
+      // (the registry alone codegens >100 whole-stage kernels) evicts live
+      // entries, so a repeated query re-generates + re-loads a fresh class
+      // that starts interpreted and queues behind a saturated C2 compiler —
+      // observed as intermittent 5-30x CPU blowups with zero GC. A long-
+      // running engine re-runs near-identical plans constantly; size the
+      // cache for the working set.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -73,6 +73,15 @@ object PipelineBench {
       val wuTable = new TransactionsTable(spark, s"$base/warmup-transactions")
       val wuErrors = new ErrorsTable(spark, s"$base/warmup-errors")
       new IngestPipeline(spark, wuTable, wuErrors, preDedupe = false).ingestBatch(wuDir)
+      // Warm the DEDUPE kernels too: codegen sources depend on schema +
+      // operators (not paths), so this tiny run compiles exactly the
+      // classes the timed incremental run reuses. Without it, the timed
+      // dedupe occasionally lands on a saturated C2 queue and executes
+      // interpreted end-to-end (observed: 1194 task-CPU-s vs 85 on
+      // identical data — a 14x bimodal blowup, not noise).
+      val wuState = new StateStore(spark, s"$base/warmup-state")
+      new Deduplication.Job(spark, wuTable, wuState,
+        Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4)).runIncremental()
     }
     // The corpus generation just before this leaves the young gen full of
     // shuffle/codegen debris; without a collection here the timed batch
@@ -95,7 +104,18 @@ object PipelineBench {
     val dedupeSec = (System.nanoTime() - t1) / 1e9
     val dedupeCpu = (cpuNs - c1) / 1e9
 
-    Rates(landed, ingestSec, landed / ingestSec, dedupeSec, res.duplicatesRemoved,
-      ingestCpu, dedupeCpu)
+    val rates = Rates(landed, ingestSec, landed / ingestSec, dedupeSec,
+      res.duplicatesRemoved, ingestCpu, dedupeCpu)
+    // The corpus + tables are ~0.5 GB per run; leaking them across bench
+    // runs builds dirty-page writeback pressure that shows up as wall-time
+    // inflation at constant CPU in later runs' write phases.
+    deleteRecursively(new java.io.File(base))
+    rates
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -160,25 +160,11 @@ object TextDedup {
 
   /** Near-dup pairs by SimHash: band on the four 16-bit chunks (any chunk
     * equal → candidate; Hamming ≤ `maxHamming` → pair). Exact for pairs
-    * within Hamming 3 of each other by pigeonhole over 4 bands.
+    * within Hamming 3 of each other by pigeonhole over 4 bands — see
+    * [[Fingerprints.hammingPairs64]] (shared with the image-hash path).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val sigs = simHashes(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b), conv(shiftright(col("simhash"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)), 10, 16))): _*)).as("band_key"))
-    val bounded = banded.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
-    bounded.as("x").join(bounded.as("y"),
-        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
-  }
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    Fingerprints.hammingPairs64(simHashes(docs, idCol, textCol),
+      "doc_id", "simhash", maxHamming, maxBucket)
 }

@@ -399,6 +399,39 @@ object Relational {
       Some("""SELECT word, count(*) AS n FROM (
              |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
              |  FROM documents)
-             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin))
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
+    // CUBE: all 2^2 grouping-set combinations in one pass. Spark plans a
+    // single expand + hash-agg (partial aggregation intact), not four scans.
+    Q("q_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("sum_price")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin)),
+
+    // PIVOT: per-day event counts fanned to one column per event type.
+    // A fixed value list keeps the plan a single pass (no distinct-values
+    // pre-query) and the output schema static — the 100 TB form. Oracle =
+    // the equivalent conditional aggregation.
+    Q("q_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error")),
+      Some("""SELECT CAST(date_trunc('day', make_timestamp(epoch_us(ts))) AS TIMESTAMP) AS day,
+             |  count(*) FILTER (event_type = 'click') AS n_click,
+             |  count(*) FILTER (event_type = 'view') AS n_view,
+             |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             |  count(*) FILTER (event_type = 'signup') AS n_signup,
+             |  count(*) FILTER (event_type = 'error') AS n_error
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }

@@ -22,6 +22,8 @@ object TextQueries {
   private val WSL = "string_split_regex(trim(lower(text)), '\\s+')"
   private val Shingles3 =
     "list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+  private val Shingles5 =
+    "list_transform(generate_series(1, len(ws) - 4), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])"
 
   val all: Seq[Q] = Seq(
 
@@ -273,6 +275,86 @@ object TextQueries {
              |  SELECT doc_id, text, CAST(i AS BIGINT) AS frame_idx,
              |         CAST((i * length(text)) // 4 AS BIGINT) AS off
              |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i)
-             |  WHERE length(text) > 0)""".stripMargin))
+             |  WHERE length(text) > 0)""".stripMargin)),
+
+    // Image near-dup pairs: real PNG decode → 64-bit average-hash →
+    // 16-bit-banded Hamming join (the SimHash shuffle shape applied to
+    // images). Rows-only for the driver (DuckDB cannot decode PNG); the
+    // full pipeline is proven equal to a driver-side brute-force of the
+    // same documented rule (decode → aHash → any-uncapped-band-shared →
+    // Hamming ≤ 2) in MultimodalSpec.
+    Q("m_phash_pairs",
+      (s, dir) => graft.multimodal.Multimodal.imageNearDupPairs(
+        graft.multimodal.Multimodal.toImageTable(docs(s, dir), "doc_id")),
+      None),
+
+    // Stratified sampling: deterministically downsample the dominant
+    // language (en -> 25%) while keeping the rest — the corpus-rebalancing
+    // op every training-data pipeline runs. The keep decision is a pure
+    // function of a salted md5 of the id (portable hex, engine- and
+    // partitioning-independent), so the sample is reproducible anywhere.
+    // Hex threshold '4000'/'10000' = 1/4.
+    Q("t_stratified_sample",
+      (s, dir) => {
+        val h = substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 4)
+        docs(s, dir).filter(col("lang") =!= "en" || h < "4000")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE lang <> 'en'
+             |   OR substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""".stripMargin)),
+
+    // Benchmark decontamination: flag training docs sharing any 5-gram with
+    // the held-out eval slice (doc_id % 101 = 0 stands in for the benchmark
+    // set). The eval n-gram dictionary is tiny by construction (benchmarks
+    // are small; the corpus is the 100 TB side) -> broadcast it and the scan
+    // of the training side stays shuffle-free up to the final per-doc count.
+    Q("t_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val evalG = d.filter(col("doc_id") % 101 === 0)
+          .select(explode(array_distinct(shingles(col("text"), 5))).as("g")).distinct()
+        val trainG = d.filter(col("doc_id") % 101 =!= 0)
+          .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 5))).as("g"))
+        trainG.join(broadcast(evalG), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT DISTINCT unnest(list_distinct($Shingles5)) AS g
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 101 = 0),
+              |tr AS (
+              |  SELECT doc_id, unnest(list_distinct($Shingles5)) AS g
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 101 <> 0)
+              |SELECT doc_id, count(*) AS n_contaminated
+              |FROM tr JOIN ev USING (g) GROUP BY doc_id""".stripMargin)),
+
+    // Keyword extraction: top-3 distinctive terms per doc ranked by
+    // (tf DESC, df ASC, term) — TF-IDF's decision order without the float
+    // logarithm, so the ranking is exact and engine-portable. df rides a
+    // broadcast of the term dictionary; tf partial-aggregates before the
+    // per-doc shuffle.
+    Q("t_top_terms",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tok.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(broadcast(df), Seq("term"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df FROM (
+              |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              |    row_number() OVER (PARTITION BY tf.doc_id
+              |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+              |  FROM tf JOIN df USING (term))
+              |WHERE rnk <= 3""".stripMargin))
   )
 }

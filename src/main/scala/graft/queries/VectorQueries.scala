@@ -200,6 +200,35 @@ object VectorQueries {
            |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
            |  FROM sc)
            |WHERE score >= 0.4""".stripMargin
-      })
+      }),
+
+    // Per-label centroids (cluster means / label prototypes), one row per
+    // (label, dimension). Cross-row float sums are order-dependent in IEEE
+    // arithmetic, so a naive double SUM is nondeterministic under shuffle —
+    // the accumulation here is FIXED-POINT: each component is floored to an
+    // exact 1e-9-grid BIGINT (float->double is exact; *1e9 is one rounding,
+    // identical everywhere), summed exactly in any order, divided once at
+    // the end. This is the scale-safe recipe for distributed vector means.
+    // Shuffle carries O(labels x dim) after partial aggregation.
+    Q("e_centroids",
+      (s, dir) => emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(sum(floor(col("v").cast("double") * 1e9).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          graft.operators.RelationalOps.round6(
+            col("s").cast("double") / (col("n").cast("double") * 1e9)).as("centroid_v"),
+          col("n")),
+      Some("""SELECT CAST(label AS BIGINT) AS label, CAST(idx - 1 AS BIGINT) AS pos,
+             |  floor((CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) * 1000000 + 0.5) / 1000000 AS centroid_v,
+             |  n
+             |FROM (SELECT label, idx,
+             |        SUM(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS s, count(*) AS n
+             |      FROM (SELECT label, unnest(embedding) AS v,
+             |              generate_subscripts(embedding, 1) AS idx
+             |            FROM embeddings)
+             |      GROUP BY 1, 2)""".stripMargin))
   )
 }

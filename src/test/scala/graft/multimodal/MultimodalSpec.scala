@@ -67,4 +67,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleOffsets(3, 4).forall(_ < 3))
     assert(Multimodal.sampleOffsets(0, 4) === Seq.empty)
   }
+
+  test("aHash64 is deterministic and all-integer: same image same hash, dims drive structure") {
+    def hashOf(seed: Long, w: Int, h: Int): Long =
+      Multimodal.aHash64(ImageIO.read(new ByteArrayInputStream(Multimodal.plantedPng(seed, w, h))))
+    assert(hashOf(7L, 20, 12) === hashOf(7L, 20, 12))
+    // same dims, different noise seed → small Hamming (gradient dominates)
+    val d = java.lang.Long.bitCount(hashOf(7L, 20, 12) ^ hashOf(99L, 20, 12))
+    assert(d <= 16, s"same-gradient images should be close, got hamming $d")
+  }
+
+  test("m_phash_pairs: banded image near-dup equals a driver-side brute force of the same rule") {
+    val docs = Tables.load(spark, GraftTestSpark.sfDir, "documents")
+    val got = Multimodal.imageNearDupPairs(Multimodal.toImageTable(docs, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // Brute force, driver-side: decode every planted image, hash, then apply
+    // the documented rule directly — pair (a, b) iff Hamming ≤ 2 AND the two
+    // hashes share at least one 16-bit chunk whose bucket is ≤ maxBucket.
+    val ids = docs.select(col("doc_id").cast("long")).as[Long].collect()
+    val hs = ids.map { id =>
+      val (w, h) = Multimodal.plantedDims(id)
+      val png = Multimodal.plantedPng(id * 0x9e3779b97f4a7c15L + 17, w, h)
+      id -> Multimodal.aHash64(ImageIO.read(new ByteArrayInputStream(png)))
+    }.toMap
+    def chunk(sig: Long, b: Int): Long = (sig >>> (b * 16)) & 0xFFFFL
+    val bucket = scala.collection.mutable.Map.empty[(Int, Long), Int].withDefaultValue(0)
+    for (id <- ids; b <- 0 until 4) bucket((b, chunk(hs(id), b))) += 1
+    val sortedIds = ids.sorted
+    val exp = (for {
+      i <- sortedIds.indices.iterator
+      j <- (i + 1 until sortedIds.length).iterator
+      a = sortedIds(i); b2 = sortedIds(j)
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b2))
+      if d <= 2 && (0 until 4).exists(bb =>
+        chunk(hs(a), bb) == chunk(hs(b2), bb) && bucket((bb, chunk(hs(a), bb))) <= 64)
+    } yield (a, b2, d.toLong)).toSet
+    assert(exp.nonEmpty, "planted corpus must yield near-dup image pairs")
+    assert(got === exp)
+  }
 }
