@@ -37,6 +37,14 @@ object IngestProfile {
       val errors = new ErrorsTable(spark, s"$base/errors")
       new IngestPipeline(spark, table, errors, preDedupe = false).ingestBatch(s"$base/in")
     }
+    timed("+ parquet write (no coalesce)") {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        val table = new TransactionsTable(spark, s"$base/transactions2")
+        val errors = new ErrorsTable(spark, s"$base/errors2")
+        new IngestPipeline(spark, table, errors, preDedupe = false).ingestBatch(s"$base/in")
+      } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
     spark.stop()
   }
 }

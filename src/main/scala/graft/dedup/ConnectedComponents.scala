@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions.{coalesce, col, least, min}
+
+/** Distributed connected components over an undirected edge list — the
+  * operator that turns near-duplicate PAIRS into duplicate CLUSTERS, so a
+  * curation pipeline can keep exactly one representative per component
+  * (rather than the greedy per-pair drop, which over-deletes when A~B and
+  * B~C but A!~C and the pipeline wants min-id survivors per component).
+  *
+  * Algorithm: iterative min-label propagation with a pointer-doubling
+  * shortcut. Each iteration a node adopts the smallest component label among
+  * itself, its neighbors (one shuffle: edges join labels, groupBy node,
+  * min), and its current label's OWN label (the doubling join — labels join
+  * labels). Neighbor propagation alone converges in O(diameter) rounds;
+  * the doubling step halves label-chain lengths each round, giving
+  * O(log diameter) rounds on path-shaped components (the Kiveris et al.
+  * "Connected Components in MapReduce and Beyond" two-phase star algorithm
+  * has the same round bound; the label-doubling variant needs no graph
+  * rewriting, so each round is two joins over frames no larger than the
+  * input). Near-dup graphs are overwhelmingly tiny star/clique components,
+  * so typical convergence is 2-3 rounds.
+  *
+  * Scale notes (100 TB): all per-round state is (id, component) pairs —
+  * two longs per VERTEX, not per edge — and every join keys on id, so AQE
+  * handles skew. Lineage is truncated each round with an eager
+  * `localCheckpoint` (executor-local blocks; on a cluster with dynamic
+  * allocation switch to reliable `checkpoint` with a checkpoint dir — the
+  * call site is the single `persistRound` below). The convergence probe is
+  * a `limit(1).count()` over the changed rows: it short-circuits as soon
+  * as one change is seen, and scans only checkpointed per-vertex state.
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every node that appears in `edges`; `component` is
+    * the minimum node id reachable from the node (undirected reachability).
+    * Nodes not present in any edge are the caller's to append (they are
+    * their own component). Self-loops and duplicate/reversed edges are
+    * tolerated.
+    */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    def persistRound(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    var labels = persistRound(
+      bidir.select(col("u").as("id")).distinct().withColumn("component", col("id")))
+
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      // Smallest component label among my neighbors this round.
+      val nbrMin = bidir
+        .join(labels.select(col("id").as("v"), col("component").as("nc")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          col("component").as("prev"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1"))
+      // Pointer doubling: also adopt the label OF my label.
+      val doubled = persistRound(stepped
+        .join(stepped.select(col("id").as("pid"), col("c1").as("pc")),
+          stepped("c1") === F.col("pid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("c1"), coalesce(col("pc"), col("c1"))).as("component")))
+      converged = doubled.filter(col("component") < col("prev")).limit(1).isEmpty
+      labels = doubled.select(col("id"), col("component"))
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -33,7 +33,12 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * clustering-based skipping the reference gets from BigQuery clustering
     * (scripts/create-tables.sh:16). */
   private def layout(df: DataFrame): DataFrame =
-    df.repartition(col("day"), pmod(xxhash64(col("consensusTimestamp")), lit(filesPerDay)))
+    // Pinned partition count (REPARTITION_BY_NUM): a by-column repartition
+    // is AQE-coalescible and a small batch collapses to one task,
+    // serializing the sort + parquet encode. Parallelism stays bounded by
+    // distinct (day, salt) combos either way; empty partitions are free.
+    df.repartition(spark.sparkContext.defaultParallelism,
+        col("day"), pmod(xxhash64(col("consensusTimestamp")), lit(filesPerDay)))
       .sortWithinPartitions(col("day"), col("transactionType"))
 
   /** Append a batch, day-partitioned, clustered within partitions. */

@@ -22,8 +22,53 @@ object TextQueries {
   private val WSL = "string_split_regex(trim(lower(text)), '\\s+')"
   private val Shingles3 =
     "list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
-  private val Shingles5 =
-    "list_transform(generate_series(1, len(ws) - 4), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])"
+  private val Shingles4 =
+    "list_transform(generate_series(1, len(ws) - 3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
+
+  /** Exact 3-gram-jaccard near-dup pairs (df-capped); shared by
+    * t_jaccard_pairs (emits the pairs) and t_dup_clusters (uses them as the
+    * edge list for connected components). */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val maxDf = 100
+    val sh = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 3))).as("s"))
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    val shc = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = shc.as("x").join(shc.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard", graft.operators.RelationalOps.round6(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+  }
+
+  /** The same pairs as DuckDB CTEs ending in `jp(a_id, b_id, inter,
+    * jaccard)` — prefix for the t_jaccard_pairs and t_dup_clusters
+    * oracles. */
+  private val PairCtes = s"""sh AS (
+    |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
+    |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
+    |shc AS (
+    |  SELECT * FROM sh
+    |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)),
+    |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    |pairs0 AS (
+    |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+    |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+    |  GROUP BY 1, 2),
+    |jp AS (
+    |  SELECT a_id, b_id, inter, jaccard FROM (
+    |    SELECT a_id, b_id, inter,
+    |      floor((CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+    |    FROM pairs0 JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
+    |  WHERE jaccard >= 0.4)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -110,42 +155,37 @@ object TextQueries {
     // construction (few shingles exceed the cap) → broadcast anti-join, no
     // extra shuffle of the shingle rows. The oracle mirrors the cap.
     Q("t_jaccard_pairs",
+      (s, dir) => jaccardPairs(s, dir),
+      Some(s"WITH $PairCtes\nSELECT a_id, b_id, inter, jaccard FROM jp")),
+
+    // Duplicate CLUSTERS: connected components over the exact-jaccard
+    // near-dup pairs — every doc labeled with the min doc_id reachable
+    // through the near-dup graph (singletons label themselves). This is the
+    // cluster-then-keep-one shape a curation pipeline needs when dup
+    // relations chain (A~B~C with A!~C): survivors = one per cluster, not
+    // the over-deleting greedy pair drop. The oracle computes the same
+    // fixpoint with a recursive reachability CTE.
+    Q("t_dup_clusters",
       (s, dir) => {
-        val maxDf = 100
-        val sh = docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(shingles(col("text"), 3))).as("s"))
-        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("s"))
-        val shc = sh.join(broadcast(hot), Seq("s"), "left_anti")
-        val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = shc.as("x").join(shc.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-          .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-          .withColumn("jaccard", graft.operators.RelationalOps.round6(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double")))
-          .filter(col("jaccard") >= 0.4)
-          .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+        val cc = graft.dedup.ConnectedComponents.components(
+          jaccardPairs(s, dir), "a_id", "b_id")
+        docs(s, dir).select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
       },
-      Some(s"""WITH sh AS (
-              |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
-              |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
-              |shc AS (
-              |  SELECT * FROM sh
-              |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)),
-              |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-              |pairs AS (
-              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
-              |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
-              |  GROUP BY 1, 2)
-              |SELECT a_id, b_id, inter, jaccard FROM (
-              |  SELECT a_id, b_id, inter,
-              |    floor((CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
-              |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
-              |WHERE jaccard >= 0.4""".stripMargin)),
+      Some(s"""WITH RECURSIVE $PairCtes,
+              |edges AS (
+              |  SELECT a_id AS u, b_id AS v FROM jp
+              |  UNION SELECT b_id, a_id FROM jp),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+              |SELECT d.doc_id,
+              |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+              |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+              |GROUP BY d.doc_id""".stripMargin)),
 
     // MinHash-LSH near-dup pairs (sketch path; engine-specific hashes →
     // rows-only check; exactness covered by t_jaccard_pairs + ScalaTest).
@@ -304,27 +344,30 @@ object TextQueries {
              |WHERE lang <> 'en'
              |   OR substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""".stripMargin)),
 
-    // Benchmark decontamination: flag training docs sharing any 5-gram with
-    // the held-out eval slice (doc_id % 101 = 0 stands in for the benchmark
-    // set). The eval n-gram dictionary is tiny by construction (benchmarks
-    // are small; the corpus is the 100 TB side) -> broadcast it and the scan
-    // of the training side stays shuffle-free up to the final per-doc count.
+    // Benchmark decontamination: flag training docs sharing any 4-gram with
+    // the held-out eval slice (doc_id % 20 = 0 stands in for the benchmark
+    // set; real pipelines use 13-grams on much longer docs — 4 on this
+    // synthetic short-doc corpus keeps the flag rate in the same few-percent
+    // band at every test SF, so the check is never vacuously empty). The
+    // eval n-gram dictionary is tiny by construction (benchmarks are small;
+    // the corpus is the 100 TB side) -> broadcast it and the scan of the
+    // training side stays shuffle-free up to the final per-doc count.
     Q("t_decontaminate",
       (s, dir) => {
         val d = docs(s, dir)
-        val evalG = d.filter(col("doc_id") % 101 === 0)
-          .select(explode(array_distinct(shingles(col("text"), 5))).as("g")).distinct()
-        val trainG = d.filter(col("doc_id") % 101 =!= 0)
-          .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 5))).as("g"))
+        val evalG = d.filter(col("doc_id") % 20 === 0)
+          .select(explode(array_distinct(shingles(col("text"), 4))).as("g")).distinct()
+        val trainG = d.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 4))).as("g"))
         trainG.join(broadcast(evalG), Seq("g"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
       },
       Some(s"""WITH ev AS (
-              |  SELECT DISTINCT unnest(list_distinct($Shingles5)) AS g
-              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 101 = 0),
+              |  SELECT DISTINCT unnest(list_distinct($Shingles4)) AS g
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 20 = 0),
               |tr AS (
-              |  SELECT doc_id, unnest(list_distinct($Shingles5)) AS g
-              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 101 <> 0)
+              |  SELECT doc_id, unnest(list_distinct($Shingles4)) AS g
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 20 <> 0)
               |SELECT doc_id, count(*) AS n_contaminated
               |FROM tr JOIN ev USING (g) GROUP BY doc_id""".stripMargin)),
 
@@ -355,6 +398,55 @@ object TextQueries {
               |    row_number() OVER (PARTITION BY tf.doc_id
               |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
               |  FROM tf JOIN df USING (term))
-              |WHERE rnk <= 3""".stripMargin))
+              |WHERE rnk <= 3""".stripMargin)),
+
+    // Exact distributed percentiles per stratum — the quality-threshold
+    // derivation step of a filtering pipeline ("drop docs below the
+    // per-language p25"). Spark's exact `percentile` aggregate and DuckDB's
+    // `quantile_cont` share the (n-1)*p linear-interpolation definition, so
+    // the oracle is exact up to the shared 6-dp rounding. At 100 TB the
+    // exact sort-based percentile is per-GROUP (languages are few, rows per
+    // group huge — partial aggregation does the heavy lift); for quantiles
+    // over ungrouped petabyte columns the approx_percentile sketch is the
+    // scale path (same call shape).
+    Q("t_quality_quantiles",
+      (s, dir) => docs(s, dir).groupBy(col("lang")).agg(
+        graft.operators.RelationalOps.round6(
+          expr("percentile(n_chars, 0.25)")).as("p25"),
+        graft.operators.RelationalOps.round6(
+          expr("percentile(n_chars, 0.5)")).as("p50"),
+        graft.operators.RelationalOps.round6(
+          expr("percentile(n_chars, 0.75)")).as("p75"),
+        count(lit(1)).as("n_docs")),
+      Some("""SELECT lang,
+             |  floor(quantile_cont(n_chars, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+             |  floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+             |  floor(quantile_cont(n_chars, 0.75) * 1000000 + 0.5) / 1000000 AS p75,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // PII redaction: regexp-rewrite emails to a placeholder. The synthetic
+    // corpus is PII-free, so the query PLANTS a deterministic email per doc
+    // before redacting — the redaction kernel (pattern + rewrite) is the
+    // operator under test, and the planted text makes the check non-vacuous
+    // at every SF. The pattern avoids lookaround so the Java-regex engine
+    // (Spark) and RE2 (DuckDB) agree byte-for-byte. Output is the md5 of
+    // the redacted text plus the match count (regexp_count), not the text
+    // itself. Zero shuffle, codegen'd.
+    Q("t_redact",
+      (s, dir) => {
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now"))
+        val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        docs(s, dir).select(col("doc_id"),
+          md5(regexp_replace(planted, pat, "<EMAIL>")).as("redacted_md5"),
+          regexp_count(planted, lit(pat)).cast("long").as("n_redacted"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now',
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
+             |  CAST(len(regexp_extract_all(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now',
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_redacted
+             |FROM documents""".stripMargin))
   )
 }

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  /** In-JVM union-find reference. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to root, then map each node to the MIN id in its set
+    val root = (0 until n).map(find)
+    val minOf = root.zipWithIndex.groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).min }
+    (0 until n).map(i => i.toLong -> minOf(root(i)).toLong).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("random graph matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = run(edges)
+    val want = unionFind(n, edges)
+    // components() labels only nodes present in edges
+    val present = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.keySet == present)
+    got.foreach { case (id, comp) => assert(comp == want(id), s"node $id") }
+  }
+
+  test("worst-case chain converges via pointer doubling") {
+    val n = 256
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "every chain node labels to the min id")
+  }
+
+  test("self-loops, duplicate and reversed edges are tolerated") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L), (5L, 4L))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("empty edge list yields empty labeling") {
+    assert(run(Seq.empty).isEmpty)
+  }
+
+  test("t_dup_clusters: planted chain A~B~C clusters together without A~C edge") {
+    // Cluster semantics vs greedy pair-drop: build pairs directly.
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a_id", "b_id")
+    val cc = ConnectedComponents.components(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+}
