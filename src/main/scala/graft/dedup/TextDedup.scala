@@ -117,13 +117,20 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
-  /** Connected near-dup pairs collapsed to a survivor set: every b_id that
-    * pairs with a lower a_id is dropped (greedy min-id representative —
-    * single-link within LSH reach). */
+  /** Near-dup pairs collapsed to a survivor set: ONE representative (the
+    * min id) per connected component of the near-dup graph
+    * ([[ConnectedComponents]]), so chained relations (A~B~C with A!~C)
+    * keep exactly one doc — the cluster-then-keep-one semantics a curation
+    * pipeline needs. A greedy per-pair drop either over-deletes (both B and
+    * C) or under-deletes (keeps a non-representative middle node that never
+    * appears on the drop side of a pair). */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val losers = nearDuplicatePairs(docs, idCol, textCol, cfg)
-      .select(col("b_id").as(idCol)).distinct()
+    val pairs = nearDuplicatePairs(docs, idCol, textCol, cfg)
+      .select(col("a_id"), col("b_id"))
+    val losers = ConnectedComponents.components(pairs, "a_id", "b_id")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

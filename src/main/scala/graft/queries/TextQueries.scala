@@ -195,10 +195,12 @@ object TextQueries {
       None),
 
     // MinHash near-dup SURVIVOR SET — the operator a curation pipeline
-    // actually runs (keep min-id per connected near-dup reach). Rows-only:
-    // pair-level exactness is covered by t_jaccard_pairs' oracle and the
-    // survivor rule is proven against brute-force jaccard in
-    // NoOracleEquivalenceSpec.
+    // actually runs: ONE survivor (the min id) per connected component of
+    // the near-dup graph (ConnectedComponents over the LSH-verified pairs).
+    // Rows-only: pair-level exactness is covered by t_jaccard_pairs' oracle,
+    // the component fixpoint by t_dup_clusters' recursive-CTE oracle, and
+    // the survivor rule is proven against brute-force jaccard + union-find
+    // in NoOracleEquivalenceSpec.
     Q("t_minhash_dedup",
       (s, dir) => TextDedup.minHashDedup(docs(s, dir), "doc_id", "text",
           TextDedup.MinHashConfig(jaccardThreshold = 0.4))
@@ -447,6 +449,43 @@ object TextQueries {
              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
              |  CAST(len(regexp_extract_all(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now',
              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_redacted
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Leakage-free split: t_split keyed by the near-dup CLUSTER id instead
+    // of the doc id, so near-duplicates always land in the same train/val/
+    // test bucket (per-doc hashing leaks eval content into train whenever a
+    // near-dup pair straddles the split — the contamination t_decontaminate
+    // measures). Composition of t_dup_clusters and t_split; same md5
+    // assignment, same recursive-CTE oracle for the cluster fixpoint.
+    Q("t_split_leakfree",
+      (s, dir) => {
+        val cc = graft.dedup.ConnectedComponents.components(
+          jaccardPairs(s, dir), "a_id", "b_id")
+        val clustered = docs(s, dir).select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        val h = substring(md5(col("cluster_id").cast("string")), 1, 4)
+        clustered.select(col("doc_id"), col("cluster_id"),
+          when(h < "cccc", "train").when(h < "e666", "val").otherwise("test").as("split"))
+      },
+      Some(s"""WITH RECURSIVE $PairCtes,
+              |edges AS (
+              |  SELECT a_id AS u, b_id AS v FROM jp
+              |  UNION SELECT b_id, a_id FROM jp),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |clustered AS (
+              |  SELECT d.doc_id,
+              |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+              |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+              |  GROUP BY d.doc_id)
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM clustered""".stripMargin))
   )
 }

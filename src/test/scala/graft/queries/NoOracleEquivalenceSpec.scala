@@ -81,25 +81,33 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
 
   // ---- t_minhash_dedup: survivor set vs brute-force jaccard rule ----------
 
-  test("t_minhash_dedup: survivors = docs minus higher-id members of exact near-dup pairs") {
+  test("t_minhash_dedup: survivors = min-id per component of brute-force near-dup graph") {
     val survivors = run("t_minhash_dedup").select("doc_id").as[Long].collect().toSet
-    // independent survivor rule from brute-force jaccard over the same
-    // normalized shingle-hash sets
+    // independent survivor rule: brute-force jaccard pairs over the same
+    // normalized shingle-hash sets -> in-JVM union-find -> min per component
     val sets = docs.select(col("doc_id"),
       TextDedup.shingleHashes(col("text"), 3).as("sh")).filter(size(col("sh")) > 0)
-    val exactLosers = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .select(col("y.doc_id").as("b_id"),
+    val exactPairs = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
           (size(col("x.sh")) + size(col("y.sh"))
             - size(array_intersect(col("x.sh"), col("y.sh")))).cast("double")).as("j"))
-      .filter(col("j") >= 0.4).select("b_id").as[Long].collect().toSet
+      .filter(col("j") >= 0.4).select("a_id", "b_id").as[(Long, Long)].collect()
     val allIds = docs.select("doc_id").as[Long].collect().toSet
-    // LSH may miss borderline pairs (extra survivors) but must never drop a
-    // doc the exact rule keeps, and must keep the vast majority decision
+    val parent = scala.collection.mutable.Map(allIds.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exactSurvivors = allIds.groupBy(find).values.map(_.min).toSet
+    // LSH may miss borderline edges — a missed edge only SPLITS a component,
+    // and each split part keeps its own min, so LSH survivors are a superset
+    // of the exact-graph survivors; an exact-component min must never drop.
     assert(survivors.subsetOf(allIds))
-    assert((allIds -- exactLosers).subsetOf(survivors),
-      "a doc with no exact near-dup (or lowest id in its group) must survive")
-    val agreement = (allIds.size - (survivors -- (allIds -- exactLosers)).size).toDouble / allIds.size
+    assert(exactSurvivors.subsetOf(survivors),
+      "the min-id of an exact near-dup component must survive")
+    val agreement = (allIds.size - (survivors -- exactSurvivors).size).toDouble / allIds.size
     assert(agreement >= 0.95, s"survivor agreement $agreement vs exact rule")
   }
 
