@@ -486,6 +486,46 @@ object TextQueries {
               |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
               |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
               |       ELSE 'test' END AS split
-              |FROM clustered""".stripMargin))
+              |FROM clustered""".stripMargin)),
+
+    // Repeated-passage removal (C4-style intra-corpus dedup, segment
+    // granularity): chunk each doc into fixed 10-token segments, keep only
+    // the corpus-FIRST occurrence of every distinct segment (min of
+    // doc_id·10⁵+idx — deterministic under any partitioning), report
+    // kept/total per doc. One shuffle on the segment fingerprint (groupBy
+    // min + hash join back — the window-free shape that scales: no
+    // per-fingerprint sort, partial aggregation on both sides). Docs
+    // shorter than one segment carry no evidence and drop out on both
+    // engines alike.
+    Q("t_passage_dedup",
+      (s, dir) => {
+        val segLen = 10
+        val toks = tokens(col("text"))
+        val segs = docs(s, dir)
+          .filter(size(toks) >= segLen)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), (size(toks) / segLen).cast("int") - 1),
+              i => md5(array_join(slice(toks, i * segLen + 1, lit(segLen)), " ")))))
+          .select(col("doc_id"), (col("doc_id") * 100000L + col("pos")).as("p"),
+            col("col").as("fp"))
+        val first = segs.groupBy(col("fp")).agg(min(col("p")).as("mp"))
+        segs.join(first, Seq("fp"))
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_segments"),
+            sum(when(col("p") === col("mp"), 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $WS AS ws FROM documents),
+              |segs AS (
+              |  SELECT doc_id, doc_id * 100000 + (i - 1) AS p,
+              |    md5(array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ')) AS fp
+              |  FROM t, unnest(generate_series(1, len(ws) // 10)) AS u(i)
+              |  WHERE len(ws) >= 10),
+              |first AS (SELECT fp, min(p) AS mp FROM segs GROUP BY fp)
+              |SELECT doc_id, count(*) AS n_segments,
+              |  CAST(sum(CASE WHEN p = mp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM segs JOIN first USING (fp)
+              |GROUP BY doc_id""".stripMargin))
   )
 }
