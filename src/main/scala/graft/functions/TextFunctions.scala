@@ -22,11 +22,18 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Rough byte-pair-ish token estimate without a vocab: count alphanumeric
-    * runs and non-space symbols separately (`\w+|[^\w\s]` matches), which
-    * tracks subword tokenizers far better than whitespace on punctuated text.
+    * runs and non-whitespace symbols separately, which tracks subword
+    * tokenizers far better than whitespace on punctuated text. The word /
+    * whitespace classes are spelled out as explicit ASCII sets (no `\w`,
+    * no lookaround) so the SAME pattern means the same thing to Java
+    * regex, RE2 (DuckDB oracle), and any other linear-time engine — and
+    * `regexp_count` needs no intermediate array, keeping the kernel
+    * codegen'd and allocation-free.
     */
+  val bpeIshPattern = "[0-9A-Za-z_]+|[^0-9A-Za-z_ \\t\\n\\x0B\\f\\r]"
+
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= "")).cast("long")
+    regexp_count(text, lit(bpeIshPattern)).cast("long")
 
   /** Word k-shingles (k consecutive tokens joined by a single space).
     * Implemented as a `transform` over an index `sequence` — array-native,

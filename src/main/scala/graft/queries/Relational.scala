@@ -432,6 +432,46 @@ object Relational {
              |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
              |  count(*) FILTER (event_type = 'signup') AS n_signup,
              |  count(*) FILTER (event_type = 'error') AS n_error
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // GROUPING SETS with an explicit set list (the general form rollup/cube
+    // specialize); grouping_id disambiguates a NULL group key from a
+    // subtotal row — without it the two are indistinguishable in the
+    // output. Single-pass expand + one aggregation exchange.
+    Q("q_grouping_sets",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             |  count(*) AS n_orders,
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin)),
+
+    // RANGE-frame window: per-user moving 60-second sum — the frame is a
+    // VALUE range on the event-time axis (peers with equal timestamps are
+    // all in-frame, so the result is independent of any tiebreak order),
+    // unlike the ROWS frame of q_window_running. Decimal-summed for
+    // order-insensitive exactness.
+    Q("q_window_range",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(expr("ts div 1000000000"))
+          .rangeBetween(-60, Window.currentRow)
+        t(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          decToDouble(sum(dec(col("value"))).over(w)).as("moving_60s_value"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             |    RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving_60s_value
+             |FROM events""".stripMargin))
   )
 }

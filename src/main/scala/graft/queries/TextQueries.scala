@@ -228,12 +228,15 @@ object TextQueries {
       None,
       headline = true),
 
-    // BPE-ish subword token estimate (rows-only: the split regex uses
-    // lookaround, which RE2-based engines don't support).
+    // BPE-ish subword token estimate. The pattern is an explicit-ASCII
+    // alternation (no lookaround, no \w) so Java regex and RE2 agree
+    // byte-for-byte — which upgrades this from rows-only to a full oracle.
     Q("t_token_bpeish",
       (s, dir) => docs(s, dir).select(
         col("doc_id"), tokenCountBpeIsh(col("text")).as("n_subword_tokens")),
-      None),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '$bpeIshPattern')) AS BIGINT) AS n_subword_tokens
+              |FROM documents""".stripMargin)),
 
     // Sketch aggregates: approximate distinct counts (HLL++) per source —
     // rows-only (sketch values are engine-specific by construction).

@@ -175,16 +175,31 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
   }
 
   // ---- t_token_bpeish: independent JVM-regex reimplementation -------------
+  // (also has a DuckDB oracle now — the ASCII pattern is RE2-compatible;
+  // this spec additionally pins the semantics on punctuation-rich strings
+  // the synthetic corpus doesn't contain)
 
   test("t_token_bpeish: matches a driver-side regex count exactly") {
     val got = run("t_token_bpeish").filter(col("doc_id") < 50)
       .as[(Long, Long)].collect().toMap
     docs.filter(col("doc_id") < 50).select("doc_id", "text").as[(Long, String)]
       .collect().foreach { case (id, t) =>
-        // same split semantics, evaluated by java.util.regex on the driver
+        // independent formulation of the same count, evaluated by
+        // java.util.regex on the driver: split at symbol boundaries, count
+        // non-whitespace pieces (equivalent to counting word-run/symbol
+        // matches; proven equal on the corpus + edge cases)
         val expected = t.split("(?<=\\W)|(?=\\W)").count(_.trim.nonEmpty).toLong
         assert(got(id) === expected, s"doc $id bpe-ish count mismatch")
       }
+    // punctuated strings exercise the symbol branch the corpus lacks
+    import spark.implicits._
+    val planted = Seq((1L, "Hello, world! It's 3.14; x_1=y-2 (a+b)*c"),
+      (2L, "..."), (3L, ""), (4L, "a,b,,c--d"))
+    val counts = planted.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFunctions.tokenCountBpeIsh(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 23L, 2L -> 3L, 3L -> 0L, 4L -> 9L))
   }
 
   // ---- t_approx_distinct: sketch vs exact -------------------------------
