@@ -17,6 +17,7 @@ import graft.expressions._
   * - simhash64(array<string>) → bigint
   * - minhash_sig(array<bigint>, numPerm, seed) → array<bigint>
   * - hyperplane_bands(array<float>, dim, bands, bits, seed) → array<bigint>
+  * - nfc_normalize(string) → string  (Unicode NFC, codegen'd)
   * - topk_by_score(score, id, k) → array<struct<score,id>>  (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -43,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBands(args(0),
         intLit(args(1), "dim"), intLit(args(2), "bands"),
         intLit(args(3), "bitsPerBand"), longLit(args(4), "seed"))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonicalization"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
     e.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score",
         "topk_by_score(score, id, k) - top-k (score,id) pairs per group, score desc"),
@@ -70,6 +74,8 @@ object GraftExtensions {
       args => CosineSimilarity(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      args => NfcNormalize(args.head), "built-in")
     reg.createOrReplaceTempFunction("topk_by_score",
       args => TopKByScore(args(0), args(1), intLit(args(2), "k")), "built-in")
   }

@@ -529,6 +529,28 @@ object TextQueries {
               |SELECT doc_id, count(*) AS n_segments,
               |  CAST(sum(CASE WHEN p = mp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
               |FROM segs JOIN first USING (fp)
-              |GROUP BY doc_id""".stripMargin))
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Unicode NFC canonicalization (native expression, codegen'd — see
+    // graft.expressions.NfcNormalize): canonically-equal text must hash
+    // identically before any fingerprint/dedup step. The ASCII corpus is
+    // trivially NFC, so the query PLANTS a decomposed suffix ("e" +
+    // combining acute, "i" + combining diaeresis) per doc; the oracle is
+    // DuckDB's utf8proc-backed nfc_normalize — two independent NFC
+    // implementations agreeing byte-for-byte (compared via md5) plus the
+    // codepoint shrink 2->1 per combining pair.
+    Q("t_nfc_normalize",
+      (s, dir) => {
+        val planted = concat(col("text"), lit(" café naïve"))
+        docs(s, dir).select(col("doc_id"),
+          md5(graft.expressions.NfcNormalize(planted)).as("nfc_md5"),
+          length(planted).cast("long").as("len_raw"),
+          length(graft.expressions.NfcNormalize(planted)).cast("long").as("len_nfc"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(nfc_normalize(text || ' café naïve')) AS nfc_md5,
+             |  CAST(length(text || ' café naïve') AS BIGINT) AS len_raw,
+             |  CAST(length(nfc_normalize(text || ' café naïve')) AS BIGINT) AS len_nfc
+             |FROM documents""".stripMargin))
   )
 }

@@ -20,6 +20,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must not throw
   }
 
+  test("nfc_normalize composes decomposed sequences; codegen and SQL agree") {
+    GraftExtensions.register(spark)
+    // "e" + U+0301 must compose to U+00E9; already-NFC input is unchanged
+    val row = spark.sql(
+      "SELECT nfc_normalize('café') AS c, nfc_normalize('plain') AS p," +
+        " length(nfc_normalize('café')) AS l").first()
+    assert(row.getString(0) == "café")
+    assert(row.getString(1) == "plain")
+    assert(row.getInt(2) == 4 || row.getLong(2) == 4L)
+    // Column API matches the independent JDK reference on mixed input
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val mixed = Seq("äbc", "x", "", "ñ + ô")
+    val got = mixed.toDF("s")
+      .select(graft.expressions.NfcNormalize(col("s")).as("n"))
+      .as[String].collect()
+    val want = mixed.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+  }
+
   test("topk_by_score SQL aggregate evaluates and ranks") {
     GraftExtensions.register(spark)
     import spark.implicits._
