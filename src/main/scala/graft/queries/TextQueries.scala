@@ -499,7 +499,9 @@ object TextQueries {
     // min + hash join back — the window-free shape that scales: no
     // per-fingerprint sort, partial aggregation on both sides). Docs
     // shorter than one segment carry no evidence and drop out on both
-    // engines alike.
+    // engines alike. Position encoding doc_id*10^6+idx bounds docs at 10^6
+    // segments (10M tokens) and ids at 9.2*10^12 — beyond either, switch
+    // the min to a (doc_id, idx) struct ordering.
     Q("t_passage_dedup",
       (s, dir) => {
         val segLen = 10
@@ -510,7 +512,7 @@ object TextQueries {
             posexplode(transform(
               sequence(lit(0), (size(toks) / segLen).cast("int") - 1),
               i => md5(array_join(slice(toks, i * segLen + 1, lit(segLen)), " ")))))
-          .select(col("doc_id"), (col("doc_id") * 100000L + col("pos")).as("p"),
+          .select(col("doc_id"), (col("doc_id") * 1000000L + col("pos")).as("p"),
             col("col").as("fp"))
         val first = segs.groupBy(col("fp")).agg(min(col("p")).as("mp"))
         segs.join(first, Seq("fp"))
@@ -521,7 +523,7 @@ object TextQueries {
       Some(s"""WITH t AS (
               |  SELECT doc_id, $WS AS ws FROM documents),
               |segs AS (
-              |  SELECT doc_id, doc_id * 100000 + (i - 1) AS p,
+              |  SELECT doc_id, doc_id * 1000000 + (i - 1) AS p,
               |    md5(array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ')) AS fp
               |  FROM t, unnest(generate_series(1, len(ws) // 10)) AS u(i)
               |  WHERE len(ws) >= 10),

@@ -88,4 +88,28 @@ class PropertiesSpec extends AnyFunSuite {
       assert(math.abs(est - trueJ) <= 0.25, s"est=$est true=$trueJ")
     }
   }
+
+  private val edgeLists: Gen[List[(Long, Long)]] =
+    Gen.listOfN(80, Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+
+  test("connected components = union-find fixpoint on random graphs") {
+    for (edges <- samples(edgeLists, 4) if edges.exists(e => e._1 != e._2)) {
+      val got = graft.dedup.ConnectedComponents
+        .components(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // independent union-find
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOf = nodes.groupBy(find).map { case (r, xs) => r -> xs.min }
+      val want = nodes.filter(n => edges.exists(e =>
+          (e._1 == n || e._2 == n) && e._1 != e._2))
+        .map(n => n -> minOf(find(n))).toMap
+      assert(got === want)
+    }
+  }
 }
