@@ -102,6 +102,15 @@ object Bench {
     val rates = try PipelineBench.run(spark, sfDir, listener)
     catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0, -1, -1) }
 
+    // Heavy curation ops benched OUTSIDE the headline set (and its total):
+    // their build step runs distributed jobs (connected-components
+    // fixpoint), so they get one warm + one timed pass each, recorded as
+    // standalone fields — round-over-round headline totals stay comparable.
+    def timedExtra(name: String): Double =
+      try { runOnce(name); runOnce(name) } catch { case _: Throwable => -1.0 }
+    val ccSec = timedExtra("t_dup_clusters")
+    val passageSec = timedExtra("t_passage_dedup")
+
     val results: Seq[(String, QStats)] = Registry.headline.map { q =>
       val st = try {
         runOnce(q.name) // warmup: file listing, codegen, JIT — outside timing
@@ -139,6 +148,8 @@ object Bench {
       s""""ingest_cpu_sec":${f"${rates.ingestCpuSec}%.3f"},""" +
       s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""" +
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
+      s""""cc_clusters_sec":${f"$ccSec%.3f"},""" +
+      s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
       s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +

@@ -35,13 +35,22 @@ object TextFunctions {
   def tokenCountBpeIsh(text: Column): Column =
     regexp_count(text, lit(bpeIshPattern)).cast("long")
 
-  /** Word k-shingles (k consecutive tokens joined by a single space).
-    * Implemented as a `transform` over an index `sequence` — array-native,
-    * codegen'd, no explode unless the caller asks for one. Texts with fewer
-    * than k tokens yield an empty array (guarded: Spark's `sequence(1, 0)`
-    * would otherwise produce a *descending* [1, 0]).
+  /** Word k-shingles (k consecutive tokens joined by a single space) —
+    * native single-tokenization expression; texts with fewer than k tokens
+    * yield an empty array. See [[graft.expressions.WordShingles]] for why
+    * the composed transform-over-sequence form (kept below for the spec
+    * that pins equivalence) is quadratic-ish under interpreted HOF
+    * evaluation.
     */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column =
+    graft.expressions.WordShingles(text, k)
+
+  /** The composed higher-order-function form of [[shingles]] — the shape
+    * every DuckDB oracle mirrors. Retained as the equivalence reference
+    * (TextFunctionsSpec asserts byte-identical output) and NOT used in hot
+    * paths.
+    */
+  def shinglesComposed(text: Column, k: Int): Column = {
     val ws = tokens(text)
     when(size(ws) < k, array().cast("array<string>")).otherwise(
       transform(
