@@ -82,13 +82,40 @@ object TextFunctions {
   /** Argmax over language profiles; ties and all-zero break to "und"
     * (undetermined). Deterministic: profiles are scored in declared order and
     * a strictly-greater hit count is required to take the lead.
+    *
+    * NOTE: the when-fold DUPLICATES each score subtree (score i appears in
+    * ~2^(langs-i) positions), and interpreted HOF evaluation re-runs every
+    * duplicate — prefer [[withLangGuess]] in hot paths, which stages the
+    * token array and hit counts as bound attributes first.
     */
   def langGuess(text: Column): Column = {
     val scored = stopwordProfiles.map { case (lang, ws) => (lang, stopwordHits(text, ws)) }
-    val best = scored.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), (lang, s)) =>
+    langArgmax(scored)
+  }
+
+  private def langArgmax(scored: Seq[(String, Column)]): Column =
+    scored.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), (lang, s)) =>
       (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+
+  /** Staged language-ID over a DataFrame: token array, then per-language hit
+    * counts, then the argmax — each bound as COLUMN ATTRIBUTES across
+    * projection boundaries (CollapseProject keeps non-cheap expressions that
+    * are referenced more than once un-inlined), so the fold duplicates
+    * attribute reads instead of token-scan subtrees. Appends `out`; drops
+    * nothing. */
+  def withLangGuess(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    val ws = df.select(keep :+ tokens(lower(col(textCol))).as("__lg_ws"): _*)
+    val hitCols = stopwordProfiles.map { case (lang, stop) =>
+      size(filter(col("__lg_ws"), w => w.isin(stop.map(lit(_)): _*)))
+        .cast("long").as(s"__lg_$lang")
     }
-    best._1
+    val hits = ws.select(keep ++ hitCols: _*)
+    val best = langArgmax(stopwordProfiles.map { case (lang, _) =>
+      lang -> col(s"__lg_$lang") })
+    hits.select(keep :+ best.as(out): _*)
   }
 
   // ---- quality scoring -----------------------------------------------------

@@ -89,7 +89,8 @@ object TextQueries {
     // Language-ID heuristic: per-language stopword hit counts → first-wins
     // argmax. Oracle mirrors the fold as greatest() + ordered CASE.
     Q("t_lang_guess",
-      (s, dir) => docs(s, dir).select(col("doc_id"), langGuess(col("text")).as("lang_guess")),
+      (s, dir) => withLangGuess(docs(s, dir), "text", "lang_guess")
+        .select(col("doc_id"), col("lang_guess")),
       Some {
         val hits = stopwordProfiles.map { case (lang, ws) =>
           val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -267,13 +268,21 @@ object TextQueries {
     // per row (quadratic in DISTINCT tokens per doc, zero shuffle).
     Q("t_repetition",
       (s, dir) => {
-        val ws = tokens(col("text"))
+        // Staged: bind the token array, then the top-frequency, as column
+        // attributes — the per-distinct-token filter then reads an array
+        // attribute instead of re-running the tokenizer (interpreted HOF
+        // lambdas re-evaluate outer-referenced subtrees per element), and
+        // the two consumers of `top` don't run the quadratic scan twice.
+        val ws = col("__ws")
         val top = array_max(transform(array_distinct(ws),
           w => size(filter(ws, x => x === w))))
-        docs(s, dir).select(col("doc_id"),
-          top.cast("long").as("top_freq"),
-          graft.operators.RelationalOps.round6(
-            top.cast("double") / size(ws).cast("double")).as("rep_ratio"))
+        docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("__ws"))
+          .select(col("doc_id"), col("__ws"), top.as("__top"))
+          .select(col("doc_id"),
+            col("__top").cast("long").as("top_freq"),
+            graft.operators.RelationalOps.round6(col("__top").cast("double") /
+              size(col("__ws")).cast("double")).as("rep_ratio"))
       },
       Some(s"""SELECT doc_id, CAST(tf AS BIGINT) AS top_freq,
               |  floor((CAST(tf AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rep_ratio
