@@ -58,12 +58,16 @@ object TextDedup {
   def shingleHashes(text: Column, k: Int): Column =
     transform(array_distinct(shingles(normalized(text), k)), s => xxhash64(s))
 
-  /** doc → (id, shingle-hash set, MinHash signature). */
+  /** doc → (id, shingle-hash set, MinHash signature). The shingle-hash
+    * array is bound as an attribute first so the signature consumes it
+    * instead of re-shingling the text (CollapseProject keeps non-cheap
+    * twice-referenced expressions un-inlined). */
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: MinHashConfig): DataFrame =
     docs.select(
-      col(idCol).as("doc_id"),
-      shingleHashes(col(textCol), cfg.shingleK).as("sh"),
-      MinHashSignature(shingleHashes(col(textCol), cfg.shingleK), cfg.numPerm, cfg.seed).as("sig"))
+        col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), cfg.shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        MinHashSignature(col("sh"), cfg.numPerm, cfg.seed).as("sig"))
 
   /** Exploded (band_key, doc) rows: one per band, key = hash of the band's
     * signature slice tagged with the band index. */
