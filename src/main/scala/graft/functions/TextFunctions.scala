@@ -124,8 +124,12 @@ object TextFunctions {
     * 0.4·min(tokens/100,1) + 0.3·distinct-token ratio + 0.3·min(meanLen/8,1).
     * All-integer counts with two final double divisions — deterministic.
     */
-  def qualityScore(text: Column): Column = {
-    val ws = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+
+  /** [[qualityScore]] over an already-bound token-array column — use with a
+    * staged `.select(tokens(text).as("ws"))` so the four references below
+    * read an attribute instead of re-tokenizing (see withLangGuess). */
+  def qualityScoreFromTokens(ws: Column): Column = {
     val n = size(ws).cast("double")
     val distinctRatio = size(array_distinct(ws)).cast("double") / n
     val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / n
