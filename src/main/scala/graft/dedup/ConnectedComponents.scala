@@ -58,11 +58,14 @@ object ConnectedComponents {
       val nbrMin = bidir
         .join(labels.select(col("id").as("v"), col("component").as("nc")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
-      val stepped = labels
+      // Persisted: the doubling self-join below reads `stepped` on BOTH
+      // sides — un-persisted, the neighbor-min join would replan and run
+      // twice per round.
+      val stepped = persistRound(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1"))
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1")))
       // Pointer doubling: also adopt the label OF my label.
       val doubled = persistRound(stepped
         .join(stepped.select(col("id").as("pid"), col("c1").as("pc")),

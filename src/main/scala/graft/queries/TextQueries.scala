@@ -49,6 +49,19 @@ object TextQueries {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
+  /** Every doc labeled with the min doc_id reachable through the exact
+    * near-dup graph (singletons label themselves) — shared by
+    * t_dup_clusters (emits it) and t_split_leakfree (keys the split by
+    * it). */
+  private def clusteredDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cc = graft.dedup.ConnectedComponents.components(
+      jaccardPairs(s, dir), "a_id", "b_id")
+    docs(s, dir).select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+  }
+
   /** The same pairs as DuckDB CTEs ending in `jp(a_id, b_id, inter,
     * jaccard)` — prefix for the t_jaccard_pairs and t_dup_clusters
     * oracles. */
@@ -69,6 +82,23 @@ object TextQueries {
     |      floor((CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
     |    FROM pairs0 JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
     |  WHERE jaccard >= 0.4)""".stripMargin
+
+  /** Recursive-CTE cluster fixpoint over `jp` ending in
+    * `clustered(doc_id, cluster_id)` — the oracle counterpart of
+    * [[clusteredDocs]], shared by t_dup_clusters and t_split_leakfree. */
+  private val ClusterCtes = s"""$PairCtes,
+    |edges AS (
+    |  SELECT a_id AS u, b_id AS v FROM jp
+    |  UNION SELECT b_id, a_id FROM jp),
+    |reach(u, v) AS (
+    |  SELECT u, v FROM edges
+    |  UNION
+    |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    |clustered AS (
+    |  SELECT d.doc_id,
+    |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+    |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+    |  GROUP BY d.doc_id)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -167,26 +197,8 @@ object TextQueries {
     // the over-deleting greedy pair drop. The oracle computes the same
     // fixpoint with a recursive reachability CTE.
     Q("t_dup_clusters",
-      (s, dir) => {
-        val cc = graft.dedup.ConnectedComponents.components(
-          jaccardPairs(s, dir), "a_id", "b_id")
-        docs(s, dir).select(col("doc_id"))
-          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      },
-      Some(s"""WITH RECURSIVE $PairCtes,
-              |edges AS (
-              |  SELECT a_id AS u, b_id AS v FROM jp
-              |  UNION SELECT b_id, a_id FROM jp),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-              |SELECT d.doc_id,
-              |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
-              |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
-              |GROUP BY d.doc_id""".stripMargin)),
+      (s, dir) => clusteredDocs(s, dir),
+      Some(s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster_id FROM clustered")),
 
     // MinHash-LSH near-dup pairs (sketch path; engine-specific hashes →
     // rows-only check; exactness covered by t_jaccard_pairs + ScalaTest).
@@ -471,29 +483,11 @@ object TextQueries {
     // assignment, same recursive-CTE oracle for the cluster fixpoint.
     Q("t_split_leakfree",
       (s, dir) => {
-        val cc = graft.dedup.ConnectedComponents.components(
-          jaccardPairs(s, dir), "a_id", "b_id")
-        val clustered = docs(s, dir).select(col("doc_id"))
-          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("component"), col("doc_id")).as("cluster_id"))
         val h = substring(md5(col("cluster_id").cast("string")), 1, 4)
-        clustered.select(col("doc_id"), col("cluster_id"),
+        clusteredDocs(s, dir).select(col("doc_id"), col("cluster_id"),
           when(h < "cccc", "train").when(h < "e666", "val").otherwise("test").as("split"))
       },
-      Some(s"""WITH RECURSIVE $PairCtes,
-              |edges AS (
-              |  SELECT a_id AS u, b_id AS v FROM jp
-              |  UNION SELECT b_id, a_id FROM jp),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              |clustered AS (
-              |  SELECT d.doc_id,
-              |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
-              |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
-              |  GROUP BY d.doc_id)
+      Some(s"""WITH RECURSIVE $ClusterCtes
               |SELECT doc_id, cluster_id,
               |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
               |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
@@ -503,24 +497,28 @@ object TextQueries {
     // Repeated-passage removal (C4-style intra-corpus dedup, segment
     // granularity): chunk each doc into fixed 10-token segments, keep only
     // the corpus-FIRST occurrence of every distinct segment (min of
-    // doc_id·10⁵+idx — deterministic under any partitioning), report
+    // doc_id·10⁶+idx — deterministic under any partitioning), report
     // kept/total per doc. One shuffle on the segment fingerprint (groupBy
     // min + hash join back — the window-free shape that scales: no
     // per-fingerprint sort, partial aggregation on both sides). Docs
     // shorter than one segment carry no evidence and drop out on both
     // engines alike. Position encoding doc_id*10^6+idx bounds docs at 10^6
     // segments (10M tokens) and ids at 9.2*10^12 — beyond either, switch
-    // the min to a (doc_id, idx) struct ordering.
+    // the min to a (doc_id, idx) struct ordering. The token array is BOUND
+    // as an attribute before the segment transform — a lambda referencing
+    // the outer split expression would re-tokenize per segment (the
+    // interpreted-HOF trap WordShingles documents).
     Q("t_passage_dedup",
       (s, dir) => {
         val segLen = 10
-        val toks = tokens(col("text"))
+        val ws = col("__ws")
         val segs = docs(s, dir)
-          .filter(size(toks) >= segLen)
+          .select(col("doc_id"), tokens(col("text")).as("__ws"))
+          .filter(size(ws) >= segLen)
           .select(col("doc_id"),
             posexplode(transform(
-              sequence(lit(0), (size(toks) / segLen).cast("int") - 1),
-              i => md5(array_join(slice(toks, i * segLen + 1, lit(segLen)), " ")))))
+              sequence(lit(0), (size(ws) / segLen).cast("int") - 1),
+              i => md5(array_join(slice(ws, i * segLen + 1, lit(segLen)), " ")))))
           .select(col("doc_id"), (col("doc_id") * 1000000L + col("pos")).as("p"),
             col("col").as("fp"))
         val first = segs.groupBy(col("fp")).agg(min(col("p")).as("mp"))

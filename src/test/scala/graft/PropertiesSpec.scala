@@ -97,18 +97,12 @@ class PropertiesSpec extends AnyFunSuite {
       val got = graft.dedup.ConnectedComponents
         .components(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
-      // independent union-find
+      // independent union-find (shared reference)
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
-      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val minOf = nodes.groupBy(find).map { case (r, xs) => r -> xs.min }
+      val labels = UnionFindRef.minLabels(nodes, edges)
       val want = nodes.filter(n => edges.exists(e =>
           (e._1 == n || e._2 == n) && e._1 != e._2))
-        .map(n => n -> minOf(find(n))).toMap
+        .map(n => n -> labels(n)).toMap
       assert(got === want)
     }
   }

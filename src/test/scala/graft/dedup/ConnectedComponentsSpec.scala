@@ -7,19 +7,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
   import spark.implicits._
 
-  /** In-JVM union-find reference. */
-  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val parent = Array.tabulate(n)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a.toInt), find(b.toInt))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    // path-compress to root, then map each node to the MIN id in its set
-    val root = (0 until n).map(find)
-    val minOf = root.zipWithIndex.groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).min }
-    (0 until n).map(i => i.toLong -> minOf(root(i)).toLong).toMap
-  }
+  /** In-JVM union-find reference (shared). */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.UnionFindRef.minLabels((0L until n.toLong), edges)
 
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")

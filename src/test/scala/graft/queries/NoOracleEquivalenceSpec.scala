@@ -94,13 +94,7 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
             - size(array_intersect(col("x.sh"), col("y.sh")))).cast("double")).as("j"))
       .filter(col("j") >= 0.4).select("a_id", "b_id").as[(Long, Long)].collect()
     val allIds = docs.select("doc_id").as[Long].collect().toSet
-    val parent = scala.collection.mutable.Map(allIds.toSeq.map(i => i -> i): _*)
-    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-    exactPairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val exactSurvivors = allIds.groupBy(find).values.map(_.min).toSet
+    val exactSurvivors = graft.UnionFindRef.minLabels(allIds, exactPairs).values.toSet
     // LSH may miss borderline edges — a missed edge only SPLITS a component,
     // and each split part keeps its own min, so LSH survivors are a superset
     // of the exact-graph survivors; an exact-component min must never drop.
@@ -182,15 +176,23 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
   test("t_token_bpeish: matches a driver-side regex count exactly") {
     val got = run("t_token_bpeish").filter(col("doc_id") < 50)
       .as[(Long, Long)].collect().toMap
+    // the SAME pattern, but evaluated by java.util.regex on the DRIVER —
+    // independent of Spark's codegen'd regexp_count path (and of the
+    // DuckDB RE2 oracle). NOT the old lookaround-split formulation: that
+    // one treats control chars <= 0x20 as whitespace (String.trim), while
+    // the kernel deliberately counts non-whitespace control chars as
+    // symbol tokens.
+    val p = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.bpeIshPattern)
+    def driverCount(t: String): Long = {
+      val m = p.matcher(t); var n = 0L; while (m.find()) n += 1; n
+    }
     docs.filter(col("doc_id") < 50).select("doc_id", "text").as[(Long, String)]
       .collect().foreach { case (id, t) =>
-        // independent formulation of the same count, evaluated by
-        // java.util.regex on the driver: split at symbol boundaries, count
-        // non-whitespace pieces (equivalent to counting word-run/symbol
-        // matches; proven equal on the corpus + edge cases)
-        val expected = t.split("(?<=\\W)|(?=\\W)").count(_.trim.nonEmpty).toLong
-        assert(got(id) === expected, s"doc $id bpe-ish count mismatch")
+        assert(got(id) === driverCount(t), s"doc $id bpe-ish count mismatch")
       }
+    // a control char is a SYMBOL (not whitespace) under the explicit class
+    assert(driverCount("a\u0001b") == 3L)
     // punctuated strings exercise the symbol branch the corpus lacks
     import spark.implicits._
     val planted = Seq((1L, "Hello, world! It's 3.14; x_1=y-2 (a+b)*c"),
