@@ -24,32 +24,44 @@ import org.apache.spark.sql.functions.{coalesce, col, least, min}
   *
   * Scale notes (100 TB): all per-round state is (id, component) pairs —
   * two longs per VERTEX, not per edge — and every join keys on id, so AQE
-  * handles skew. Lineage is truncated each round with an eager
-  * `localCheckpoint` (executor-local blocks; on a cluster with dynamic
-  * allocation switch to reliable `checkpoint` with a checkpoint dir — the
-  * call site is the single `persistRound` below). The convergence probe is
-  * a `limit(1).count()` over the changed rows: it short-circuits as soon
-  * as one change is seen, and scans only checkpointed per-vertex state.
+  * handles skew. Lineage is truncated each round with an eager checkpoint:
+  * executor-local blocks (`localCheckpoint`) by default — the fast path
+  * when executors are stable — or, when `checkpointDir` is given, a
+  * reliable filesystem `checkpoint`, which survives executor loss and is
+  * the right mode on a cluster with dynamic allocation or spot instances.
+  * The convergence probe is a `limit(1).count()` over the changed rows: it
+  * short-circuits as soon as one change is seen, and scans only
+  * checkpointed per-vertex state.
   */
 object ConnectedComponents {
 
-  /** (id, component) for every node that appears in `edges`; `component` is
-    * the minimum node id reachable from the node (undirected reachability).
-    * Nodes not present in any edge are the caller's to append (they are
-    * their own component). Self-loops and duplicate/reversed edges are
-    * tolerated.
+  /** (id, component) for every node that appears in `edges` (either
+    * endpoint, self-loops included — a node whose only edges are self-loops
+    * is its own component); `component` is the minimum node id reachable
+    * from the node (undirected reachability). Nodes not present in any edge
+    * are the caller's to append (they are their own component). Self-loops
+    * and duplicate/reversed edges are tolerated.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses reliable
+    * `checkpoint` into that directory (sets the SparkContext checkpoint dir
+    * as a side effect) — survives executor loss, the correct mode under
+    * dynamic allocation. When None (default), `localCheckpoint` keeps
+    * blocks executor-local — faster, and fine when executors are stable.
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
-    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def persistRound(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    def persistRound(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val bidir = persistRound(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
 
     var labels = persistRound(
-      bidir.select(col("u").as("id")).distinct().withColumn("component", col("id")))
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .distinct().withColumn("component", col("id")))
 
     var iter = 0
     var converged = labels.isEmpty

@@ -106,6 +106,9 @@ object TextFunctions {
     * nothing. */
   def withLangGuess(df: org.apache.spark.sql.DataFrame, textCol: String,
       out: String): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.exists(_.startsWith("__lg_")),
+      "withLangGuess: input frame already carries __lg_-prefixed columns " +
+        "(reserved for this builder's staged token/hit attributes)")
     val keep = df.columns.map(col).toSeq
     val ws = df.select(keep :+ tokens(lower(col(textCol))).as("__lg_ws"): _*)
     val hitCols = stopwordProfiles.map { case (lang, stop) =>

@@ -97,12 +97,11 @@ class PropertiesSpec extends AnyFunSuite {
       val got = graft.dedup.ConnectedComponents
         .components(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
-      // independent union-find (shared reference)
+      // independent union-find (shared reference); every edge endpoint gets
+      // a label — self-loop-only nodes are their own component.
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val labels = UnionFindRef.minLabels(nodes, edges)
-      val want = nodes.filter(n => edges.exists(e =>
-          (e._1 == n || e._2 == n) && e._1 != e._2))
-        .map(n => n -> labels(n)).toMap
+      val want = nodes.map(n => n -> labels(n)).toMap
       assert(got === want)
     }
   }

@@ -46,6 +46,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty).isEmpty)
   }
 
+  test("self-loop-only nodes label as their own component") {
+    // Node 7's only edge is (7,7): it must still get a row (component 7),
+    // not silently vanish with the filtered self-loops.
+    val edges = Seq((7L, 7L), (1L, 2L))
+    assert(run(edges) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("reliable-checkpoint mode (checkpointDir) matches localCheckpoint mode") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val local = run(edges)
+    val reliable = ConnectedComponents
+      .components(edges.toDF("a", "b"), "a", "b", checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // The reliable mode actually materialized rounds into the directory.
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint wrote no files")
+  }
+
   test("t_dup_clusters: planted chain A~B~C clusters together without A~C edge") {
     // Cluster semantics vs greedy pair-drop: build pairs directly.
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a_id", "b_id")

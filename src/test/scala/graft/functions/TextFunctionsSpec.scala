@@ -9,6 +9,14 @@ class TextFunctionsSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
   import spark.implicits._
 
+  test("withLangGuess rejects frames already carrying __lg_ columns") {
+    val df = Seq(("the cat", 1L)).toDF("text", "__lg_ws")
+    val e = intercept[IllegalArgumentException] {
+      withLangGuess(df, "text", "lang")
+    }
+    assert(e.getMessage.contains("__lg_"))
+  }
+
   test("native WordShingles is byte-identical to the composed HOF form") {
     val rnd = new scala.util.Random(11)
     val vocab = Seq("alpha", "beta", "g", "delta-x", "12", "a.b", "ümlaut")
