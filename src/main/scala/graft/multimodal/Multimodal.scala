@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * feature stage decodes actual pixels executor-side inside a
   * partition-preserving `mapPartitions` batch — the exact shape a 100 TB
   * image/audio/video pipeline needs (bytes stay columnar in parquet,
-  * decode is embarrassingly parallel, no shuffle). Swapping PNG for JPEG/
-  * WebP/audio changes only the kernel body; schema, batching and plan
-  * shape stay as-is.
+  * decode is embarrassingly parallel, no shuffle). The codec is a one-line
+  * kernel ([[encodeImage]]): the same pipeline runs over PNG (default,
+  * lossless + byte-deterministic → oracle-stable) and JPEG (spec-proven
+  * second codec); schema, batching and plan shape are format-agnostic.
   */
 object Multimodal {
 
@@ -47,10 +48,9 @@ object Multimodal {
 
   // ---- image encode (the planted payloads) --------------------------------
 
-  /** Deterministic planted image: a seeded gradient+noise RGB bitmap,
-    * PNG-encoded in memory. Same seed/dims → byte-identical PNG, so tests
-    * and the rows-only driver hash are stable across runs and partitionings. */
-  def plantedPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  /** Deterministic planted bitmap: a seeded gradient+noise RGB image. Same
+    * seed/dims → identical pixels, so every codec encodes the same source. */
+  def plantedImage(seed: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var x = seed
     def next(): Long = { // splitmix64
@@ -73,36 +73,57 @@ object Multimodal {
       }
       py += 1
     }
+    img
+  }
+
+  /** THE codec kernel — the single line that changes per format. Everything
+    * else (schema, batching, partition-preserving decode, plan shape) is
+    * format-agnostic; MultimodalSpec proves it by running the same feature
+    * pipeline over "png" and "jpg" payloads. */
+  def encodeImage(img: BufferedImage, format: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    require(ImageIO.write(img, format, bos), s"no ImageIO writer for '$format'")
     bos.toByteArray
   }
+
+  /** Deterministic planted image, PNG-encoded in memory. Same seed/dims →
+    * byte-identical PNG, so tests and the rows-only driver hash are stable
+    * across runs and partitionings (PNG is lossless AND deterministic —
+    * that is why it stays the oracle-facing codec). */
+  def plantedPng(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeImage(plantedImage(seed, w, h), "png")
 
   /** Image dimensions for a given id — varied so the decode is exercised
     * over many shapes, deterministic so every run plants the same corpus. */
   def plantedDims(id: Long): (Int, Int) =
     (8 + (id % 9).toInt * 3, 8 + ((id / 9) % 7).toInt * 4)
 
-  /** Synthesize the image-blob table: one planted PNG per doc id, encoded
+  /** Synthesize the image-blob table: one planted image per doc id, encoded
     * executor-side (mapPartitions — the encode never touches the driver).
     * This is the write half of the multimodal story: binary media columns
-    * materialized next to typed metadata. */
-  def toImageTable(docs: DataFrame, idCol: String): DataFrame = {
+    * materialized next to typed metadata. `format` picks the codec
+    * ("png" default — lossless, byte-deterministic, oracle-stable; "jpg"
+    * exercises the second-codec path end-to-end). */
+  def toImageTable(docs: DataFrame, idCol: String, format: String = "png"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val mime = if (format == "jpg") "image/jpeg" else s"image/$format"
     docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
+        ImageIO.setUseCache(false)
         it.map { id =>
           val (w, h) = plantedDims(id)
-          val png = plantedPng(seed = id * 0x9e3779b97f4a7c15L + 17, w, h)
-          BlobRow(id, png, "image/png", png.length.toLong)
+          val bytes = encodeImage(
+            plantedImage(seed = id * 0x9e3779b97f4a7c15L + 17, w, h), format)
+          BlobRow(id, bytes, mime, bytes.length.toLong)
         }
       }.toDF()
   }
 
   // ---- image decode (the real kernel) -------------------------------------
 
-  /** Decode a PNG/BMP/GIF payload and compute (width, height, mean luma).
+  /** Decode any ImageIO-readable payload (PNG/JPEG/BMP/GIF) and compute
+    * (width, height, mean luma).
     * Rec. 601 luma over every decoded pixel; the result is rounded to 6
     * decimals so the value survives engine-side double formatting. */
   def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {

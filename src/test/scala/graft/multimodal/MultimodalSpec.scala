@@ -56,6 +56,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("frames_sampled") === 4)
   }
 
+  test("second codec (JPEG): same pipeline, one-line kernel swap") {
+    val docs = Tables.load(spark, GraftTestSpark.sfDir, "documents").limit(40)
+    val jpegBlobs = Multimodal.toImageTable(docs, "doc_id", format = "jpg").cache()
+    val r0 = jpegBlobs.filter(col("id") === 0).first()
+    val payload = r0.getAs[Array[Byte]]("payload")
+    // JPEG magic (SOI marker), correct mime, and NOT the PNG bytes
+    assert((payload(0) & 0xff) === 0xff && (payload(1) & 0xff) === 0xd8)
+    assert(r0.getAs[String]("mime") === "image/jpeg")
+    // The SAME feature stage decodes the JPEG payloads untouched:
+    val feats = Multimodal.extractImageFeatures(jpegBlobs).toDF().cache()
+    assert(feats.count() === 40)
+    val pngFeats = Multimodal.featureTable(spark, docs)
+      .select("id", "width", "height", "mean_luma")
+      .withColumnRenamed("mean_luma", "png_luma")
+    val joined = feats.join(pngFeats, Seq("id", "width", "height")).cache()
+    // lossless dimensions: every id joins on (id, width, height)
+    assert(joined.count() === 40)
+    // lossy pixels: mean luma within JPEG-quantization distance of the
+    // lossless decode (planted gradients compress well; 6/255 is generous)
+    val maxDrift = joined
+      .agg(max(abs(col("mean_luma") - col("png_luma")))).first().getDouble(0)
+    assert(maxDrift < 6.0, s"JPEG luma drifted $maxDrift from lossless decode")
+  }
+
   test("decode rejects non-image payloads loudly") {
     intercept[Exception] {
       Multimodal.decodeImage("not a png".getBytes("UTF-8"))
