@@ -104,12 +104,18 @@ object Deduplication {
       * (UpdateDedupeColumnTemplateQuery.java:29-30 parity).
       *
       * Returns (duplicateGroups, duplicatesRemoved) as observed in-pass.
+      *
+      * The scan is a PINNED-listing snapshot and the listing rides along to
+      * `overwriteDays`: rows a concurrent micro-batch appends between this
+      * read and the day swap are preserved through the swap (as-is, possibly
+      * duplicated — the next incremental/full run repairs them), never lost.
       */
     def repair(startUs: Long, endUs: Long): (Long, Long) = {
       val obs = Observation()
       val w = Window.partitionBy(col("consensusTimestamp"))
         .orderBy(col("consensusTimestamp"))
-      val marked = table.read().filter(dayWindow(startUs, endUs))
+      val (snapDf, snapshot) = table.readSnapshot()
+      val marked = snapDf.filter(dayWindow(startUs, endUs))
         .withColumn("_inwin", tsUs.between(startUs, endUs))
         .withColumn("_rn", row_number().over(w))
         .observe(obs,
@@ -118,7 +124,7 @@ object Deduplication {
       val kept = marked.filter(!col("_inwin") || col("_rn") === 1)
         .withColumn("dedupe", when(col("_inwin"), lit(1L)).otherwise(col("dedupe")))
         .drop("_inwin", "_rn")
-      table.overwriteDays(kept)
+      table.overwriteDays(kept, Some(snapshot))
       val m = obs.get
       (m("dup_groups").asInstanceOf[Long], m("removed").asInstanceOf[Long])
     }

@@ -18,7 +18,44 @@ import org.apache.spark.sql.functions._
   */
 final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay: Int = 4) {
 
+  /** Serializes live-tree mutations within this process: appends hold it for
+    * their write job, the dedupe swap holds it for its (millisecond) rename
+    * sequence — so a micro-batch append can never interleave with a day swap.
+    * One-process scope matches `EtlApp` (ingest + dedupe share a JVM); a
+    * multi-process deployment needs a transactional table format instead
+    * (the snapshot/straggler protocol below still bounds the damage there:
+    * lost updates become preserved-but-duplicated rows, never lost rows). */
+  private val writeLock = new Object
+
   def read(): DataFrame = spark.read.schema(TransactionSchema.table).parquet(path)
+
+  /** Pinned-listing read for read-modify-replace cycles: the returned
+    * DataFrame scans EXACTLY the files present at call time, and the per-day
+    * listing is returned alongside so [[overwriteDays]] can preserve any
+    * file appended AFTER this snapshot (the ingest-vs-dedupe race guard —
+    * a plain `read()` lists lazily, so the set of files a later rewrite
+    * actually covered would be unknowable). */
+  def readSnapshot(): (DataFrame, Map[String, Set[String]]) = {
+    val f = fs
+    val root = new Path(path)
+    val dayDirs =
+      if (!f.exists(root)) Array.empty[Path]
+      else f.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath)
+    val listing: Map[String, Set[String]] = dayDirs.map { d =>
+      d.getName -> f.listStatus(d).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    }.toMap
+    val files = for { (d, names) <- listing.toSeq; n <- names } yield s"$path/$d/$n"
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          TransactionSchema.table)
+      else spark.read.schema(TransactionSchema.table)
+        .option("basePath", path).parquet(files: _*)
+    (df, listing)
+  }
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -42,8 +79,9 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
       .sortWithinPartitions(col("day"), col("transactionType"))
 
   /** Append a batch, day-partitioned, clustered within partitions. */
-  def append(df: DataFrame): Unit =
+  def append(df: DataFrame): Unit = writeLock.synchronized {
     layout(df).write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+  }
 
   /** Append a batch that is ALREADY hash-partitioned by
     * (day, pmod(xxhash64(consensusTimestamp), filesPerDay)) — the
@@ -52,15 +90,21 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * type-clustered files. The files-per-day bound still holds: each
     * (day, salt) combination lives in exactly one upstream task, so a day
     * receives at most `filesPerDay` writers. */
-  def appendPrePartitioned(df: DataFrame): Unit =
+  def appendPrePartitioned(df: DataFrame): Unit = writeLock.synchronized {
     df.sortWithinPartitions(col("day"), col("transactionType"))
       .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+  }
 
   // Dot-prefixed working dirs inside the table path: Spark's file listing
   // ignores dot-paths, so readers never see staged or backup data, and
   // same-parent renames are plain same-filesystem metadata ops.
   private def stageDir = new Path(path, ".graft-stage")
   private def bakDir = new Path(path, ".graft-bak")
+
+  /** Per-day manifest of the files the caller's snapshot covered — written
+    * into the backup dir BEFORE any rename, so recovery can tell replaced
+    * files from straggler appends after a crash at any later point. */
+  private def manifestPath(day: String) = new Path(bakDir, s".known-$day")
 
   /** Replace exactly the `day=` partitions present in `df` — the engine's
     * MERGE-ON-FALSE (RemoveDuplicatesTemplateQuery.java:29-43 rewrites only
@@ -70,20 +114,36 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * a staging dir BEFORE any live partition is touched, so a plan that
     * reads this table can never be recomputed mid-overwrite (the read
     * finishes when the stage write finishes). The swap is then per-day
-    * metadata renames under a backup protocol:
+    * metadata renames under a backup protocol (all under [[writeLock]], so
+    * an in-process concurrent append cannot interleave with the renames):
     *
+    *   0. write `.known-day=D` manifests (caller-snapshot file names)
     *   1. rename live `day=D` → `.graft-bak/day=D`
     *   2. rename `.graft-stage/day=D` → live `day=D`
-    *   3. delete the backup
+    *   2b. move backup files NOT in the manifest into the new live day —
+    *       these are rows appended after the caller's [[readSnapshot]]
+    *       (a concurrent micro-batch) and absent from the staged rewrite;
+    *       dropping the backup wholesale would LOSE them. They re-enter
+    *       as-is (possibly duplicated) and are repaired by the next dedupe
+    *       run — at-least-once + periodic dedupe, the reference's own
+    *       delivery model (README.md:21-22).
+    *   3. delete the backup + manifest
+    *
+    * `snapshot = None` (ad-hoc callers) keeps full-replace semantics: no
+    * manifest, nothing preserved. The dedupe path always passes the
+    * snapshot its repair scan actually read.
     *
     * A crash at any point is repaired by [[recoverSwaps]] (called on entry
     * here and by the dedupe job): a surviving backup rolls BACK (restore the
-    * old day, drop the stage) — the caller's job-state checkpoint only
-    * advances after this method returns, so a rolled-back window is simply
-    * re-processed. Each day swap is atomic to readers; cross-day atomicity
-    * matches the reference's per-statement MERGE granularity.
+    * old day, drop the stage) when the swap didn't complete, or finishes
+    * step 2b-3 (manifest-aware) when it did — the caller's job-state
+    * checkpoint only advances after this method returns, so a rolled-back
+    * window is simply re-processed. Each day swap is atomic to readers;
+    * cross-day atomicity matches the reference's per-statement MERGE
+    * granularity.
     */
-  def overwriteDays(df: DataFrame): Unit = {
+  def overwriteDays(df: DataFrame,
+      snapshot: Option[Map[String, Set[String]]] = None): Unit = {
     recoverSwaps()
     val f = fs
     f.delete(stageDir, true) // stale stage from an aborted run
@@ -91,29 +151,64 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
 
     val days = f.listStatus(stageDir).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("day="))
-    if (days.nonEmpty && !f.exists(bakDir)) f.mkdirs(bakDir)
-    days.foreach { d =>
-      val live = new Path(path, d)
-      val bak = new Path(bakDir, d)
-      if (f.exists(live))
-        require(f.rename(live, bak), s"swap: rename $live -> $bak failed")
-      require(f.rename(new Path(stageDir, d), live), s"swap: stage -> $live failed")
-      f.delete(bak, true)
+    writeLock.synchronized {
+      if (days.nonEmpty && !f.exists(bakDir)) f.mkdirs(bakDir)
+      snapshot.foreach { snap =>
+        days.foreach { d =>
+          val out = f.create(manifestPath(d), true)
+          try out.write(snap.getOrElse(d, Set.empty).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+      days.foreach { d =>
+        val live = new Path(path, d)
+        val bak = new Path(bakDir, d)
+        if (f.exists(live))
+          require(f.rename(live, bak), s"swap: rename $live -> $bak failed")
+        require(f.rename(new Path(stageDir, d), live), s"swap: stage -> $live failed")
+        preserveStragglers(f, d)
+        f.delete(bak, true)
+        f.delete(manifestPath(d), false)
+      }
+      f.delete(stageDir, true)
+      f.delete(bakDir, true)
     }
-    f.delete(stageDir, true)
-    f.delete(bakDir, true)
+  }
+
+  /** Step 2b: move backup-day files absent from the day's manifest (i.e.
+    * appended after the caller's snapshot) into the new live day. No
+    * manifest → legacy full replace, nothing preserved. */
+  private def preserveStragglers(f: FileSystem, day: String): Unit = {
+    val mf = manifestPath(day)
+    val bak = new Path(bakDir, day)
+    if (!f.exists(mf) || !f.exists(bak)) return
+    val in = f.open(mf)
+    val known =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    val live = new Path(path, day)
+    f.listStatus(bak).filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filterNot(p => known.contains(p.getName))
+      .foreach { p =>
+        require(f.rename(p, new Path(live, p.getName)),
+          s"swap: preserve straggler $p -> $live failed")
+      }
   }
 
   /** Repair a swap interrupted by a crash: for every surviving backup day,
-    * restore it unless the new day already landed (crash between steps 2
-    * and 3 — swap complete, backup is garbage). Then drop any stage. */
-  def recoverSwaps(): Unit = {
+    * restore it if the new day never landed (roll back); if it did land
+    * (crash during steps 2b-3), finish the straggler preservation before
+    * dropping the backup. Then drop any stage. */
+  def recoverSwaps(): Unit = writeLock.synchronized {
     val f = fs
     if (f.exists(bakDir)) {
       f.listStatus(bakDir).filter(_.getPath.getName.startsWith("day=")).foreach { s =>
         val live = new Path(path, s.getPath.getName)
-        if (f.exists(live)) f.delete(s.getPath, true)
-        else require(f.rename(s.getPath, live), s"recover: restore $live failed")
+        if (f.exists(live)) {
+          preserveStragglers(f, s.getPath.getName)
+          f.delete(s.getPath, true)
+        } else require(f.rename(s.getPath, live), s"recover: restore $live failed")
       }
       f.delete(bakDir, true)
     }

@@ -114,6 +114,80 @@ class TableStoreCrashSpec extends AnyFunSuite {
     assert(table.read().filter(col("dedupe") === 1).count() === 50)
   }
 
+  test("append landing between snapshot and swap survives the day rewrite") {
+    val (table, _) = mkTable()
+    writeDays(table, Seq(t0, t0, t0 + 1)) // duplicate at t0
+    val (snapDf, snapshot) = table.readSnapshot()
+    val kept = snapDf.dropDuplicates("consensusTimestamp")
+    // a concurrent micro-batch lands AFTER the snapshot, same day
+    writeDays(table, Seq(t0 + 2))
+    table.overwriteDays(kept, Some(snapshot))
+    val keys = table.read().select("consensusTimestamp").as[Long].collect().sorted
+    assert(keys.toSeq === Seq(t0, t0 + 1, t0 + 2),
+      "dup removed, post-snapshot straggler preserved")
+  }
+
+  test("recovery finishes straggler preservation after a crash mid-swap") {
+    val (table, dir) = mkTable()
+    writeDays(table, Seq(t0, t0 + 1))
+    val liveDay = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.startsWith("day=")).minBy(_.getName)
+    val oldNames = fs.listStatus(liveDay).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    // step 1 happened: live -> bak (backup carries a straggler appended
+    // after the snapshot — mint a real parquet file for it)
+    fs.mkdirs(new Path(dir, ".graft-bak"))
+    assert(fs.rename(liveDay, new Path(dir, ".graft-bak/" + liveDay.getName)))
+    val (stag, stagDir) = mkTable()
+    writeDays(stag, Seq(t0 + 2))
+    val stagFile = fs.listStatus(fs.listStatus(new Path(stagDir)).map(_.getPath)
+        .filter(_.getName.startsWith("day=")).head)
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".")).head
+    assert(fs.rename(stagFile,
+      new Path(dir, ".graft-bak/" + liveDay.getName + "/straggler.parquet")))
+    // manifest written before the renames: the snapshot's file names
+    val out = fs.create(new Path(dir, ".graft-bak/.known-" + liveDay.getName), true)
+    out.write(oldNames.mkString("\n").getBytes("UTF-8")); out.close()
+    // step 2 happened: staged (deduped) content swapped in as the live day
+    writeDays(table, Seq(t0))
+    // crash before steps 2b/3 — recovery must finish the preservation
+    table.recoverSwaps()
+    val keys = table.read().select("consensusTimestamp").as[Long].collect().sorted
+    assert(keys.toSeq === Seq(t0, t0 + 2), "straggler moved in, old files dropped")
+    assert(!fs.exists(new Path(dir, ".graft-bak")))
+  }
+
+  test("concurrent appends and dedupe runs never lose rows") {
+    val (table, _) = mkTable()
+    val state = new StateStore(spark, GraftTestSpark.tmpDir("conc-state") + "/state")
+    val job = new Deduplication.Job(spark, table, state,
+      Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
+    writeDays(table, Seq(t0, t0)) // seed duplicate so every run has work
+    val batches: Seq[Seq[Long]] = (1 to 6).map { b =>
+      // a fresh day of keys plus re-appends of old keys (at-least-once
+      // replays) — each batch advances the incremental window a day
+      (1 to 40).map(i => t0 + b * dayNs + i) ++ Seq(t0 + 1, t0 + 2)
+    }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() =>
+      try batches.foreach { ks => writeDays(table, ks); Thread.sleep(20) }
+      catch { case e: Throwable => failures.add(e) })
+    val deduper = new Thread(() =>
+      try (1 to 4).foreach { _ => job.runIncremental(); Thread.sleep(10) }
+      catch { case e: Throwable => failures.add(e) })
+    appender.start(); deduper.start()
+    appender.join(300000); deduper.join(300000)
+    assert(failures.isEmpty, s"worker failed: ${failures.peek()}")
+    // drain: one incremental for post-checkpoint data, one full for replays
+    job.runIncremental()
+    job.runFull()
+    val expect = (Seq(t0, t0 + 1, t0 + 2) ++
+      batches.flatten).distinct.sorted
+    val got = table.read().select("consensusTimestamp").as[Long].collect().sorted
+    assert(got.toSeq === expect, "every appended key exactly once — no loss, no dups")
+  }
+
   test("StateStore crash between backup and live rename recovers prior state") {
     val dir = GraftTestSpark.tmpDir("state-crash") + "/state"
     val store = new StateStore(spark, dir)
