@@ -102,6 +102,20 @@ object Bench {
     val rates = try PipelineBench.run(spark, sfDir, listener)
     catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0, -1, -1) }
 
+    // Adversarial-skew corpus (hot key ×10⁴, one day carrying 50% of rows),
+    // measured by the same machinery — the uniform-vs-skew ratio is the
+    // robustness number.
+    val skew = try GenSkew.bench(spark, sfDir, listener)
+    catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0, -1, -1) }
+
+    // The engine as deployed: continuous-trigger streaming ingest with the
+    // dedupe job firing concurrently (EtlApp's shape).
+    val stream = try StreamBench.run(spark, sfDir)
+    catch { case _: Throwable => StreamBench.Empty }
+
+    def ratio(num: Double, den: Double): String =
+      if (num >= 0 && den > 0) f"${num / den}%.2f" else "-1"
+
     // Heavy curation ops benched OUTSIDE the headline set (and its total):
     // their build step runs distributed jobs (connected-components
     // fixpoint), so they get one warm + one timed pass each, recorded as
@@ -150,6 +164,20 @@ object Bench {
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
       s""""cc_clusters_sec":${f"$ccSec%.3f"},""" +
       s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
+      s""""skew_ingest_rows_per_sec":${skew.ingestRowsPerSec.round},""" +
+      s""""skew_dedupe_sec":${skew.dedupeSec},""" +
+      s""""skew_dupes_removed":${skew.dedupeDuplicates},""" +
+      s""""skew_ingest_slowdown":${ratio(rates.ingestRowsPerSec, skew.ingestRowsPerSec)},""" +
+      s""""skew_dedupe_slowdown":${ratio(skew.dedupeSec, rates.dedupeSec)},""" +
+      s""""streaming":{"rows":${stream.rows},"batches":${stream.batches},""" +
+      s""""batch_p50_sec":${f"${stream.batchP50Sec}%.3f"},""" +
+      s""""batch_p95_sec":${f"${stream.batchP95Sec}%.3f"},""" +
+      s""""rows_per_sec":${stream.rowsPerSec.round},""" +
+      s""""dedupe_quiet_sec":${f"${stream.quietDedupeSec}%.3f"},""" +
+      s""""dedupe_concurrent_sec":${f"${stream.concurrentDedupeSec}%.3f"},""" +
+      s""""dedupe_concurrency_tax":${ratio(stream.concurrentDedupeSec, stream.quietDedupeSec)},""" +
+      s""""quiet_runs":${stream.quietRuns},"concurrent_runs":${stream.concurrentRuns},""" +
+      s""""dupes_removed":${stream.dupesRemoved}},""" +
       s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +

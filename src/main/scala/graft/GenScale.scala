@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * dimensions, producing a larger corpus for scale evidence (e.g. sf0.1 ×10
   * ≈ sf1). Usage:
   *
-  *   graft.GenScale <inDir> <outDir> <factor>
+  *   graft.GenScale <inDir> <outDir> <factor> [tables]
+  *
+  * `tables` (optional, comma-separated) restricts generation to a subset —
+  * e.g. `events,documents` for the sf10 pipeline spot-run, where scaling
+  * lineitem/orders 100× would only burn disk the measurement never reads.
   *
   * Replication is one distributed pass per table — a broadcast cross join
   * against a `range(factor)` of replica indices (never a driver loop, never
@@ -29,10 +33,13 @@ import org.apache.spark.sql.functions._
 object GenScale {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenScale <inDir> <outDir> <factor>")
-    val Array(inDir, outDir, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: GenScale <inDir> <outDir> <factor> [tables]")
+    val Array(inDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1, "factor must be >= 1")
+    val want: String => Boolean =
+      if (args.length == 4) args(3).split(",").map(_.trim).toSet else _ => true
     val spark = GraftSession.localFromEnv("graft-genscale")
 
     def in(name: String): DataFrame = Tables.load(spark, inDir, name)
@@ -49,56 +56,63 @@ object GenScale {
     }
 
     // dimension tables: straight copies (small — one file each)
-    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
-      write(n, in(n), files = 1)
-    }
+    Seq("region", "nation", "customer", "supplier", "part")
+      .filter(want).foreach { n => write(n, in(n), files = 1) }
 
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
-    val orders = in("orders")
-    val orderStride = stride(orders, "o_orderkey")
     val reps = () => broadcast(spark.range(factor).select(col("id").as("__rep")))
 
-    write("orders", orders.crossJoin(reps())
-      .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * orderStride)
-      .drop("__rep"))
+    if (want("orders") || want("lineitem")) {
+      val orders = in("orders")
+      val orderStride = stride(orders, "o_orderkey")
+      if (want("orders"))
+        write("orders", orders.crossJoin(reps())
+          .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * orderStride)
+          .drop("__rep"))
+      if (want("lineitem"))
+        write("lineitem", in("lineitem").crossJoin(reps())
+          .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * orderStride)
+          .drop("__rep"))
+    }
 
-    val lineitem = in("lineitem")
-    write("lineitem", lineitem.crossJoin(reps())
-      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * orderStride)
-      .drop("__rep"))
+    if (want("events")) {
+      val events = in("events")
+      val eventStride = stride(events, "event_id")
+      val userStride = stride(events, "user_id")
+      // ts (ns epoch long) must ALSO shift: it is the ingest dedupe key, and
+      // unshifted replicas would make the scaled corpus 90% duplicates —
+      // shifting by the base span extends the corpus to factor× the time
+      // range (more day partitions), which is how a warehouse actually grows.
+      val Array(tsLo, tsHi) = events.agg(min(col("ts")), max(col("ts")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val tsSpan = tsHi - tsLo + 1L
+      write("events", events.crossJoin(reps())
+        .withColumn("event_id", col("event_id") + col("__rep") * eventStride)
+        .withColumn("user_id", col("user_id") + col("__rep") * userStride)
+        .withColumn("ts", col("ts") + col("__rep") * tsSpan)
+        .drop("__rep"))
+    }
 
-    val events = in("events")
-    val eventStride = stride(events, "event_id")
-    val userStride = stride(events, "user_id")
-    // ts (ns epoch long) must ALSO shift: it is the ingest dedupe key, and
-    // unshifted replicas would make the scaled corpus 90% duplicates —
-    // shifting by the base span extends the corpus to factor× the time
-    // range (more day partitions), which is how a warehouse actually grows.
-    val Array(tsLo, tsHi) = events.agg(min(col("ts")), max(col("ts")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val tsSpan = tsHi - tsLo + 1L
-    write("events", events.crossJoin(reps())
-      .withColumn("event_id", col("event_id") + col("__rep") * eventStride)
-      .withColumn("user_id", col("user_id") + col("__rep") * userStride)
-      .withColumn("ts", col("ts") + col("__rep") * tsSpan)
-      .drop("__rep"))
+    if (want("documents")) {
+      val docs = in("documents")
+      val docStride = stride(docs, "doc_id")
+      write("documents", docs.crossJoin(reps())
+        .withColumn("doc_id", col("doc_id") + col("__rep") * docStride)
+        .withColumn("text",
+          when(col("__rep") === 0, col("text"))
+            .otherwise(concat(lit("r"), col("__rep"), lit(" "), col("text"))))
+        .drop("__rep"))
+    }
 
-    val docs = in("documents")
-    val docStride = stride(docs, "doc_id")
-    write("documents", docs.crossJoin(reps())
-      .withColumn("doc_id", col("doc_id") + col("__rep") * docStride)
-      .withColumn("text",
-        when(col("__rep") === 0, col("text"))
-          .otherwise(concat(lit("r"), col("__rep"), lit(" "), col("text"))))
-      .drop("__rep"))
-
-    val emb = in("embeddings")
-    val vecStride = stride(emb, "vec_id")
-    write("embeddings", emb.crossJoin(reps())
-      .withColumn("vec_id", col("vec_id") + col("__rep") * vecStride)
-      .drop("__rep"))
+    if (want("embeddings")) {
+      val emb = in("embeddings")
+      val vecStride = stride(emb, "vec_id")
+      write("embeddings", emb.crossJoin(reps())
+        .withColumn("vec_id", col("vec_id") + col("__rep") * vecStride)
+        .drop("__rep"))
+    }
 
     spark.stop()
   }

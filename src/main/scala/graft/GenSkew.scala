@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew corpus for the ingest/dedupe pipeline — the reference's
+  * duplicate model (testhelper/TransactionsGenerator.java:55-91, every 5th
+  * row duplicated) scaled to abuse:
+  *
+  *  - **hot key**: ONE consensusTimestamp replicated `hotCopies` (default
+  *    10⁴) times — the pathological duplicate group a repair's per-key
+  *    `row_number` window must absorb in a single task;
+  *  - **hot day**: half of all rows remapped onto a single day — the worst
+  *    case for the (day, salt) ingest layout shuffle and for the windowed
+  *    repair's day-partition rewrite;
+  *  - the uniform every-5th-row duplicate baseline is kept, so the corpus
+  *    is the uniform corpus plus planted pathologies.
+  *
+  * `bench` measures ingest + incremental dedupe over this corpus with the
+  * SAME machinery as the uniform run (PipelineBench.measure), so the
+  * skew-vs-uniform ratios in the bench JSON compare like with like.
+  */
+object GenSkew {
+
+  private val dayNs = 86400L * 1000000000L
+
+  /** Write the skewed JSONL corpus; returns total lines. */
+  def skewedJsonCorpus(spark: SparkSession, sfDir: String, outDir: String,
+      hotCopies: Int = 10000): Long = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val Array(tsLo, tsHi) = ev.agg(min(col("ts")), max(col("ts")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+
+    // Hot day: even event_ids have their ts compressed onto the corpus's
+    // first day (span-preserving integer division keeps keys *mostly*
+    // distinct; the rare collision is just one more genuine duplicate for
+    // the dedupe job to find — exactly what a hostile feed looks like).
+    val hotDayStart = tsLo - (tsLo % dayNs)
+    val spanDays = (tsHi - tsLo) / dayNs + 1
+    val remapped = ev.withColumn("ts",
+      when(col("event_id") % 2 === 0,
+        lit(hotDayStart) + expr(s"(ts - ${tsLo}L) div ${spanDays}L"))
+        .otherwise(col("ts")))
+
+    // Hot key: the max surviving original ts (odd side — unique by
+    // construction in the generator) carries hotCopies replicas.
+    val hotTs = remapped.filter(col("event_id") % 2 =!= 0)
+      .agg(max(col("ts"))).head().getLong(0)
+
+    val lines = remapped
+      .select(to_json(PipelineBench.hederaPayload).as("value"),
+        col("event_id"), col("ts"))
+      .withColumn("copies",
+        when(col("ts") === hotTs, hotCopies)
+          .when(col("event_id") % 5 === 0, 2).otherwise(1))
+      .select(explode(array_repeat(col("value"), col("copies"))).as("value"))
+    val n = lines.count()
+    lines.write.mode("overwrite").text(outDir)
+    n
+  }
+
+  /** Ingest + incremental dedupe rates over the skewed corpus (same
+    * measurement path as the uniform PipelineBench.run). */
+  def bench(spark: SparkSession, sfDir: String,
+      listener: TaskMetricsListener = null): PipelineBench.Rates = {
+    val base = java.nio.file.Files.createTempDirectory("graft-skewbench").toString
+    val inDir = s"$base/in"
+    skewedJsonCorpus(spark, sfDir, inDir)
+    try PipelineBench.measure(spark, base, inDir, listener)
+    finally deleteRecursively(new java.io.File(base))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -20,12 +20,10 @@ object PipelineBench {
       dedupeSec: Double, dedupeDuplicates: Long,
       ingestCpuSec: Double, dedupeCpuSec: Double)
 
-  /** events row → minimal hedera-shaped JSON payload (ns key, nested body,
-    * transfer list) — every 5th row duplicated, the reference generator's
-    * recipe (TransactionsGenerator.java:70-81). */
-  private[graft] def jsonCorpus(spark: SparkSession, sfDir: String, outDir: String): Long = {
-    val ev = Tables.load(spark, sfDir, "events")
-    val payload = struct(
+  /** events columns → minimal hedera-shaped JSON payload struct (ns key,
+    * nested body, transfer list). Shared by the uniform corpus here and the
+    * adversarial-skew corpus (GenSkew). */
+  private[graft] def hederaPayload: org.apache.spark.sql.Column = struct(
       col("ts").as("consensusTimestamp"),
       (col("event_id") % 21 + 7).as("transactionType"),
       struct(struct(
@@ -42,7 +40,12 @@ object PipelineBench {
             lit(3L).as("accountNum")).as("accountID"),
             (col("value") * 100).cast("long").as("amount"))
         ).as("accountAmounts")).as("transferList")).as("transactionRecord"))
-    val withDups = ev.select(to_json(payload).as("value"), col("event_id"))
+
+  /** Uniform corpus: every 5th row duplicated, the reference generator's
+    * recipe (TransactionsGenerator.java:70-81). */
+  private[graft] def jsonCorpus(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val withDups = ev.select(to_json(hederaPayload).as("value"), col("event_id"))
       .withColumn("copies", when(col("event_id") % 5 === 0, 2).otherwise(1))
       .select(explode(array_repeat(col("value"), col("copies"))).as("value"))
     val n = withDups.count()
@@ -54,7 +57,16 @@ object PipelineBench {
       listener: TaskMetricsListener = null): Rates = {
     val base = java.nio.file.Files.createTempDirectory("graft-pipebench").toString
     val inDir = s"$base/in"
-    val rows = jsonCorpus(spark, sfDir, inDir)
+    jsonCorpus(spark, sfDir, inDir)
+    try measure(spark, base, inDir, listener)
+    finally deleteRecursively(new java.io.File(base))
+  }
+
+  /** Ingest + one incremental dedupe over a prepared JSONL corpus dir —
+    * shared by the uniform run above and the skewed run (GenSkew.bench),
+    * so the two rates are measured by identical machinery. */
+  private[graft] def measure(spark: SparkSession, base: String, inDir: String,
+      listener: TaskMetricsListener): Rates = {
     def cpuNs: Long = if (listener == null) 0L else listener.settled().cpuNs
 
     val table = new TransactionsTable(spark, s"$base/transactions")

@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.hedera._
+
+/** Streaming-mode measurement of the engine AS DEPLOYED — `EtlApp`'s
+  * continuous shape (PubSubToBigQueryPipeline.java:37-56 + the Spring
+  * `@Scheduled` dedupe): a `startStream` file-source ingest with
+  * `Trigger.ProcessingTime` running WHILE the dedupe job fires repeatedly
+  * against the same warehouse.
+  *
+  * Reported (one record, folded into the Bench JSON):
+  *  - micro-batch latency p50/p95 and count (progress-listener
+  *    `triggerExecution` over batches that carried rows);
+  *  - sustained ingest rows/s over the whole feed (offered at a fixed
+  *    file-drop cadence — arrival is TIME-ORDERED by the consensus key,
+  *    the reference's feed shape);
+  *  - per-run incremental-dedupe wall, measured twice over the SAME
+  *    event-time windows: once quiet (batch warehouse, no stream) and once
+  *    concurrent (during the stream) — the concurrency tax in one ratio.
+  *
+  * The dedupe window is pinned to 5 event-days per run
+  * (`catchupIntervalUs`) — the 30-day test corpus then yields ~6 runs per
+  * phase, enough for a median, and quiet and concurrent runs do
+  * comparable work. The feed cadence derives from a target offered rate
+  * (`GRAFT_STREAM_TARGET_RPS`, default 8000 rows/s — well inside the
+  * measured batch capacity, so latency reflects steady-state operation,
+  * not backlog drain; batch capacity itself is the separate
+  * `ingest_rows_per_sec` measurement).
+  */
+object StreamBench {
+
+  final case class Stats(
+      rows: Long, batches: Int,
+      batchP50Sec: Double, batchP95Sec: Double, rowsPerSec: Double,
+      quietDedupeSec: Double, concurrentDedupeSec: Double,
+      quietRuns: Int, concurrentRuns: Int, dupesRemoved: Long)
+
+  val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1)
+
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+  private def p95(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0
+    else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 0.95).toInt))
+
+  private val windowCfg =
+    Deduplication.Config(catchupIntervalUs = 5L * 86400 * 1000000)
+
+  /** Run incremental dedupe until the checkpoint catches the ingested max;
+    * returns (per-run walls of runs that did work, duplicates removed). */
+  private def drainDedupe(job: Deduplication.Job, maxRuns: Int): (Seq[Double], Long) = {
+    val walls = Seq.newBuilder[Double]
+    var removed = 0L
+    var runs = 0
+    var done = false
+    while (!done && runs < maxRuns) {
+      val t0 = System.nanoTime()
+      val r = job.runIncremental()
+      if (r.windowEndUs > r.windowStartUs) {
+        walls += (System.nanoTime() - t0) / 1e9
+        removed += r.duplicatesRemoved
+      } else done = true
+      runs += 1
+    }
+    (walls.result(), removed)
+  }
+
+  def run(spark: SparkSession, sfDir: String): Stats = {
+    val base = Files.createTempDirectory("graft-streambench").toString
+    try runIn(spark, sfDir, base)
+    finally deleteRecursively(new java.io.File(base))
+  }
+
+  private def runIn(spark: SparkSession, sfDir: String, base: String): Stats = {
+    // Corpus, re-sorted so file order follows the consensus key: a file
+    // stream fed in name order then replays the reference's arrival shape
+    // (timestamps grow with wall clock; dedupe windows trail ingest).
+    val stage = s"$base/stage"
+    val corpusRows = PipelineBench.jsonCorpus(spark, sfDir, stage)
+    val corpusDir = s"$base/corpus"
+    // Pinned range partition count: a bare orderBy's shuffle is
+    // AQE-coalescible and a small corpus collapses to ONE file (= one
+    // micro-batch, no latency distribution to measure).
+    spark.read.text(stage)
+      .withColumn("__ts", regexp_extract(col("value"),
+        "\"consensusTimestamp\"\\s*:\\s*\"?(-?\\d+)", 1).try_cast("long"))
+      .repartitionByRange(32, col("__ts"))
+      .sortWithinPartitions(col("__ts")).select(col("value"))
+      .write.text(corpusDir)
+    val corpusFiles = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.toPath)
+      .sortBy(_.getFileName.toString)
+
+    // ---- quiet baseline: same corpus, batch-ingested, same dedupe windows
+    val quiet = s"$base/quiet"
+    val qTable = new TransactionsTable(spark, s"$quiet/transactions")
+    val qPipe = new IngestPipeline(spark, qTable,
+      new ErrorsTable(spark, s"$quiet/errors"), preDedupe = false)
+    qPipe.ingestBatch(corpusDir)
+    val qJob = new Deduplication.Job(spark, qTable,
+      new StateStore(spark, s"$quiet/state"), windowCfg)
+    val (quietWalls, quietRemoved) = drainDedupe(qJob, maxRuns = 64)
+
+    // ---- streaming phase: feed files at a fixed cadence, dedupe concurrently
+    val feedDir = s"$base/feed"
+    Files.createDirectories(Paths.get(feedDir))
+    val wh = s"$base/stream"
+    val table = new TransactionsTable(spark, s"$wh/transactions")
+    val pipe = new IngestPipeline(spark, table,
+      new ErrorsTable(spark, s"$wh/errors"), preDedupe = false)
+    val job = new Deduplication.Job(spark, table,
+      new StateStore(spark, s"$wh/state"), windowCfg)
+
+    val batchSecs = new ConcurrentLinkedQueue[java.lang.Double]()
+    val rowsSeen = new AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          rowsSeen.addAndGet(p.numInputRows)
+          val d = p.durationMs.get("triggerExecution")
+          if (d != null) batchSecs.add(d.toDouble / 1e3): Unit
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val targetRps = sys.env.getOrElse("GRAFT_STREAM_TARGET_RPS", "8000").toLong
+    val feedMs = sys.env.get("GRAFT_STREAM_FEED_MS").map(_.toLong).getOrElse(
+      math.max(50L, corpusRows / corpusFiles.length * 1000 / targetRps))
+    val stop = new AtomicBoolean(false)
+    val concWalls = new ConcurrentLinkedQueue[java.lang.Double]()
+    val concRemoved = new AtomicLong(0)
+    val deduper = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          if (!table.exists()) Thread.sleep(200) // stream hasn't landed yet
+          else {
+            val t0 = System.nanoTime()
+            val r = job.runIncremental()
+            if (r.windowEndUs > r.windowStartUs) {
+              concWalls.add((System.nanoTime() - t0) / 1e9)
+              concRemoved.addAndGet(r.duplicatesRemoved): Unit
+            } else Thread.sleep(200) // caught up; wait for more ingest
+          }
+        } catch {
+          case _: InterruptedException => stop.set(true)
+          // a transient failure (e.g. listing races the very first commit)
+          // must not kill the loop — the scheduler's guarded() behaves the
+          // same way (retry next tick from saved state)
+          case _: Throwable => try Thread.sleep(200) catch
+            { case _: InterruptedException => stop.set(true) }
+        }
+      }
+    }, "streambench-dedupe")
+
+    val t0 = System.nanoTime()
+    val query = pipe.startStream(feedDir, s"$wh/checkpoint",
+      Trigger.ProcessingTime("250 milliseconds"))
+    deduper.start()
+    corpusFiles.foreach { f =>
+      Files.move(f, Paths.get(feedDir, f.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(feedMs)
+    }
+    query.processAllAvailable()
+    val streamSec = (System.nanoTime() - t0) / 1e9
+    query.stop()
+    stop.set(true)
+    deduper.join(120000)
+    spark.streams.removeListener(listener)
+    // Drain the windows the concurrent loop did not reach, so dupesRemoved
+    // is comparable to the quiet run's total.
+    val (_, tailRemoved) = drainDedupe(job, maxRuns = 64)
+
+    import scala.jdk.CollectionConverters._
+    val batchWalls = batchSecs.asScala.map(_.doubleValue).toSeq
+    val conc = concWalls.asScala.map(_.doubleValue).toSeq
+    val _ = (corpusRows, quietRemoved) // corpus size context rides rows below
+    Stats(
+      rows = rowsSeen.get(), batches = batchWalls.size,
+      batchP50Sec = median(batchWalls), batchP95Sec = p95(batchWalls),
+      rowsPerSec = if (streamSec > 0) rowsSeen.get() / streamSec else -1,
+      quietDedupeSec = median(quietWalls),
+      concurrentDedupeSec = median(conc),
+      quietRuns = quietWalls.size, concurrentRuns = conc.size,
+      dupesRemoved = concRemoved.get() + tailRemoved)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

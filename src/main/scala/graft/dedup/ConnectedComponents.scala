@@ -49,7 +49,15 @@ object ConnectedComponents {
     * blocks executor-local — faster, and fine when executors are stable.
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame =
+    componentsWithRounds(edges, aCol, bCol, maxIter, checkpointDir)._1
+
+  /** [[components]] plus the number of label-propagation rounds it took to
+    * converge — the observable for convergence assertions (a clique or star
+    * must close in 2-3 rounds; a length-n chain in O(log n) via the
+    * doubling step). */
+  def componentsWithRounds(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def persistRound(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
@@ -89,6 +97,6 @@ object ConnectedComponents {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    labels
+    (labels, iter)
   }
 }

@@ -94,6 +94,18 @@ object TextDedup {
       .distinct()
   }
 
+  /** Drop accounting for the `maxBucket` skew guard: one row with the total
+    * band-bucket count, the buckets over the cap (which [[candidatePairs]]
+    * silently skips), and the band rows lost with them. A capped run on
+    * hostile data (a giant near-dup clique collapses most bands into one
+    * bucket) degrades to FEWER pairs, never to a blowup — this census is
+    * how a pipeline observes that degradation instead of guessing. */
+  def lshBucketStats(sigs: DataFrame, cfg: MinHashConfig): DataFrame =
+    bandRows(sigs, cfg).groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("total_buckets"),
+        coalesce(sum(when(col("n") > cfg.maxBucket, 1L)), lit(0L)).as("dropped_buckets"),
+        coalesce(sum(when(col("n") > cfg.maxBucket, col("n"))), lit(0L)).as("dropped_rows"))
+
   /** Candidate pairs verified with exact jaccard over the shingle-hash sets;
     * keeps pairs at or above the configured threshold.
     *

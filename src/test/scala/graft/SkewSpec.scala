@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{ConnectedComponents, TextDedup}
+import graft.hedera._
+
+/** Adversarial-skew battery: the pathologies VERDICT r3 asked the engine to
+  * prove itself against — a 10⁴-duplicate hot key, a near-dup clique, LSH
+  * buckets at the cap boundary, and a day holding half the corpus. Each
+  * test asserts the documented degradation (correct result, bounded work,
+  * observable drop counts), not just survival.
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val dayNs = 86400L * 1000000000L
+  private val t0 = 1600000000L * 1000000000L
+
+  private def mkTable(): TransactionsTable =
+    new TransactionsTable(spark, GraftTestSpark.tmpDir("skew") + "/transactions")
+
+  private def writeDays(table: TransactionsTable, ns: Seq[Long]): Unit = {
+    val df = ns.toDF("consensusTimestamp")
+      .withColumn("consensusTimestampTruncated",
+        timestamp_micros(expr("consensusTimestamp div 1000")))
+      .withColumn("day", to_date(col("consensusTimestampTruncated")))
+    val full = df.select(TransactionSchema.table.fieldNames.map(n =>
+      if (df.columns.contains(n)) col(n)
+      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*)
+    table.append(full)
+  }
+
+  test("hot key: a 10^4-duplicate group repairs correctly in one run") {
+    val table = mkTable()
+    val state = new StateStore(spark, GraftTestSpark.tmpDir("skew-state") + "/state")
+    val job = new Deduplication.Job(spark, table, state,
+      Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
+    val hot = Seq.fill(10000)(t0 + 500L)
+    val background = (1 to 2000).map(i => t0 + i * 1000000L) // spread over the day
+    writeDays(table, scala.util.Random.shuffle(hot ++ background))
+    val res = job.runIncremental()
+    assert(res.duplicatesRemoved === 9999)
+    assert(table.read().count() === 2001)
+    assert(table.read().filter(col("consensusTimestamp") === t0 + 500L).count() === 1)
+  }
+
+  test("near-dup clique: uncapped LSH finds it, CC closes it in O(1) rounds") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 800).map(i => (i.toLong, s"$base unique$i")).toDF("doc_id", "text")
+    val cfg = TextDedup.MinHashConfig(maxBucket = 1 << 20)
+    val pairs = TextDedup.nearDuplicatePairs(docs, "doc_id", "text", cfg)
+      .select("a_id", "b_id")
+    val (labels, rounds) = ConnectedComponents.componentsWithRounds(pairs, "a_id", "b_id")
+    val comps = labels.select("component").distinct().count()
+    assert(comps === 1, "the clique must resolve to ONE component")
+    assert(labels.count() === 800, "every clique member labeled")
+    assert(rounds <= 3, s"clique must close in O(1) label rounds, took $rounds")
+    val survivors = TextDedup.minHashDedup(docs, "doc_id", "text", cfg).count()
+    assert(survivors === 1, "cluster-based dedupe keeps exactly one representative")
+  }
+
+  test("near-dup clique under the default cap degrades gracefully and reports drops") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 800).map(i => (i.toLong, s"$base unique$i")).toDF("doc_id", "text")
+    val cfg = TextDedup.MinHashConfig() // maxBucket = 64
+    val sigs = TextDedup.signatures(docs, "doc_id", "text", cfg)
+      .filter(size(col("sh")) > 0)
+    val stats = TextDedup.lshBucketStats(sigs, cfg).first()
+    assert(stats.getAs[Long]("dropped_buckets") > 0,
+      "a 800-doc clique must overflow capped band buckets")
+    assert(stats.getAs[Long]("dropped_rows") > 0)
+    // The capped pipeline still completes with bounded fan-out: every
+    // surviving bucket pairs at most C(64,2) rows, so the candidate set is
+    // a tiny fraction of the clique's C(800,2).
+    val pairs = TextDedup.nearDuplicatePairs(docs, "doc_id", "text", cfg).count()
+    assert(pairs < 800L * 799 / 2 / 10, s"capped run must not blow up, got $pairs")
+  }
+
+  test("LSH bucket exactly at the cap boundary: kept at m = cap, dropped at m = cap+1") {
+    val cfg = TextDedup.MinHashConfig(maxBucket = 8)
+    val filler = Seq(
+      (100L, "completely different words about weather patterns today"),
+      (101L, "another unrelated sentence mentioning database engines loudly"))
+    def cliqueOf(m: Int) =
+      ((0 until m).map(i => (i.toLong, "the exact same duplicated text body repeated verbatim")) ++
+        filler).toDF("doc_id", "text")
+
+    val atCap = TextDedup.nearDuplicatePairs(cliqueOf(8), "doc_id", "text", cfg)
+    assert(atCap.count() === 8L * 7 / 2, "bucket of exactly maxBucket pairs fully")
+
+    val overCap = cliqueOf(9)
+    val pairs = TextDedup.nearDuplicatePairs(overCap, "doc_id", "text", cfg)
+    assert(pairs.count() === 0, "bucket one over the cap is dropped whole")
+    val sigs = TextDedup.signatures(overCap, "doc_id", "text", cfg)
+      .filter(size(col("sh")) > 0)
+    val stats = TextDedup.lshBucketStats(sigs, cfg).first()
+    assert(stats.getAs[Long]("dropped_buckets") === cfg.bands.toLong,
+      "identical docs collapse every band into one over-cap bucket")
+    assert(stats.getAs[Long]("dropped_rows") === 9L * cfg.bands)
+  }
+
+  test("hot day + hot key corpus: ingest conserves rows, dedupe restores uniqueness") {
+    val outDir = GraftTestSpark.tmpDir("skew-corpus") + "/in"
+    val lines = GenSkew.skewedJsonCorpus(spark, GraftTestSpark.sfDir, outDir,
+      hotCopies = 5000)
+    val corpus = spark.read.text(outDir)
+      .select(regexp_extract(col("value"),
+        "\"consensusTimestamp\"\\s*:\\s*(-?\\d+)", 1).cast("long").as("ts"))
+    val distinctKeys = corpus.select("ts").distinct().count()
+    assert(corpus.count() === lines)
+
+    val base = GraftTestSpark.tmpDir("skew-wh")
+    val table = new TransactionsTable(spark, s"$base/transactions")
+    val errors = new ErrorsTable(spark, s"$base/errors")
+    val pipe = new IngestPipeline(spark, table, errors, preDedupe = false)
+    val (ok, bad) = pipe.ingestBatch(outDir)
+    assert(ok === lines && bad === 0, "every skewed line lands")
+    // files-per-day layout bound holds on the 50%-of-rows day
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dayFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/transactions"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(d => fs.listStatus(d.getPath).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
+    assert(dayFiles.max <= table.filesPerDay,
+      s"hot day exceeded the files-per-day bound: ${dayFiles.max}")
+
+    val job = new Deduplication.Job(spark, table,
+      new StateStore(spark, s"$base/state"),
+      Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
+    val res = job.runIncremental()
+    assert(res.duplicatesRemoved === lines - distinctKeys)
+    assert(table.read().count() === distinctKeys)
+  }
+}
