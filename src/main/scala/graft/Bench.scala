@@ -100,13 +100,13 @@ object Bench {
     // the query loop: a heap full of query-stage leftovers was observed to
     // degrade the write-heavy pipeline measurement several-fold.
     val rates = try PipelineBench.run(spark, sfDir, listener)
-    catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0, -1, -1) }
+    catch { case _: Throwable => PipelineBench.FailedRates }
 
     // Adversarial-skew corpus (hot key ×10⁴, one day carrying 50% of rows),
     // measured by the same machinery — the uniform-vs-skew ratio is the
     // robustness number.
     val skew = try GenSkew.bench(spark, sfDir, listener)
-    catch { case _: Throwable => PipelineBench.Rates(0, -1, -1, -1, 0, -1, -1) }
+    catch { case _: Throwable => PipelineBench.FailedRates }
 
     // The engine as deployed: continuous-trigger streaming ingest with the
     // dedupe job firing concurrently (EtlApp's shape).
@@ -182,6 +182,7 @@ object Bench {
       s""""queries":${jmap(_.median.toString)},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +
       s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
+      s""""dedupe_windowed_sec":${f"${rates.windowedDedupeSec}%.3f"},""" +
       s""""total":$total,"value":$total}"""
     // Belt and braces: persist the full record where a repo snapshot finds it
     // even if stdout capture truncates. GRAFT_BENCH_OUT redirects (e.g. an

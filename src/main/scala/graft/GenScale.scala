@@ -82,16 +82,24 @@ object GenScale {
       val eventStride = stride(events, "event_id")
       val userStride = stride(events, "user_id")
       // ts (ns epoch long) must ALSO shift: it is the ingest dedupe key, and
-      // unshifted replicas would make the scaled corpus 90% duplicates —
-      // shifting by the base span extends the corpus to factor× the time
-      // range (more day partitions), which is how a warehouse actually grows.
+      // unshifted replicas would make the scaled corpus 90% duplicates.
+      // Replicas spread over at most 10 span-groups: a 100× corpus then has
+      // 10× the time range at 10× the daily density — how a warehouse
+      // actually grows (traffic outpaces the calendar; a pure span stretch
+      // would leave per-day row counts CONSTANT and splinter the table into
+      // factor× near-empty day partitions). The `__rep div groups` ns nudge
+      // keeps keys unique within a group: original points are ≫ factor ns
+      // apart with overwhelming probability, and the rare collision is just
+      // one more genuine duplicate for the dedupe job.
       val Array(tsLo, tsHi) = events.agg(min(col("ts")), max(col("ts")))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val tsSpan = tsHi - tsLo + 1L
+      val groups = math.min(factor, 10)
       write("events", events.crossJoin(reps())
         .withColumn("event_id", col("event_id") + col("__rep") * eventStride)
         .withColumn("user_id", col("user_id") + col("__rep") * userStride)
-        .withColumn("ts", col("ts") + col("__rep") * tsSpan)
+        .withColumn("ts",
+          col("ts") + (col("__rep") % groups) * tsSpan + expr(s"__rep div $groups"))
         .drop("__rep"))
     }
 

@@ -18,7 +18,10 @@ object PipelineBench {
   final case class Rates(
       ingestRows: Long, ingestSec: Double, ingestRowsPerSec: Double,
       dedupeSec: Double, dedupeDuplicates: Long,
-      ingestCpuSec: Double, dedupeCpuSec: Double)
+      ingestCpuSec: Double, dedupeCpuSec: Double,
+      windowedDedupeSec: Double = -1)
+
+  val FailedRates: Rates = Rates(0, -1, -1, -1, 0, -1, -1)
 
   /** events columns → minimal hedera-shaped JSON payload struct (ns key,
     * nested body, transfer list). Shared by the uniform corpus here and the
@@ -116,8 +119,24 @@ object PipelineBench {
     val dedupeSec = (System.nanoTime() - t1) / 1e9
     val dedupeCpu = (cpuNs - c1) / 1e9
 
+    // O(window) evidence: one DEFAULT-config incremental run (6 h catch-up
+    // window) in the STEADY-STATE shape — checkpoint parked 12 h behind the
+    // ingested head, the scheduled job's position after any tick. Probe and
+    // detect then prune to the head days, so this wall is proportional to
+    // the window, not the table, and should stay near-constant as the
+    // corpus scales 10×/100× while the backfill number above grows
+    // linearly. (A zero checkpoint would instead measure the backfill
+    // probe: an O(table) min/max scan by design.)
+    val wState = new StateStore(spark, s"$base/state-windowed")
+    wState.set(Deduplication.IncrementalStateKey,
+      (res.windowEndUs - 12L * 3600 * 1000000).toString)
+    val wJob = new Deduplication.Job(spark, table, wState)
+    val t2 = System.nanoTime()
+    wJob.runIncremental()
+    val windowedSec = (System.nanoTime() - t2) / 1e9
+
     val rates = Rates(landed, ingestSec, landed / ingestSec, dedupeSec,
-      res.duplicatesRemoved, ingestCpu, dedupeCpu)
+      res.duplicatesRemoved, ingestCpu, dedupeCpu, windowedSec)
     // The corpus + tables are ~0.5 GB per run; leaking them across bench
     // runs builds dirty-page writeback pressure that shows up as wall-time
     // inflation at constant CPU in later runs' write phases.

@@ -9,7 +9,7 @@ object PipelineBenchMain {
     val r = PipelineBench.run(spark, sfDir)
     println(s"ingest_rows=${r.ingestRows} ingest_sec=${r.ingestSec} " +
       s"rows_per_sec=${r.ingestRowsPerSec.round} dedupe_sec=${r.dedupeSec} " +
-      s"dups=${r.dedupeDuplicates}")
+      s"dups=${r.dedupeDuplicates} windowed_dedupe_sec=${r.windowedDedupeSec}")
     spark.stop()
   }
 }

@@ -19,6 +19,12 @@ import graft.GraftSession
   *
   *  - continuous (default): file-stream the input dir, start the dedupe
   *    scheduler at the reference's default rates, run until terminated.
+  *    Concurrent ingest appends and dedupe day-swaps are safe against each
+  *    other: the repair reads a pinned snapshot, the swap preserves files
+  *    appended after it, and both serialize on the table's process-level
+  *    write lock (TransactionsTable; proven by TableStoreCrashSpec's
+  *    concurrent test, measured by StreamBench's `streaming` bench
+  *    section).
   *  - `--once`: drain the input (Trigger.AvailableNow), run one
   *    incremental + full dedupe pair, print a summary line, exit — the
   *    cron-style invocation, and what EtlAppSpec drives end-to-end.

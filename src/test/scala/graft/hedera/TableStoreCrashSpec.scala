@@ -127,6 +127,21 @@ class TableStoreCrashSpec extends AnyFunSuite {
       "dup removed, post-snapshot straggler preserved")
   }
 
+  test("snapshot reads keep day-partition pruning (repair stays O(window))") {
+    val (table, _) = mkTable()
+    writeDays(table, Seq(t0, t0 + dayNs, t0 + 2 * dayNs))
+    val (df, listing) = table.readSnapshot()
+    assert(listing.size === 3, "one listing entry per day partition")
+    val filtered = df.filter(col("day") === to_date(timestamp_micros(lit(t0 / 1000))))
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the day predicate must be a PARTITION filter on the explicit-file
+    // scan — basePath gives the listed files their day column, and pruning
+    // is what keeps the windowed repair O(window) on a 100 TB table
+    assert(plan.contains("PartitionFilters: [") && plan.contains("(day"),
+      s"day filter did not reach partition pruning:\n${plan.take(800)}")
+    assert(filtered.count() === 1)
+  }
+
   test("recovery finishes straggler preservation after a crash mid-swap") {
     val (table, dir) = mkTable()
     writeDays(table, Seq(t0, t0 + 1))
