@@ -1,0 +1,20 @@
+package graft
+
+/** Small helpers shared by the bench harnesses (Bench, PipelineBench,
+  * StreamBench, GenSkew) — one copy, so a fix never silently misses a
+  * sibling. */
+object BenchUtil {
+
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+
+  def p95(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0
+    else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 0.95).toInt))
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

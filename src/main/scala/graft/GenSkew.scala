@@ -67,12 +67,6 @@ object GenSkew {
     val inDir = s"$base/in"
     skewedJsonCorpus(spark, sfDir, inDir)
     try PipelineBench.measure(spark, base, inDir, listener)
-    finally deleteRecursively(new java.io.File(base))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
+    finally BenchUtil.deleteRecursively(new java.io.File(base))
   }
 }

@@ -62,7 +62,7 @@ object PipelineBench {
     val inDir = s"$base/in"
     jsonCorpus(spark, sfDir, inDir)
     try measure(spark, base, inDir, listener)
-    finally deleteRecursively(new java.io.File(base))
+    finally BenchUtil.deleteRecursively(new java.io.File(base))
   }
 
   /** Ingest + one incremental dedupe over a prepared JSONL corpus dir —
@@ -110,6 +110,26 @@ object PipelineBench {
     val ingestSec = (System.nanoTime() - t0) / 1e9
     val ingestCpu = (cpuNs - c0) / 1e9
 
+    // O(window) evidence: one DEFAULT-config incremental run (6 h catch-up
+    // window) in the STEADY-STATE shape — checkpoint parked 12 h behind the
+    // ingested head, the scheduled job's position after any tick. It runs
+    // BEFORE the backfill below so the window still contains its share of
+    // planted duplicates and the timed wall covers a REAL repair (probe +
+    // detect + day rewrite), all pruned to the head days — proportional to
+    // the window, not the table, so near-constant as the corpus scales
+    // 10×/100× while the backfill number grows linearly. (A zero
+    // checkpoint would instead measure the backfill probe: an O(table)
+    // min/max scan by design.)
+    val maxTsUs = table.read()
+      .agg(max(unix_micros(col("consensusTimestampTruncated")))).head().getLong(0)
+    val wState = new StateStore(spark, s"$base/state-windowed")
+    wState.set(Deduplication.IncrementalStateKey,
+      (maxTsUs - 12L * 3600 * 1000000).toString)
+    val wJob = new Deduplication.Job(spark, table, wState)
+    val t2 = System.nanoTime()
+    val wRes = wJob.runIncremental()
+    val windowedSec = (System.nanoTime() - t2) / 1e9
+
     val state = new StateStore(spark, s"$base/state")
     val job = new Deduplication.Job(spark, table, state,
       Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
@@ -119,34 +139,12 @@ object PipelineBench {
     val dedupeSec = (System.nanoTime() - t1) / 1e9
     val dedupeCpu = (cpuNs - c1) / 1e9
 
-    // O(window) evidence: one DEFAULT-config incremental run (6 h catch-up
-    // window) in the STEADY-STATE shape — checkpoint parked 12 h behind the
-    // ingested head, the scheduled job's position after any tick. Probe and
-    // detect then prune to the head days, so this wall is proportional to
-    // the window, not the table, and should stay near-constant as the
-    // corpus scales 10×/100× while the backfill number above grows
-    // linearly. (A zero checkpoint would instead measure the backfill
-    // probe: an O(table) min/max scan by design.)
-    val wState = new StateStore(spark, s"$base/state-windowed")
-    wState.set(Deduplication.IncrementalStateKey,
-      (res.windowEndUs - 12L * 3600 * 1000000).toString)
-    val wJob = new Deduplication.Job(spark, table, wState)
-    val t2 = System.nanoTime()
-    wJob.runIncremental()
-    val windowedSec = (System.nanoTime() - t2) / 1e9
-
-    val rates = Rates(landed, ingestSec, landed / ingestSec, dedupeSec,
-      res.duplicatesRemoved, ingestCpu, dedupeCpu, windowedSec)
-    // The corpus + tables are ~0.5 GB per run; leaking them across bench
-    // runs builds dirty-page writeback pressure that shows up as wall-time
-    // inflation at constant CPU in later runs' write phases.
-    deleteRecursively(new java.io.File(base))
-    rates
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
+    // Deletion of the ~0.5 GB corpus + tables is the CALLER's finally
+    // (run / GenSkew.bench): leaking them across bench runs builds
+    // dirty-page writeback pressure that shows up as wall-time inflation
+    // at constant CPU in later runs' write phases.
+    Rates(landed, ingestSec, landed / ingestSec, dedupeSec,
+      res.duplicatesRemoved + wRes.duplicatesRemoved, ingestCpu, dedupeCpu,
+      windowedSec)
   }
 }

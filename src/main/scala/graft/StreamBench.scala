@@ -22,17 +22,20 @@ import graft.hedera._
   *  - sustained ingest rows/s over the whole feed (offered at a fixed
   *    file-drop cadence — arrival is TIME-ORDERED by the consensus key,
   *    the reference's feed shape);
-  *  - per-run incremental-dedupe wall, measured twice over the SAME
-  *    event-time windows: once quiet (batch warehouse, no stream) and once
-  *    concurrent (during the stream) — the concurrency tax in one ratio.
+  *  - per-run incremental-dedupe wall, measured twice: once quiet (batch
+  *    warehouse, no stream) and once concurrent (during the stream) — the
+  *    concurrency tax in one ratio. Both medians are taken over FULL
+  *    5-event-day windows only (a mid-stream run whose window was truncated
+  *    by the ingest head would otherwise make concurrent runs look
+  *    artificially cheap); if no full-span run exists the median falls back
+  *    to all work runs.
   *
   * The dedupe window is pinned to 5 event-days per run
   * (`catchupIntervalUs`) — the 30-day test corpus then yields ~6 runs per
-  * phase, enough for a median, and quiet and concurrent runs do
-  * comparable work. The feed cadence derives from a target offered rate
-  * (`GRAFT_STREAM_TARGET_RPS`, default 8000 rows/s — well inside the
-  * measured batch capacity, so latency reflects steady-state operation,
-  * not backlog drain; batch capacity itself is the separate
+  * phase, enough for a median. The feed cadence derives from a target
+  * offered rate (`GRAFT_STREAM_TARGET_RPS`, default 8000 rows/s — well
+  * inside the measured batch capacity, so latency reflects steady-state
+  * operation, not backlog drain; batch capacity itself is the separate
   * `ingest_rows_per_sec` measurement).
   */
 object StreamBench {
@@ -45,19 +48,21 @@ object StreamBench {
 
   val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1)
 
-  private def median(xs: Seq[Double]): Double =
-    if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
-  private def p95(xs: Seq[Double]): Double =
-    if (xs.isEmpty) -1.0
-    else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 0.95).toInt))
-
   private val windowCfg =
     Deduplication.Config(catchupIntervalUs = 5L * 86400 * 1000000)
 
+  /** Median over full-span windows only (see class doc); falls back to all
+    * runs when arrival never left a full window to process. */
+  private def fullSpanMedian(runs: Seq[(Double, Long)]): Double = {
+    val full = runs.collect { case (w, s) if s >= windowCfg.catchupIntervalUs => w }
+    BenchUtil.median(if (full.nonEmpty) full else runs.map(_._1))
+  }
+
   /** Run incremental dedupe until the checkpoint catches the ingested max;
-    * returns (per-run walls of runs that did work, duplicates removed). */
-  private def drainDedupe(job: Deduplication.Job, maxRuns: Int): (Seq[Double], Long) = {
-    val walls = Seq.newBuilder[Double]
+    * returns ((wall, windowSpanUs) per work run, duplicates removed). */
+  private def drainDedupe(job: Deduplication.Job,
+      maxRuns: Int): (Seq[(Double, Long)], Long) = {
+    val walls = Seq.newBuilder[(Double, Long)]
     var removed = 0L
     var runs = 0
     var done = false
@@ -65,7 +70,7 @@ object StreamBench {
       val t0 = System.nanoTime()
       val r = job.runIncremental()
       if (r.windowEndUs > r.windowStartUs) {
-        walls += (System.nanoTime() - t0) / 1e9
+        walls += (((System.nanoTime() - t0) / 1e9, r.windowEndUs - r.windowStartUs))
         removed += r.duplicatesRemoved
       } else done = true
       runs += 1
@@ -76,7 +81,7 @@ object StreamBench {
   def run(spark: SparkSession, sfDir: String): Stats = {
     val base = Files.createTempDirectory("graft-streambench").toString
     try runIn(spark, sfDir, base)
-    finally deleteRecursively(new java.io.File(base))
+    finally BenchUtil.deleteRecursively(new java.io.File(base))
   }
 
   private def runIn(spark: SparkSession, sfDir: String, base: String): Stats = {
@@ -91,7 +96,7 @@ object StreamBench {
     // micro-batch, no latency distribution to measure).
     spark.read.text(stage)
       .withColumn("__ts", regexp_extract(col("value"),
-        "\"consensusTimestamp\"\\s*:\\s*\"?(-?\\d+)", 1).try_cast("long"))
+        IngestPipeline.TsPattern, 1).try_cast("long"))
       .repartitionByRange(32, col("__ts"))
       .sortWithinPartitions(col("__ts")).select(col("value"))
       .write.text(corpusDir)
@@ -107,7 +112,7 @@ object StreamBench {
     qPipe.ingestBatch(corpusDir)
     val qJob = new Deduplication.Job(spark, qTable,
       new StateStore(spark, s"$quiet/state"), windowCfg)
-    val (quietWalls, quietRemoved) = drainDedupe(qJob, maxRuns = 64)
+    val (quietWalls, _) = drainDedupe(qJob, maxRuns = 64)
 
     // ---- streaming phase: feed files at a fixed cadence, dedupe concurrently
     val feedDir = s"$base/feed"
@@ -133,13 +138,12 @@ object StreamBench {
         }
       }
     }
-    spark.streams.addListener(listener)
 
     val targetRps = sys.env.getOrElse("GRAFT_STREAM_TARGET_RPS", "8000").toLong
     val feedMs = sys.env.get("GRAFT_STREAM_FEED_MS").map(_.toLong).getOrElse(
       math.max(50L, corpusRows / corpusFiles.length * 1000 / targetRps))
     val stop = new AtomicBoolean(false)
-    val concWalls = new ConcurrentLinkedQueue[java.lang.Double]()
+    val concWalls = new ConcurrentLinkedQueue[(java.lang.Double, java.lang.Long)]()
     val concRemoved = new AtomicLong(0)
     val deduper = new Thread(() => {
       while (!stop.get()) {
@@ -149,7 +153,8 @@ object StreamBench {
             val t0 = System.nanoTime()
             val r = job.runIncremental()
             if (r.windowEndUs > r.windowStartUs) {
-              concWalls.add((System.nanoTime() - t0) / 1e9)
+              concWalls.add(((System.nanoTime() - t0) / 1e9,
+                r.windowEndUs - r.windowStartUs))
               concRemoved.addAndGet(r.duplicatesRemoved): Unit
             } else Thread.sleep(200) // caught up; wait for more ingest
           }
@@ -163,43 +168,51 @@ object StreamBench {
         }
       }
     }, "streambench-dedupe")
+    // Daemon: even a pathological hang here must never pin the bench JVM.
+    deduper.setDaemon(true)
 
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val query = pipe.startStream(feedDir, s"$wh/checkpoint",
       Trigger.ProcessingTime("250 milliseconds"))
-    deduper.start()
-    corpusFiles.foreach { f =>
-      Files.move(f, Paths.get(feedDir, f.getFileName.toString),
-        StandardCopyOption.ATOMIC_MOVE)
-      Thread.sleep(feedMs)
+    var streamSec = -1.0
+    try {
+      deduper.start()
+      corpusFiles.foreach { f =>
+        Files.move(f, Paths.get(feedDir, f.getFileName.toString),
+          StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(feedMs)
+      }
+      query.processAllAvailable()
+      streamSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      // Unwind in all paths (a dead query or feeder exception must not leak
+      // the deduper loop, the query, or the listener into the rest of the
+      // bench run).
+      stop.set(true)
+      try query.stop() catch { case _: Throwable => () }
+      deduper.join(120000)
+      if (deduper.isAlive) deduper.interrupt()
+      spark.streams.removeListener(listener)
     }
-    query.processAllAvailable()
-    val streamSec = (System.nanoTime() - t0) / 1e9
-    query.stop()
-    stop.set(true)
-    deduper.join(120000)
-    spark.streams.removeListener(listener)
     // Drain the windows the concurrent loop did not reach, so dupesRemoved
-    // is comparable to the quiet run's total.
-    val (_, tailRemoved) = drainDedupe(job, maxRuns = 64)
+    // is comparable to the quiet run's total — but never concurrently with
+    // a deduper that outlived its join timeout (shared StateStore/stage).
+    val (_, tailRemoved) =
+      if (deduper.isAlive) (Nil, 0L) else drainDedupe(job, maxRuns = 64)
 
     import scala.jdk.CollectionConverters._
     val batchWalls = batchSecs.asScala.map(_.doubleValue).toSeq
-    val conc = concWalls.asScala.map(_.doubleValue).toSeq
-    val _ = (corpusRows, quietRemoved) // corpus size context rides rows below
+    val conc = concWalls.asScala
+      .map(p => (p._1.doubleValue, p._2.longValue)).toSeq
     Stats(
       rows = rowsSeen.get(), batches = batchWalls.size,
-      batchP50Sec = median(batchWalls), batchP95Sec = p95(batchWalls),
+      batchP50Sec = BenchUtil.median(batchWalls),
+      batchP95Sec = BenchUtil.p95(batchWalls),
       rowsPerSec = if (streamSec > 0) rowsSeen.get() / streamSec else -1,
-      quietDedupeSec = median(quietWalls),
-      concurrentDedupeSec = median(conc),
+      quietDedupeSec = fullSpanMedian(quietWalls),
+      concurrentDedupeSec = fullSpanMedian(conc),
       quietRuns = quietWalls.size, concurrentRuns = conc.size,
       dupesRemoved = concRemoved.get() + tailRemoved)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 }

@@ -58,18 +58,47 @@ object ConnectedComponents {
     * doubling step). */
   def componentsWithRounds(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30, checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def persistRound(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val sc = edges.sparkSession.sparkContext
+    // Reliable mode must also CLEAN UP: each round's checkpoint is a full
+    // materialized copy of per-vertex state, nothing deletes them by
+    // default (cleanCheckpoints is off), and an iterative operator that
+    // leaks ~3 copies per round would fill the checkpoint filesystem on a
+    // long-lived cluster. Superseded rounds are deleted as soon as the
+    // round that replaces them has materialized; only the files backing
+    // the RETURNED frame survive the call.
+    val ckRoot: Option[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)] =
+      checkpointDir.map { d =>
+        sc.setCheckpointDir(d)
+        val p = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        (p.getFileSystem(sc.hadoopConfiguration), p)
+      }
+    def ckSnapshot(): Set[String] = ckRoot match {
+      case Some((f, root)) if f.exists(root) =>
+        f.listStatus(root).map(_.getPath.toString).toSet
+      case _ => Set.empty
+    }
+    def persistRound(df: DataFrame): (DataFrame, Set[String]) = {
+      val before = ckSnapshot()
+      val out = if (ckRoot.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      (out, ckSnapshot() -- before)
+    }
+    def dropCk(dirs: Set[String]): Unit = ckRoot.foreach { case (f, _) =>
+      dirs.foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
 
-    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    val bidir = persistRound(
+    // The edge projection is materialized ONCE: both the bidirectional edge
+    // frame and the initial labels (which must include self-loop-only
+    // endpoints) derive from it, and upstream `edges` is often an expensive
+    // pipeline (the near-dup candidate join) that must not run twice.
+    val (e, eCk) = persistRound(edges.select(col(aCol).as("u"), col(bCol).as("v")))
+    val (bidir, bidirCk) = persistRound(
       e.union(e.select(col("v").as("u"), col("u").as("v")))
         .filter(col("u") =!= col("v")).distinct())
 
-    var labels = persistRound(
+    var (labels, prevCk) = persistRound(
       e.select(col("u").as("id")).union(e.select(col("v").as("id")))
         .distinct().withColumn("component", col("id")))
+    dropCk(eCk) // bidir and initial labels are materialized; e is garbage
 
     var iter = 0
     var converged = labels.isEmpty
@@ -81,22 +110,26 @@ object ConnectedComponents {
       // Persisted: the doubling self-join below reads `stepped` on BOTH
       // sides — un-persisted, the neighbor-min join would replan and run
       // twice per round.
-      val stepped = persistRound(labels
+      val (stepped, steppedCk) = persistRound(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1")))
       // Pointer doubling: also adopt the label OF my label.
-      val doubled = persistRound(stepped
+      val (doubled, doubledCk) = persistRound(stepped
         .join(stepped.select(col("id").as("pid"), col("c1").as("pc")),
           stepped("c1") === F.col("pid"), "left")
         .select(col("id"), col("prev"),
           least(col("c1"), coalesce(col("pc"), col("c1"))).as("component")))
       converged = doubled.filter(col("component") < col("prev")).limit(1).isEmpty
       labels = doubled.select(col("id"), col("component"))
+      dropCk(steppedCk) // doubled is materialized; this round's midpoint is garbage
+      dropCk(prevCk)    // the previous round's labels are superseded
+      prevCk = doubledCk
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
+    dropCk(bidirCk) // the loop is done; only the returned labels' files remain
     (labels, iter)
   }
 }

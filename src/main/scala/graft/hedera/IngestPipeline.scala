@@ -29,6 +29,13 @@ import graft.metrics.{Metrics, MetricsRegistry}
   * `ingestionDelay` (wall clock at batch commit − latest event time, ms),
   * `jsonToTableRowErrors` (dead-letter rows).
   */
+object IngestPipeline {
+  /** Cheap pre-parse extraction of the int64 consensus key from a raw JSON
+    * line — shared by the single-shuffle ingest keying below and the
+    * stream bench's corpus time-ordering (StreamBench). */
+  private[graft] val TsPattern = "\"consensusTimestamp\"\\s*:\\s*\"?(-?\\d+)"
+}
+
 final class IngestPipeline(
     spark: SparkSession,
     table: TransactionsTable,
@@ -107,7 +114,7 @@ final class IngestPipeline(
     } else {
       val keyed = raw
         .withColumn("__ts", regexp_extract(col("value"),
-          "\"consensusTimestamp\"\\s*:\\s*\"?(-?\\d+)", 1).try_cast("long"))
+          IngestPipeline.TsPattern, 1).try_cast("long"))
         .withColumn("__day", to_date(timestamp_micros(expr("__ts div 1000"))))
         // EXACTLY the layout salt (TransactionsTable.layout): same hash of
         // the same long → the pre-shuffle and the write layout agree.

@@ -62,10 +62,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .components(edges.toDF("a", "b"), "a", "b", checkpointDir = Some(dir))
       .as[(Long, Long)].collect().toMap
     assert(reliable == local)
-    // The reliable mode actually materialized rounds into the directory.
+    // The reliable mode actually materialized state into the directory...
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "reliable checkpoint wrote no files")
+    // ...and cleaned up every superseded round: only the returned labels'
+    // checkpoint may survive (an iterative operator must not leak ~3
+    // materialized copies per round on a long-lived cluster).
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).count()
+    assert(rddDirs <= 1, s"superseded round checkpoints must be deleted, found $rddDirs")
   }
 
   test("t_dup_clusters: planted chain A~B~C clusters together without A~C edge") {
