@@ -14,7 +14,7 @@ import graft.GraftSession
   * {{{
   *   graft.hedera.EtlApp --input DIR --warehouse DIR [--checkpoint DIR]
   *     [--once] [--incremental-ms 300000] [--full-ms 86400000]
-  *     [--pre-dedupe false]
+  *     [--trigger-ms 1000] [--pre-dedupe false]
   * }}}
   *
   *  - continuous (default): file-stream the input dir, start the dedupe
@@ -39,7 +39,8 @@ object EtlApp {
   final case class Args(
       input: String = "", warehouse: String = "", checkpoint: String = "",
       once: Boolean = false, incrementalMs: Long = 300000L,
-      fullMs: Long = 86400000L, preDedupe: Boolean = false)
+      fullMs: Long = 86400000L, triggerMs: Long = 1000L,
+      preDedupe: Boolean = false)
 
   private[hedera] def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -49,6 +50,7 @@ object EtlApp {
       case "--once" :: t => loop(a.copy(once = true), t)
       case "--incremental-ms" :: v :: t => loop(a.copy(incrementalMs = v.toLong), t)
       case "--full-ms" :: v :: t => loop(a.copy(fullMs = v.toLong), t)
+      case "--trigger-ms" :: v :: t => loop(a.copy(triggerMs = v.toLong), t)
       case "--pre-dedupe" :: v :: t => loop(a.copy(preDedupe = v.toBoolean), t)
       case Nil => a
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -58,24 +60,47 @@ object EtlApp {
     if (a.checkpoint.isEmpty) a.copy(checkpoint = s"${a.warehouse}/checkpoint") else a
   }
 
-  def main(argv: Array[String]): Unit = {
-    val a = parse(argv)
-    val spark = GraftSession.localFromEnv("graft-etl")
+  /** Running handles of the continuous deployable — returned by [[start]]
+    * so callers (main, tests) can await or stop it. */
+  final case class Handles(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      scheduler: DedupeScheduler,
+      table: TransactionsTable) {
+    def stop(): Unit = { scheduler.stop(); query.stop() }
+  }
+
+  /** Wire and start continuous mode: a ProcessingTime-triggered file stream
+    * that KEEPS WATCHING the input dir (an AvailableNow trigger here would
+    * silently turn the service into a drain-and-exit batch job), plus the
+    * fixed-rate dedupe scheduler. */
+  def start(spark: org.apache.spark.sql.SparkSession, a: Args): Handles = {
     val table = new TransactionsTable(spark, s"${a.warehouse}/transactions")
     val errors = new ErrorsTable(spark, s"${a.warehouse}/errors")
     val state = new StateStore(spark, s"${a.warehouse}/state")
     val pipe = new IngestPipeline(spark, table, errors, preDedupe = a.preDedupe)
-    // --once is a backfill: the whole ingested span must dedupe in THIS
-    // invocation, so the catch-up cap is lifted (the bounded two-interval
-    // probe is the scheduled service's behavior — the reference catches up
-    // 6 h per 5-min tick; a cron-style one-shot would silently leave old
-    // windows dirty).
-    val job =
-      if (a.once) new Deduplication.Job(spark, table, state,
-        Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
-      else new Deduplication.Job(spark, table, state)
+    val job = new Deduplication.Job(spark, table, state)
+    val q = pipe.startStream(a.input, a.checkpoint,
+      Trigger.ProcessingTime(a.triggerMs))
+    val sched = new DedupeScheduler(job, a.incrementalMs, a.fullMs)
+    sched.start()
+    Handles(q, sched, table)
+  }
 
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val spark = GraftSession.localFromEnv("graft-etl")
     if (a.once) {
+      val table = new TransactionsTable(spark, s"${a.warehouse}/transactions")
+      val errors = new ErrorsTable(spark, s"${a.warehouse}/errors")
+      val state = new StateStore(spark, s"${a.warehouse}/state")
+      val pipe = new IngestPipeline(spark, table, errors, preDedupe = a.preDedupe)
+      // --once is a backfill: the whole ingested span must dedupe in THIS
+      // invocation, so the catch-up cap is lifted (the bounded two-interval
+      // probe is the scheduled service's behavior — the reference catches
+      // up 6 h per 5-min tick; a cron-style one-shot would silently leave
+      // old windows dirty).
+      val job = new Deduplication.Job(spark, table, state,
+        Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
       val q = pipe.startStream(a.input, a.checkpoint, Trigger.AvailableNow())
       q.awaitTermination()
       val (inc, full) = new DedupeScheduler(job, a.incrementalMs, a.fullMs).runOnceNow()
@@ -83,11 +108,9 @@ object EtlApp {
         s"dupes_removed=${inc.duplicatesRemoved + full.duplicatesRemoved}")
       spark.stop()
     } else {
-      val q = pipe.startStream(a.input, a.checkpoint)
-      val sched = new DedupeScheduler(job, a.incrementalMs, a.fullMs)
-      sched.start()
-      sys.addShutdownHook { sched.stop() }
-      q.awaitTermination()
+      val handles = start(spark, a)
+      sys.addShutdownHook { handles.scheduler.stop() }
+      handles.query.awaitTermination()
     }
   }
 }

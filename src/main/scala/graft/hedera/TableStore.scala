@@ -27,6 +27,15 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * lost updates become preserved-but-duplicated rows, never lost rows). */
   private val writeLock = new Object
 
+  /** Plain-parquet read. Visibility vs a concurrent repair: each day swap
+    * is a pair of directory renames, so a reader that lists files while a
+    * swap is in flight can hit FAILED_READ_FILE on the vanished old files —
+    * the standard plain-parquet-under-compaction behavior; such a reader
+    * retries (the swap window is milliseconds). The engine's own
+    * read-modify-write paths never race this: they coordinate through
+    * [[readSnapshot]] + the write lock. A deployment needing snapshot
+    * isolation for ad-hoc readers layers a transactional table format on
+    * the same layout. */
   def read(): DataFrame = spark.read.schema(TransactionSchema.table).parquet(path)
 
   /** Pinned-listing read for read-modify-replace cycles: the returned

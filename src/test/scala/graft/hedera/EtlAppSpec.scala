@@ -14,8 +14,66 @@ class EtlAppSpec extends AnyFunSuite {
     val a = EtlApp.parse(Array("--input", "/i", "--warehouse", "/w", "--once"))
     assert(a.once && a.input == "/i" && a.checkpoint == "/w/checkpoint")
     assert(a.incrementalMs == 300000L && a.fullMs == 86400000L && !a.preDedupe)
+    assert(a.triggerMs == 1000L)
     intercept[IllegalArgumentException](EtlApp.parse(Array("--input", "/i")))
     intercept[IllegalArgumentException](EtlApp.parse(Array("--bogus")))
+  }
+
+  test("continuous mode: stream keeps watching the input; scheduler dedupes live") {
+    val base = GraftTestSpark.tmpDir("graft-etlapp-cont")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val staged0 = s"$base/staged0"
+    graft.PipelineBench.jsonCorpus(spark, GraftTestSpark.sfDir, staged0)
+    val staged = s"$base/staged"
+    // pin 4 files so the two feed waves are both non-empty at every SF
+    spark.read.text(staged0).repartition(4).write.text(staged)
+    val corpus = spark.read.text(staged)
+    val distinctKeys = corpus.distinct().count()
+    val files = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val (wave1, wave2) = files.splitAt(math.max(1, files.length / 2))
+    def feed(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(in, f.getName)): Unit
+    }
+    // An ad-hoc reader concurrent with a repair can catch a day swap
+    // between its file listing and its scan (plain-parquet semantics —
+    // see TransactionsTable.read scaladoc); like any such reader it
+    // simply retries on the next tick.
+    def safely(cond: => Boolean): Boolean =
+      try cond catch { case _: org.apache.spark.SparkException => false }
+    def poll(deadlineMs: Long = 120000)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!safely(cond) && System.currentTimeMillis() < end) Thread.sleep(250)
+      safely(cond)
+    }
+
+    val invocations0 = graft.metrics.Metrics.global.get(
+      graft.metrics.Metrics.DedupeInvocations)
+    val h = EtlApp.start(spark, EtlApp.Args(
+      input = in, warehouse = s"$base/wh", checkpoint = s"$base/wh/checkpoint",
+      incrementalMs = 500L, fullMs = 3600000L, triggerMs = 100L))
+    try {
+      feed(wave1)
+      assert(poll()(h.table.exists() && h.table.read().count() > 0),
+        "wave 1 must land")
+      val afterWave1 = h.table.read().count()
+      // THE continuous-mode property: files arriving AFTER the first drain
+      // are still picked up (an AvailableNow trigger would have terminated
+      // the query and silently ignored them).
+      feed(wave2)
+      assert(poll()(h.table.read().count() > afterWave1),
+        "wave 2 (fed after the first drain) must land — the stream must keep watching")
+      // the fixed-rate scheduler is live alongside the stream
+      assert(poll()(graft.metrics.Metrics.global.get(
+        graft.metrics.Metrics.DedupeInvocations) > invocations0),
+        "the dedupe scheduler must fire while the stream runs")
+      // no interleaving may lose a key: every distinct corpus key is present
+      assert(poll()(
+        h.table.read().select("consensusTimestamp").distinct().count() == distinctKeys),
+        "every distinct key must survive concurrent ingest + dedupe")
+    } finally h.stop()
   }
 
   test("--once pipeline: drain input, dedupe planted duplicates, idempotent rerun") {
