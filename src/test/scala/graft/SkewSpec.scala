@@ -79,6 +79,24 @@ class SkewSpec extends AnyFunSuite {
     assert(pairs < 800L * 799 / 2 / 10, s"capped run must not blow up, got $pairs")
   }
 
+  test("5k-doc near-dup clique under the default cap: bounded work, drops observable") {
+    // The full-size clique from the round brief. Uncapped, its pair set is
+    // C(5000,2) ≈ 12.5M — the cap must keep the capped pipeline's work
+    // bounded while the drop census shows exactly what was given up.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 5000).map(i => (i.toLong, s"$base unique$i")).toDF("doc_id", "text")
+    val cfg = TextDedup.MinHashConfig() // maxBucket = 64
+    val sigs = TextDedup.signatures(docs, "doc_id", "text", cfg)
+      .filter(size(col("sh")) > 0)
+    val stats = TextDedup.lshBucketStats(sigs, cfg).first()
+    assert(stats.getAs[Long]("dropped_rows") > 0)
+    val pairs = TextDedup.nearDuplicatePairs(docs, "doc_id", "text", cfg).count()
+    // every surviving bucket contributes at most C(64,2) pairs
+    val bound = stats.getAs[Long]("total_buckets") * 64 * 63 / 2
+    assert(pairs <= bound, s"capped pair count $pairs exceeded the bucket bound $bound")
+    assert(pairs < 5000L * 4999 / 2 / 100, s"capped run must not approach O(n²), got $pairs")
+  }
+
   test("LSH bucket exactly at the cap boundary: kept at m = cap, dropped at m = cap+1") {
     val cfg = TextDedup.MinHashConfig(maxBucket = 8)
     val filler = Seq(
@@ -111,6 +129,16 @@ class SkewSpec extends AnyFunSuite {
         "\"consensusTimestamp\"\\s*:\\s*(-?\\d+)", 1).cast("long").as("ts"))
     val distinctKeys = corpus.select("ts").distinct().count()
     assert(corpus.count() === lines)
+    // the planted pathologies are actually present: one day carries ~half
+    // of the DISTINCT keys (lines would double-count the hot key's
+    // replicas, which land on a different day), and the hot key repeats
+    // thousands of times
+    val dayShare = corpus.groupBy(to_date(timestamp_micros(expr("ts div 1000"))))
+      .agg(countDistinct("ts").as("n")).agg(max("n")).first().getLong(0)
+      .toDouble / distinctKeys
+    assert(dayShare > 0.35 && dayShare < 0.75, s"hot-day share was $dayShare")
+    val hotKeyCount = corpus.groupBy("ts").count().agg(max("count")).first().getLong(0)
+    assert(hotKeyCount >= 5000, s"hot key must carry its replicas, got $hotKeyCount")
 
     val base = GraftTestSpark.tmpDir("skew-wh")
     val table = new TransactionsTable(spark, s"$base/transactions")
