@@ -183,8 +183,16 @@ object StreamBench {
           StandardCopyOption.ATOMIC_MOVE)
         Thread.sleep(feedMs)
       }
-      query.processAllAvailable()
-      streamSec = (System.nanoTime() - t0) / 1e9
+      // processAllAvailable has no timeout; a wedged stream must fail the
+      // MEASUREMENT (Stats with -1 latency), never hang the unattended
+      // bench run — drain on a daemon watchdog with a hard deadline.
+      val drainer = new Thread(() =>
+        try query.processAllAvailable() catch { case _: Throwable => () },
+        "streambench-drain")
+      drainer.setDaemon(true)
+      drainer.start()
+      drainer.join(300000)
+      if (!drainer.isAlive) streamSec = (System.nanoTime() - t0) / 1e9
     } finally {
       // Unwind in all paths (a dead query or feeder exception must not leak
       // the deduper loop, the query, or the listener into the rest of the

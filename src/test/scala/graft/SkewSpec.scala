@@ -22,16 +22,8 @@ class SkewSpec extends AnyFunSuite {
   private def mkTable(): TransactionsTable =
     new TransactionsTable(spark, GraftTestSpark.tmpDir("skew") + "/transactions")
 
-  private def writeDays(table: TransactionsTable, ns: Seq[Long]): Unit = {
-    val df = ns.toDF("consensusTimestamp")
-      .withColumn("consensusTimestampTruncated",
-        timestamp_micros(expr("consensusTimestamp div 1000")))
-      .withColumn("day", to_date(col("consensusTimestampTruncated")))
-    val full = df.select(TransactionSchema.table.fieldNames.map(n =>
-      if (df.columns.contains(n)) col(n)
-      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*)
-    table.append(full)
-  }
+  private def writeDays(table: TransactionsTable, ns: Seq[Long]): Unit =
+    TestRows.writeDays(spark, table, ns)
 
   test("hot key: a 10^4-duplicate group repairs correctly in one run") {
     val table = mkTable()

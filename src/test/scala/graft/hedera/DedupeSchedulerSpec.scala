@@ -20,15 +20,8 @@ class DedupeSchedulerSpec extends AnyFunSuite {
     (table, new Deduplication.Job(spark, table, state, reg = reg), dir)
   }
 
-  private def writeRows(table: TransactionsTable, ns: Seq[Long]): Unit = {
-    val df = ns.toDF("consensusTimestamp")
-      .withColumn("consensusTimestampTruncated",
-        timestamp_micros(expr("consensusTimestamp div 1000")))
-      .withColumn("day", to_date(col("consensusTimestampTruncated")))
-    table.append(df.select(TransactionSchema.table.fieldNames.map(n =>
-      if (df.columns.contains(n)) col(n)
-      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*))
-  }
+  private def writeRows(table: TransactionsTable, ns: Seq[Long]): Unit =
+    TestRows.writeDays(spark, table, ns)
 
   test("runOnceNow dedupes and records each invocation exactly once") {
     val reg = new MetricsRegistry

@@ -27,17 +27,8 @@ class DeduplicationSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  private def writeRows(table: TransactionsTable, ns: Seq[Long]): Unit = {
-    import spark.implicits._
-    val df = ns.toDF("consensusTimestamp")
-      .withColumn("consensusTimestampTruncated",
-        timestamp_micros(expr("consensusTimestamp div 1000")))
-      .withColumn("day", to_date(col("consensusTimestampTruncated")))
-    val full = df.select(TransactionSchema.table.fieldNames.map(n =>
-      if (df.columns.contains(n)) col(n)
-      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*)
-    table.append(full)
-  }
+  private def writeRows(table: TransactionsTable, ns: Seq[Long]): Unit =
+    TestRows.writeDays(spark, table, ns)
 
   private def mkJob(): (TransactionsTable, StateStore, Deduplication.Job) = {
     val dir = GraftTestSpark.tmpDir("dedupe")

@@ -21,16 +21,8 @@ class TableStoreCrashSpec extends AnyFunSuite {
     (new TransactionsTable(spark, dir), dir)
   }
 
-  private def writeDays(table: TransactionsTable, ns: Seq[Long]): Unit = {
-    val df = ns.toDF("consensusTimestamp")
-      .withColumn("consensusTimestampTruncated",
-        timestamp_micros(expr("consensusTimestamp div 1000")))
-      .withColumn("day", to_date(col("consensusTimestampTruncated")))
-    val full = df.select(TransactionSchema.table.fieldNames.map(n =>
-      if (df.columns.contains(n)) col(n)
-      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*)
-    table.append(full)
-  }
+  private def writeDays(table: TransactionsTable, ns: Seq[Long]): Unit =
+    TestRows.writeDays(spark, table, ns)
 
   private val dayNs = 86400L * 1000000000L
   private val t0 = 1600000000L * 1000000000L

@@ -41,13 +41,7 @@ class MetricsSpec extends AnyFunSuite {
     val base = GraftTestSpark.tmpDir("metrics-dedupe")
     val table = new TransactionsTable(spark, s"$base/transactions")
     val t0 = 1600000000L * 1000000000L
-    val df = (Seq.tabulate(30)(i => t0 + i) ++ Seq(t0, t0 + 1)).toDF("consensusTimestamp")
-      .withColumn("consensusTimestampTruncated",
-        timestamp_micros(expr("consensusTimestamp div 1000")))
-      .withColumn("day", to_date(col("consensusTimestampTruncated")))
-    table.append(df.select(TransactionSchema.table.fieldNames.map(n =>
-      if (df.columns.contains(n)) col(n)
-      else lit(null).cast(TransactionSchema.table(n).dataType).as(n)): _*))
+    TestRows.writeDays(spark, table, Seq.tabulate(30)(i => t0 + i) ++ Seq(t0, t0 + 1))
 
     val job = new Deduplication.Job(spark, table,
       new StateStore(spark, s"$base/state"), reg = reg)
