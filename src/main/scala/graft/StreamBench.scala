@@ -192,7 +192,10 @@ object StreamBench {
       drainer.setDaemon(true)
       drainer.start()
       drainer.join(300000)
-      if (!drainer.isAlive) streamSec = (System.nanoTime() - t0) / 1e9
+      // a FAILED query also ends the drain instantly — only a clean drain
+      // (thread done AND no query exception) counts as a measurement
+      if (!drainer.isAlive && query.exception.isEmpty)
+        streamSec = (System.nanoTime() - t0) / 1e9
     } finally {
       // Unwind in all paths (a dead query or feeder exception must not leak
       // the deduper loop, the query, or the listener into the rest of the

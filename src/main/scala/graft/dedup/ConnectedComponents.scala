@@ -47,6 +47,9 @@ object ConnectedComponents {
     * as a side effect) — survives executor loss, the correct mode under
     * dynamic allocation. When None (default), `localCheckpoint` keeps
     * blocks executor-local — faster, and fine when executors are stable.
+    * Superseded rounds' checkpoint files are deleted as the iteration
+    * advances (tracked by listing diffs), so CONCURRENT `components` calls
+    * must not share one `checkpointDir` — give each call its own.
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame =

@@ -69,16 +69,24 @@ object EtlApp {
     def stop(): Unit = { scheduler.stop(); query.stop() }
   }
 
+  /** The warehouse wiring both modes share — one copy, so the layout can
+    * never drift between continuous and `--once`. */
+  private def wire(spark: org.apache.spark.sql.SparkSession, a: Args,
+      dedupeCfg: Deduplication.Config):
+      (TransactionsTable, IngestPipeline, Deduplication.Job) = {
+    val table = new TransactionsTable(spark, s"${a.warehouse}/transactions")
+    val errors = new ErrorsTable(spark, s"${a.warehouse}/errors")
+    val state = new StateStore(spark, s"${a.warehouse}/state")
+    val pipe = new IngestPipeline(spark, table, errors, preDedupe = a.preDedupe)
+    (table, pipe, new Deduplication.Job(spark, table, state, dedupeCfg))
+  }
+
   /** Wire and start continuous mode: a ProcessingTime-triggered file stream
     * that KEEPS WATCHING the input dir (an AvailableNow trigger here would
     * silently turn the service into a drain-and-exit batch job), plus the
     * fixed-rate dedupe scheduler. */
   def start(spark: org.apache.spark.sql.SparkSession, a: Args): Handles = {
-    val table = new TransactionsTable(spark, s"${a.warehouse}/transactions")
-    val errors = new ErrorsTable(spark, s"${a.warehouse}/errors")
-    val state = new StateStore(spark, s"${a.warehouse}/state")
-    val pipe = new IngestPipeline(spark, table, errors, preDedupe = a.preDedupe)
-    val job = new Deduplication.Job(spark, table, state)
+    val (table, pipe, job) = wire(spark, a, Deduplication.Config())
     val q = pipe.startStream(a.input, a.checkpoint,
       Trigger.ProcessingTime(a.triggerMs))
     val sched = new DedupeScheduler(job, a.incrementalMs, a.fullMs)
@@ -90,16 +98,12 @@ object EtlApp {
     val a = parse(argv)
     val spark = GraftSession.localFromEnv("graft-etl")
     if (a.once) {
-      val table = new TransactionsTable(spark, s"${a.warehouse}/transactions")
-      val errors = new ErrorsTable(spark, s"${a.warehouse}/errors")
-      val state = new StateStore(spark, s"${a.warehouse}/state")
-      val pipe = new IngestPipeline(spark, table, errors, preDedupe = a.preDedupe)
       // --once is a backfill: the whole ingested span must dedupe in THIS
       // invocation, so the catch-up cap is lifted (the bounded two-interval
       // probe is the scheduled service's behavior — the reference catches
       // up 6 h per 5-min tick; a cron-style one-shot would silently leave
       // old windows dirty).
-      val job = new Deduplication.Job(spark, table, state,
+      val (table, pipe, job) = wire(spark, a,
         Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
       val q = pipe.startStream(a.input, a.checkpoint, Trigger.AvailableNow())
       q.awaitTermination()

@@ -83,8 +83,9 @@ class SkewSpec extends AnyFunSuite {
     val stats = TextDedup.lshBucketStats(sigs, cfg).first()
     assert(stats.getAs[Long]("dropped_rows") > 0)
     val pairs = TextDedup.nearDuplicatePairs(docs, "doc_id", "text", cfg).count()
-    // every surviving bucket contributes at most C(64,2) pairs
-    val bound = stats.getAs[Long]("total_buckets") * 64 * 63 / 2
+    // every surviving bucket contributes at most C(maxBucket, 2) pairs
+    val bound = stats.getAs[Long]("total_buckets") *
+      cfg.maxBucket * (cfg.maxBucket - 1) / 2
     assert(pairs <= bound, s"capped pair count $pairs exceeded the bucket bound $bound")
     assert(pairs < 5000L * 4999 / 2 / 100, s"capped run must not approach O(n²), got $pairs")
   }

@@ -45,8 +45,21 @@ class EtlAppSpec extends AnyFunSuite {
       try cond catch { case _: org.apache.spark.SparkException => false }
     def poll(deadlineMs: Long = 120000)(cond: => Boolean): Boolean = {
       val end = System.currentTimeMillis() + deadlineMs
-      while (!safely(cond) && System.currentTimeMillis() < end) Thread.sleep(250)
-      safely(cond)
+      var ok = safely(cond)
+      while (!ok && System.currentTimeMillis() < end) { Thread.sleep(250); ok = safely(cond) }
+      ok
+    }
+    // a VALUE read racing the scheduler's day swaps: retry like poll does
+    def countRetrying(table: TransactionsTable): Long = {
+      var attempts = 0
+      while (true) {
+        try return table.read().count()
+        catch {
+          case e: org.apache.spark.SparkException =>
+            attempts += 1; if (attempts > 20) throw e; Thread.sleep(250)
+        }
+      }
+      -1 // unreachable
     }
 
     val invocations0 = graft.metrics.Metrics.global.get(
@@ -58,7 +71,7 @@ class EtlAppSpec extends AnyFunSuite {
       feed(wave1)
       assert(poll()(h.table.exists() && h.table.read().count() > 0),
         "wave 1 must land")
-      val afterWave1 = h.table.read().count()
+      val afterWave1 = countRetrying(h.table)
       // THE continuous-mode property: files arriving AFTER the first drain
       // are still picked up (an AvailableNow trigger would have terminated
       // the query and silently ignored them).
