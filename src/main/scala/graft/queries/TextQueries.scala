@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.TextDedup
@@ -115,6 +116,33 @@ object TextQueries {
               |  CAST(len(list_distinct($WS)) AS BIGINT) AS n_distinct_tokens
               |FROM documents""".stripMargin),
       headline = true),
+
+    // Sequence packing — the curated-corpus → training-batch step: docs are
+    // assigned, shard-by-shard in doc_id order, to fixed-token-budget packs
+    // by their cumulative START offset (offset-chunked packing: pack k owns
+    // token offsets [k·C, (k+1)·C), a doc belongs to the pack its first
+    // token lands in). The window partitions by the shard key (lang), so
+    // packing parallelizes across shards — exactly how production packers
+    // scale: shard first, pack within shards, never a global sequence.
+    Q("t_pack_sequences",
+      (s, dir) => {
+        val packTokens = 512
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tokens"))
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("pack_id", expr(s"start_off div $packTokens"))
+      },
+      Some(s"""SELECT doc_id, lang, n_tokens, start_off,
+              |  CAST(start_off // 512 AS BIGINT) AS pack_id
+              |FROM (
+              |  SELECT doc_id, lang, CAST(len($WS) AS BIGINT) AS n_tokens,
+              |    CAST(SUM(CAST(len($WS) AS BIGINT)) OVER (
+              |        PARTITION BY lang ORDER BY doc_id
+              |        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |      - CAST(len($WS) AS BIGINT) AS start_off
+              |  FROM documents)""".stripMargin)),
 
     // Language-ID heuristic: per-language stopword hit counts → first-wins
     // argmax. Oracle mirrors the fold as greatest() + ordered CASE.
