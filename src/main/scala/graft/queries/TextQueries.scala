@@ -144,6 +144,32 @@ object TextQueries {
               |      - CAST(len($WS) AS BIGINT) AS start_off
               |  FROM documents)""".stripMargin)),
 
+    // TRUE greedy packing (no doc straddles a boundary): per-shard
+    // sequential first-fit-in-order — the loop-carried recurrence runs as
+    // one pass per shard (operators.SequencePack); the oracle replays the
+    // same recurrence as a recursive CTE chained per shard on row_number.
+    Q("t_pack_greedy",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tokens"))
+        graft.operators.SequencePack.greedyPack(d, "lang", "doc_id", "n_tokens", 512)
+          .select(col("ord").as("doc_id"), col("shard").as("lang"),
+            col("n_tokens"), col("pack_id"))
+      },
+      Some(s"""WITH RECURSIVE base AS (
+              |  SELECT doc_id, lang, CAST(len($WS) AS BIGINT) AS n,
+              |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              |  FROM documents),
+              |pk AS (
+              |  SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS pack_id, n AS fill
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.doc_id, b.lang, b.n, b.rn,
+              |    CASE WHEN p.fill + b.n > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+              |    CASE WHEN p.fill + b.n > 512 THEN b.n ELSE p.fill + b.n END
+              |  FROM pk p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1)
+              |SELECT doc_id, lang, n AS n_tokens, pack_id FROM pk""".stripMargin)),
+
     // Language-ID heuristic: per-language stopword hit counts → first-wins
     // argmax. Oracle mirrors the fold as greatest() + ordered CASE.
     Q("t_lang_guess",
