@@ -47,9 +47,16 @@ object ConnectedComponents {
     * as a side effect) — survives executor loss, the correct mode under
     * dynamic allocation. When None (default), `localCheckpoint` keeps
     * blocks executor-local — faster, and fine when executors are stable.
-    * Superseded rounds' checkpoint files are deleted as the iteration
-    * advances (tracked by listing diffs), so CONCURRENT `components` calls
-    * must not share one `checkpointDir` — give each call its own.
+    * Each call scopes itself to a fresh `cc-<uuid>` subdirectory of the
+    * given dir (so concurrent calls — or any other operator checkpointing
+    * into the same SparkContext-global dir — can never have their files
+    * claimed by this call's superseded-round cleanup), deletes superseded
+    * rounds as the iteration advances, and deletes the whole subdirectory
+    * if the call throws; on success only the returned frame's files remain
+    * (delete the `cc-*` dir after consuming the frame). Note
+    * `setCheckpointDir` is SparkContext-global: the last concurrent caller
+    * wins for where NEW checkpoints land, so concurrent iterative
+    * operators should still serialize their calls.
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30, checkpointDir: Option[String] = None): DataFrame =
@@ -69,9 +76,16 @@ object ConnectedComponents {
     // long-lived cluster. Superseded rounds are deleted as soon as the
     // round that replaces them has materialized; only the files backing
     // the RETURNED frame survive the call.
+    // Per-call scope: the listing-diff attribution below is only sound if
+    // nothing else can write into the directory being diffed — and the
+    // SparkContext checkpoint dir is global, so another thread checkpointing
+    // between two snapshots would have its rdd-N dirs claimed (and later
+    // deleted) by this call. A fresh cc-<uuid> subdir makes the diffs
+    // see exactly this call's checkpoints.
     val ckRoot: Option[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)] =
       checkpointDir.map { d =>
-        sc.setCheckpointDir(d)
+        val scoped = d.stripSuffix("/") + "/cc-" + java.util.UUID.randomUUID()
+        sc.setCheckpointDir(scoped)
         val p = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
         (p.getFileSystem(sc.hadoopConfiguration), p)
       }
@@ -89,6 +103,12 @@ object ConnectedComponents {
       dirs.foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
     }
 
+    // Any exit path that is not the success return must not leak checkpoint
+    // files: a mid-iteration failure (including the non-convergence require)
+    // would otherwise strand several full per-vertex copies in the shared
+    // checkpoint filesystem. The per-call cc-<uuid> scope makes the cleanup
+    // a single recursive delete that cannot touch anyone else's files.
+    try {
     // The edge projection is materialized ONCE: both the bidirectional edge
     // frame and the initial labels (which must include self-loop-only
     // endpoints) derive from it, and upstream `edges` is often an expensive
@@ -134,5 +154,13 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIter rounds")
     dropCk(bidirCk) // the loop is done; only the returned labels' files remain
     (labels, iter)
+    } catch {
+      case t: Throwable =>
+        ckRoot.foreach { case (f, root) =>
+          try f.delete(root.getParent, true) // the cc-<uuid> scope dir
+          catch { case _: Throwable => () }
+        }
+        throw t
+    }
   }
 }

@@ -75,6 +75,11 @@ object EtlApp {
       dedupeCfg: Deduplication.Config):
       (TransactionsTable, IngestPipeline, Deduplication.Job) = {
     val table = new TransactionsTable(spark, s"${a.warehouse}/transactions")
+    // Recover any crash-interrupted day swap BEFORE the stream can append:
+    // recovery decides direction from on-disk markers either way, but
+    // running it first keeps the common restart path (append into a day
+    // whose swap died mid-rename) from ever observing the torn state.
+    table.recoverSwaps()
     val errors = new ErrorsTable(spark, s"${a.warehouse}/errors")
     val state = new StateStore(spark, s"${a.warehouse}/state")
     val pipe = new IngestPipeline(spark, table, errors, preDedupe = a.preDedupe)

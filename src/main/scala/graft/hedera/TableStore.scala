@@ -115,6 +115,32 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * files from straggler appends after a crash at any later point. */
   private def manifestPath(day: String) = new Path(bakDir, s".known-$day")
 
+  /** Per-day manifest of the STAGED file names, also written before any
+    * rename: if recovery must roll a day back, this is how it tells a
+    * half-landed rewrite's files (discard) from rows appended into the
+    * recreated live dir after the crash (keep). */
+  private def stagedManifestPath(day: String) = new Path(bakDir, s".staged-$day")
+
+  /** Swap-complete marker, created only AFTER the stage→live rename: its
+    * absence is what recovery trusts to decide roll-back vs roll-forward.
+    * Without it, a post-crash append that recreates the live day dir before
+    * recovery runs would make a crash BETWEEN the two renames look like a
+    * completed swap — and "completing" it would silently drop the whole
+    * backed-up old day. */
+  private def doneMarkerPath(day: String) = new Path(bakDir, s".done-$day")
+
+  private def writeNames(f: FileSystem, p: Path, names: Iterable[String]): Unit = {
+    val out = f.create(p, true)
+    try out.write(names.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readNames(f: FileSystem, p: Path): Set[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
   /** Replace exactly the `day=` partitions present in `df` — the engine's
     * MERGE-ON-FALSE (RemoveDuplicatesTemplateQuery.java:29-43 rewrites only
     * the windowed partition range, never the table).
@@ -163,11 +189,15 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     writeLock.synchronized {
       if (days.nonEmpty && !f.exists(bakDir)) f.mkdirs(bakDir)
       snapshot.foreach { snap =>
-        days.foreach { d =>
-          val out = f.create(manifestPath(d), true)
-          try out.write(snap.getOrElse(d, Set.empty).mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-        }
+        days.foreach(d => writeNames(f, manifestPath(d), snap.getOrElse(d, Set.empty)))
+      }
+      // Staged manifests before ANY rename: every crash window after this
+      // point is decidable by recovery (marker present → roll forward;
+      // absent → roll back, discarding exactly the staged names).
+      days.foreach { d =>
+        val staged = f.listStatus(new Path(stageDir, d)).filter(_.isFile)
+          .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+        writeNames(f, stagedManifestPath(d), staged)
       }
       days.foreach { d =>
         val live = new Path(path, d)
@@ -175,9 +205,12 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
         if (f.exists(live))
           require(f.rename(live, bak), s"swap: rename $live -> $bak failed")
         require(f.rename(new Path(stageDir, d), live), s"swap: stage -> $live failed")
+        f.create(doneMarkerPath(d), true).close() // the swap is now roll-forward
         preserveStragglers(f, d)
         f.delete(bak, true)
         f.delete(manifestPath(d), false)
+        f.delete(stagedManifestPath(d), false)
+        f.delete(doneMarkerPath(d), false)
       }
       f.delete(stageDir, true)
       f.delete(bakDir, true)
@@ -191,10 +224,7 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     val mf = manifestPath(day)
     val bak = new Path(bakDir, day)
     if (!f.exists(mf) || !f.exists(bak)) return
-    val in = f.open(mf)
-    val known =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
-      finally in.close()
+    val known = readNames(f, mf)
     val live = new Path(path, day)
     f.listStatus(bak).filter(_.isFile).map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
@@ -206,16 +236,46 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
   }
 
   /** Repair a swap interrupted by a crash: for every surviving backup day,
-    * restore it if the new day never landed (roll back); if it did land
-    * (crash during steps 2b-3), finish the straggler preservation before
-    * dropping the backup. Then drop any stage. */
+    * the `.done-` marker decides the direction.
+    *
+    *  - Marker present (crash during steps 2b-3): the staged day landed —
+    *    roll FORWARD: finish the straggler preservation, drop the backup.
+    *  - Marker absent (crash between the renames): roll BACK. The live dir,
+    *    if it exists at all, holds only (a) staged files that half-landed
+    *    and (b) rows appended after the crash by a restarted stream —
+    *    delete exactly the staged names (the rewrite is recomputed when the
+    *    caller's window re-runs), keep the appends, and move every backup
+    *    file home. Deciding by live-dir EXISTENCE alone would be wrong
+    *    here: a post-crash append recreates the dir, and treating that as
+    *    "swap completed" would drop the whole backed-up old day.
+    *  - Neither marker nor staged manifest (a backup written by a pre-marker
+    *    version of this code): fall back to the legacy heuristic — live dir
+    *    present means the swap completed.
+    *
+    * Then drop any stage. */
   def recoverSwaps(): Unit = writeLock.synchronized {
     val f = fs
     if (f.exists(bakDir)) {
       f.listStatus(bakDir).filter(_.getPath.getName.startsWith("day=")).foreach { s =>
-        val live = new Path(path, s.getPath.getName)
-        if (f.exists(live)) {
-          preserveStragglers(f, s.getPath.getName)
+        val day = s.getPath.getName
+        val live = new Path(path, day)
+        val stagedMf = stagedManifestPath(day)
+        val completed = f.exists(doneMarkerPath(day)) ||
+          (!f.exists(stagedMf) && f.exists(live))
+        if (completed) {
+          preserveStragglers(f, day)
+          f.delete(s.getPath, true)
+        } else if (f.exists(live)) {
+          val staged = if (f.exists(stagedMf)) readNames(f, stagedMf) else Set.empty[String]
+          f.listStatus(live).filter(_.isFile).map(_.getPath)
+            .filter(p => staged.contains(p.getName))
+            .foreach(p => f.delete(p, false))
+          f.listStatus(s.getPath).filter(_.isFile).map(_.getPath)
+            .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+            .foreach { p =>
+              require(f.rename(p, new Path(live, p.getName)),
+                s"recover: restore $p -> $live failed")
+            }
           f.delete(s.getPath, true)
         } else require(f.rename(s.getPath, live), s"recover: restore $live failed")
       }

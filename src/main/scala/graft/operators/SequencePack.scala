@@ -34,11 +34,15 @@ object SequencePack {
       .sortWithinPartitions(F.col("shard"), F.col("ord"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
+        // `started` (not a null sentinel) detects the first row: a genuine
+        // null shard key would compare equal to the null-initialized var and
+        // skip the shard-reset branch, mis-numbering the shard's first pack.
+        var started = false
         var shard: String = null
         var fill = 0L
         var pack = 0L
         it.map { case (s, o, n) =>
-          if (s != shard) { shard = s; pack = 0L; fill = n }
+          if (!started || s != shard) { started = true; shard = s; pack = 0L; fill = n }
           else if (fill + n > budgetTokens) { pack += 1; fill = n }
           else fill += n
           (s, o, n, pack)

@@ -75,6 +75,37 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(rddDirs <= 1, s"superseded round checkpoints must be deleted, found $rddDirs")
   }
 
+  test("reliable-checkpoint files are cleaned up even when the call throws") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-fail").toString
+    // a 6-node chain cannot converge in one round -> the require throws
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.components(edges, "a", "b", maxIter = 1, checkpointDir = Some(dir))
+    }
+    // a failed call must strand nothing — not even its cc-* scope dir
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files === 0, "failed call leaked checkpoint files")
+  }
+
+  test("per-call checkpoint scoping keeps a later call off an earlier call's files") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-scope").toString
+    val first = ConnectedComponents
+      .components(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b",
+        checkpointDir = Some(dir))
+    val second = ConnectedComponents
+      .components(Seq((10L, 20L)).toDF("a", "b"), "a", "b", checkpointDir = Some(dir))
+    // each call lives in its own cc-<uuid> subdir...
+    val ccDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("cc-")).count()
+    assert(ccDirs === 2, "calls must not share a checkpoint scope")
+    // ...so the second call's round cleanup cannot have claimed the files
+    // backing the first call's returned frame
+    assert(first.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(second.as[(Long, Long)].collect().toMap === Map(10L -> 10L, 20L -> 10L))
+  }
+
   test("t_dup_clusters: planted chain A~B~C clusters together without A~C edge") {
     // Cluster semantics vs greedy pair-drop: build pairs directly.
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a_id", "b_id")

@@ -165,6 +165,75 @@ class TableStoreCrashSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(dir, ".graft-bak")))
   }
 
+  private def dataFiles(dir: Path): Set[String] =
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+
+  private def writeManifest(dir: String, name: String, names: Set[String]): Unit = {
+    val out = fs.create(new Path(dir, ".graft-bak/" + name), true)
+    out.write(names.mkString("\n").getBytes("UTF-8")); out.close()
+  }
+
+  test("post-crash append before recovery must not lose the backed-up day") {
+    // The torn-state trap: crash BETWEEN live->bak and stage->live, then the
+    // restarted stream appends into the day (recreating the live dir) BEFORE
+    // any recovery runs. Live-dir existence now looks like a completed swap;
+    // only the absent .done- marker says otherwise.
+    val (table, dir) = mkTable()
+    writeDays(table, Seq(t0, t0 + 1))
+    val liveDay = fs.listStatus(new Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("day=")).minBy(_.getName)
+    val oldNames = dataFiles(liveDay)
+    // a staged rewrite existed (its names matter, its content never lands)
+    val (stag, stagDir) = mkTable()
+    writeDays(stag, Seq(t0))
+    val stagedNames = dataFiles(fs.listStatus(new Path(stagDir)).map(_.getPath)
+      .filter(_.getName.startsWith("day=")).head)
+    // on-disk state at the crash: manifests written, live renamed away
+    fs.mkdirs(new Path(dir, ".graft-bak"))
+    writeManifest(dir, ".known-" + liveDay.getName, oldNames)
+    writeManifest(dir, ".staged-" + liveDay.getName, stagedNames)
+    assert(fs.rename(liveDay, new Path(dir, ".graft-bak/" + liveDay.getName)))
+    // restarted stream appends before recovery
+    writeDays(table, Seq(t0 + 2))
+    table.recoverSwaps()
+    val keys = table.read().select("consensusTimestamp").as[Long].collect().sorted
+    assert(keys.toSeq === Seq(t0, t0 + 1, t0 + 2),
+      "old day restored AND post-crash append kept")
+    assert(!fs.exists(new Path(dir, ".graft-bak")))
+  }
+
+  test("crash after swap-in but before the completion marker rolls back cleanly") {
+    // Marker absent but the staged day DID land (crash in the instant
+    // between rename and marker create): recovery rolls back — discards
+    // exactly the staged files, restores the backup, keeps any append.
+    val (table, dir) = mkTable()
+    writeDays(table, Seq(t0, t0)) // old day carries a duplicate
+    val liveDay = fs.listStatus(new Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("day=")).minBy(_.getName)
+    val oldNames = dataFiles(liveDay)
+    val (stag, stagDir) = mkTable()
+    writeDays(stag, Seq(t0)) // the deduped rewrite
+    val stagDayDir = fs.listStatus(new Path(stagDir)).map(_.getPath)
+      .filter(_.getName.startsWith("day=")).head
+    val stagedNames = dataFiles(stagDayDir)
+    fs.mkdirs(new Path(dir, ".graft-bak"))
+    writeManifest(dir, ".known-" + liveDay.getName, oldNames)
+    writeManifest(dir, ".staged-" + liveDay.getName, stagedNames)
+    assert(fs.rename(liveDay, new Path(dir, ".graft-bak/" + liveDay.getName)))
+    // stage->live happened (staged files now live), crash before marker
+    fs.mkdirs(liveDay)
+    stagedNames.foreach { n =>
+      assert(fs.rename(new Path(stagDayDir, n), new Path(liveDay, n)))
+    }
+    writeDays(table, Seq(t0 + 2)) // post-crash append
+    table.recoverSwaps()
+    val keys = table.read().select("consensusTimestamp").as[Long].collect().sorted
+    assert(keys.toSeq === Seq(t0, t0, t0 + 2),
+      "rewrite discarded, old day (incl. its dup) restored, append kept")
+    assert(!fs.exists(new Path(dir, ".graft-bak")))
+  }
+
   test("concurrent appends and dedupe runs never lose rows") {
     val (table, _) = mkTable()
     val state = new StateStore(spark, GraftTestSpark.tmpDir("conc-state") + "/state")

@@ -39,6 +39,20 @@ class SequencePackSpec extends AnyFunSuite {
     }
   }
 
+  test("null shard key behaves like any other shard") {
+    // The partition pass starts with a null-initialized shard var: a genuine
+    // null shard's first row must still take the shard-reset branch (null ==
+    // null would otherwise skip it and mis-number the first pack).
+    val rows = Seq((null: String, 1L, 600L), (null: String, 2L, 100L), ("a", 3L, 600L))
+    val got = SequencePack.greedyPack(
+        rows.toDF("lang", "doc_id", "n_tokens").coalesce(1),
+        "lang", "doc_id", "n_tokens", 512)
+      .select("ord", "pack_id").as[(Long, Long)].collect().toMap
+    // oversized first doc occupies pack 0 alone in BOTH shards; the null
+    // shard's second doc opens pack 1
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("in-JVM reference equivalence on random inputs") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 300).map(i =>
