@@ -16,16 +16,91 @@ import org.apache.spark.sql.functions._
   * `sortWithinPartitions(transactionType)` at write: parquet row-group
   * min/max stats then skip row groups for type-filtered queries.
   */
-final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay: Int = 4) {
+final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay: Int = 4,
+    leaseMs: Long = 60000L) {
 
   /** Serializes live-tree mutations within this process: appends hold it for
     * their write job, the dedupe swap holds it for its (millisecond) rename
     * sequence — so a micro-batch append can never interleave with a day swap.
-    * One-process scope matches `EtlApp` (ingest + dedupe share a JVM); a
-    * multi-process deployment needs a transactional table format instead
-    * (the snapshot/straggler protocol below still bounds the damage there:
-    * lost updates become preserved-but-duplicated rows, never lost rows). */
+    * Cross-PROCESS writers (an ops backfill job next to the streaming
+    * `EtlApp`) are serialized by the file lease below, acquired inside this
+    * monitor so only one thread per process ever touches the lease file. */
   private val writeLock = new Object
+
+  /** Cross-process writer lease: an atomic-`create(overwrite=false)` lock
+    * file under the table path, heartbeat-renewed (mtime touch) every
+    * `leaseMs / 4` while held, taken over by a rival only when its mtime is
+    * at least `leaseMs` stale — so a live holder (however long its write
+    * job runs) is never usurped, while a crashed holder delays rivals by at
+    * most one lease period. Takeover is delete-then-recreate with a
+    * re-check of the mtime immediately before the delete and a read-back
+    * of the holder id after the create; the residual stat→delete window is
+    * the plain-filesystem bound (a deployment that needs it airtight layers
+    * a transactional table format / lock service on the same layout — this
+    * lease is what plain parquet-on-a-filesystem can give, and the
+    * straggler/manifest protocol still bounds any residual interleave to
+    * preserved-but-duplicated rows, never lost rows). */
+  private val holderId = java.util.UUID.randomUUID().toString
+  private def leasePath = new Path(path, ".graft-writer-lease")
+
+  private def readLeaseHolder(f: FileSystem): Option[String] =
+    try {
+      val in = f.open(leasePath)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def acquireLease(f: FileSystem): Unit = {
+    if (!f.exists(new Path(path))) f.mkdirs(new Path(path))
+    val deadline = System.nanoTime() + 10L * 60 * 1000000000L
+    var acquired = false
+    while (!acquired) {
+      val created =
+        try {
+          val out = f.create(leasePath, false) // atomic O_EXCL create
+          try out.write(holderId.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created && readLeaseHolder(f).contains(holderId)) acquired = true
+      else if (!created) {
+        def mtimeStale() =
+          try f.getFileStatus(leasePath).getModificationTime <
+            System.currentTimeMillis() - leaseMs
+          catch { case _: java.io.IOException => false } // vanished: retry create
+        if (mtimeStale()) {
+          // re-check right before the delete: a rival takeover that already
+          // re-created the file shows a fresh mtime and keeps its lease
+          try { if (mtimeStale()) f.delete(leasePath, false) }
+          catch { case _: java.io.IOException => () }
+        } else Thread.sleep(50)
+      }
+      if (!acquired && System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"writer lease on $leasePath not acquired within 10 min " +
+            s"(held by ${readLeaseHolder(f).getOrElse("<unreadable>")})")
+    }
+  }
+
+  private def releaseLease(f: FileSystem): Unit =
+    // only release a lease that is still ours — a wedged-then-resumed holder
+    // whose lease was taken over must not delete the usurper's lock
+    if (readLeaseHolder(f).contains(holderId))
+      try f.delete(leasePath, false) catch { case _: java.io.IOException => () }
+
+  /** Run `body` holding the cross-process lease, heartbeating on a daemon
+    * timer so a long write job never looks stale. Callers hold [[writeLock]]
+    * first (one lease client per process). */
+  private def withLease[T](f: FileSystem)(body: => T): T = {
+    acquireLease(f)
+    val beat = new java.util.Timer("graft-lease-heartbeat", true)
+    beat.schedule(new java.util.TimerTask {
+      override def run(): Unit =
+        try f.setTimes(leasePath, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+    }, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
+    try body
+    finally { beat.cancel(); releaseLease(f) }
+  }
 
   /** Plain-parquet read. Visibility vs a concurrent repair: each day swap
     * is a pair of directory renames, so a reader that lists files while a
@@ -89,7 +164,9 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
 
   /** Append a batch, day-partitioned, clustered within partitions. */
   def append(df: DataFrame): Unit = writeLock.synchronized {
-    layout(df).write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+    withLease(fs) {
+      layout(df).write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+    }
   }
 
   /** Append a batch that is ALREADY hash-partitioned by
@@ -100,8 +177,10 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * (day, salt) combination lives in exactly one upstream task, so a day
     * receives at most `filesPerDay` writers. */
   def appendPrePartitioned(df: DataFrame): Unit = writeLock.synchronized {
-    df.sortWithinPartitions(col("day"), col("transactionType"))
-      .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+    withLease(fs) {
+      df.sortWithinPartitions(col("day"), col("transactionType"))
+        .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+    }
   }
 
   // Dot-prefixed working dirs inside the table path: Spark's file listing
@@ -186,7 +265,7 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
 
     val days = f.listStatus(stageDir).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("day="))
-    writeLock.synchronized {
+    writeLock.synchronized { withLease(f) {
       if (days.nonEmpty && !f.exists(bakDir)) f.mkdirs(bakDir)
       snapshot.foreach { snap =>
         days.foreach(d => writeNames(f, manifestPath(d), snap.getOrElse(d, Set.empty)))
@@ -214,7 +293,7 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
       }
       f.delete(stageDir, true)
       f.delete(bakDir, true)
-    }
+    } }
   }
 
   /** Step 2b: move backup-day files absent from the day's manifest (i.e.
@@ -255,6 +334,8 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * Then drop any stage. */
   def recoverSwaps(): Unit = writeLock.synchronized {
     val f = fs
+    if (!f.exists(bakDir) && !f.exists(stageDir)) return // fast path: no lease
+    withLease(f) {
     if (f.exists(bakDir)) {
       f.listStatus(bakDir).filter(_.getPath.getName.startsWith("day=")).foreach { s =>
         val day = s.getPath.getName
@@ -282,6 +363,7 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
       f.delete(bakDir, true)
     }
     f.delete(stageDir, true)
+    }
   }
 }
 

@@ -264,6 +264,74 @@ class TableStoreCrashSpec extends AnyFunSuite {
     assert(got.toSeq === expect, "every appended key exactly once — no loss, no dups")
   }
 
+  test("writer lease: a stale lease from a crashed holder is taken over") {
+    val dir = GraftTestSpark.tmpDir("lease-stale") + "/transactions"
+    val table = new TransactionsTable(spark, dir, leaseMs = 300)
+    val lease = new Path(dir, ".graft-writer-lease")
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(lease, true)
+    out.write("dead-holder".getBytes("UTF-8")); out.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 10000, -1)
+    writeDays(table, Seq(t0)) // must take the stale lease over, not hang
+    assert(table.read().count() === 1)
+    assert(!fs.exists(lease), "lease released after the write")
+  }
+
+  test("writer lease: a live rival lease blocks the writer until released") {
+    val dir = GraftTestSpark.tmpDir("lease-live") + "/transactions"
+    val table = new TransactionsTable(spark, dir, leaseMs = 60000)
+    val lease = new Path(dir, ".graft-writer-lease")
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(lease, true)
+    out.write("rival-holder".getBytes("UTF-8")); out.close()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val th = new Thread(() =>
+      try { writeDays(table, Seq(t0)); done.set(true) }
+      catch { case e: Throwable => failures.add(e) })
+    th.start()
+    Thread.sleep(800)
+    assert(!done.get(), "append must wait while a live rival holds the lease")
+    fs.delete(lease, false) // rival releases
+    th.join(120000)
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    assert(done.get(), "append must proceed once the lease frees")
+    assert(table.read().count() === 1)
+  }
+
+  test("cross-process interleave: appends vs day swaps through separate instances") {
+    // Two TransactionsTable instances = two writer "processes": each has its
+    // own JVM monitor, so only the file lease serializes them. Hammer
+    // appends through one against snapshot+overwriteDays cycles through the
+    // other; nothing may be lost and a final quiesced dedupe must leave
+    // every key exactly once.
+    val dir = GraftTestSpark.tmpDir("xproc") + "/transactions"
+    val a = new TransactionsTable(spark, dir, leaseMs = 1500)
+    val b = new TransactionsTable(spark.newSession(), dir, leaseMs = 1500)
+    writeDays(a, Seq(t0, t0)) // seed a duplicate so swaps have work
+    val batches = (1 to 6).map(i => Seq(t0 + 2 * i, t0 + 2 * i + 1))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() =>
+      try batches.foreach { ks => writeDays(a, ks); Thread.sleep(10) }
+      catch { case e: Throwable => failures.add(e) })
+    val swapper = new Thread(() =>
+      try (1 to 4).foreach { _ =>
+        val (df, snap) = b.readSnapshot()
+        if (snap.nonEmpty)
+          b.overwriteDays(df.dropDuplicates("consensusTimestamp"), Some(snap))
+        Thread.sleep(10)
+      } catch { case e: Throwable => failures.add(e) })
+    appender.start(); swapper.start()
+    appender.join(300000); swapper.join(300000)
+    assert(failures.isEmpty, s"worker failed: ${failures.peek()}")
+    val (df, snap) = b.readSnapshot()
+    b.overwriteDays(df.dropDuplicates("consensusTimestamp"), Some(snap))
+    val expect = (Seq(t0) ++ batches.flatten).distinct.sorted
+    val got = a.read().select("consensusTimestamp").as[Long].collect().sorted
+    assert(got.toSeq === expect,
+      "every key exactly once across two writer processes — no loss, no dups")
+  }
+
   test("StateStore crash between backup and live rename recovers prior state") {
     val dir = GraftTestSpark.tmpDir("state-crash") + "/state"
     val store = new StateStore(spark, dir)
