@@ -121,15 +121,31 @@ object IvfIndex {
 
   /** Approximate k-NN join through the IVF cells; per-query top-k via the
     * bounded-heap aggregate (partial aggregation — see
-    * [[SimilaritySearch.topKPerKey]]). */
+    * [[SimilaritySearch.topKPerKey]]). Transient form: trains the quantizer
+    * on every call — right for one-shot queries and the registry entry. A
+    * standing corpus should [[build]] once and [[searchIndex]] repeatedly. */
   def knnJoinIVF(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, cfg: Config = Config()): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, cfg)
-    val corpusCells = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      explode(NearestCentroids(col(vecCol), centroids, 1)).as("cell"))
-    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(NearestCentroids(col(vecCol), centroids, cfg.nProbe)).as("cell"))
+    probe(queries, assignCells(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, centroids, k, cfg.nProbe)
+  }
 
+  /** Every corpus vector assigned to its single nearest cell — the inverted
+    * file. */
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      explode(NearestCentroids(col(vecCol), centroids, 1)).as("cell"))
+
+  /** The shared search kernel: probe-cell join → fused-cosine verify →
+    * bounded-heap top-k. Both the transient and the persisted path end
+    * here, so they agree by construction. */
+  private def probe(queries: DataFrame, corpusCells: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]],
+      k: Int, nProbe: Int): DataFrame = {
+    val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(NearestCentroids(col(vecCol), centroids, nProbe)).as("cell"))
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score",
@@ -139,5 +155,61 @@ object IvfIndex {
       .select(col("query_id"), col("cand_id"), col("score"))
     SimilaritySearch.topKPerKey(scored, "query_id", "score", "cand_id", k)
       .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
+  }
+
+  // ---- persisted lifecycle -------------------------------------------------
+  //
+  // A 100 TB corpus trains its quantizer ONCE and reuses it: `build` writes
+  // the index as two parquet tables under `dir` —
+  //   centroids/  (cell: int, centroid: array<double>)   — tiny, driver-read
+  //   cells/      (cand_id, cv, cell)                    — the inverted file,
+  //               hash-clustered and sorted by cell so row-group min/max
+  //               stats skip non-probed cells on selective reads
+  // — and `searchIndex` probes it without touching the training path.
+  // `appendVectors` assigns NEW vectors with the STORED centroids (cheap,
+  // no retrain) and appends them to the inverted file: the standard IVF
+  // maintenance model (retrain only when drift degrades recall, measured —
+  // not on every ingest).
+
+  /** Train on `corpus` and persist the index under `dir` (overwrites). */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      cfg: Config = Config()): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(corpus, vecCol, cfg)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus, idCol, vecCol, centroids)
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** The stored quantizer, cell-ordered. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy(col("cell"))
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+
+  /** Assign new vectors with the stored centroids and append them to the
+    * inverted file — no retrain, no touch of existing cells. */
+  def appendVectors(newDocs: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val centroids = readCentroids(spark, dir)
+    assignCells(newDocs, idCol, vecCol, centroids)
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$dir/cells")
+  }
+
+  /** Search a persisted index: read centroids (driver-side, tiny), scan the
+    * inverted file, probe. Identical math to [[knnJoinIVF]] — results match
+    * the transient path exactly when built from the same corpus/config. */
+  def searchIndex(queries: DataFrame, dir: String, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = Config().nProbe): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(spark, dir)
+    probe(queries, spark.read.parquet(s"$dir/cells"), idCol, vecCol, centroids, k, nProbe)
   }
 }
