@@ -202,7 +202,13 @@ object Bench {
       s""""dedupe_concurrent_sec":${f"${stream.concurrentDedupeSec}%.3f"},""" +
       s""""dedupe_concurrency_tax":${ratio(stream.concurrentDedupeSec, stream.quietDedupeSec)},""" +
       s""""quiet_runs":${stream.quietRuns},"concurrent_runs":${stream.concurrentRuns},""" +
-      s""""dupes_removed":${stream.dupesRemoved}},""" +
+      s""""dupes_removed":${stream.dupesRemoved},""" +
+      s""""saturated_offered_rps":${stream.satOfferedRps.round},""" +
+      s""""saturated_p95_sec":${f"${stream.satP95Sec}%.3f"},""" +
+      s""""backlog_peak_rows":${stream.satBacklogPeakRows},""" +
+      s""""backlog_recovery_sec":${f"${stream.satRecoverySec}%.3f"},""" +
+      s""""recovered_p50_sec":${f"${stream.satRecoveredP50Sec}%.3f"},""" +
+      s""""saturated_dedupe_runs":${stream.satDedupeRuns}},""" +
       s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +

@@ -44,9 +44,12 @@ object StreamBench {
       rows: Long, batches: Int,
       batchP50Sec: Double, batchP95Sec: Double, rowsPerSec: Double,
       quietDedupeSec: Double, concurrentDedupeSec: Double,
-      quietRuns: Int, concurrentRuns: Int, dupesRemoved: Long)
+      quietRuns: Int, concurrentRuns: Int, dupesRemoved: Long,
+      satOfferedRps: Double, satP95Sec: Double, satBacklogPeakRows: Long,
+      satRecoverySec: Double, satRecoveredP50Sec: Double, satDedupeRuns: Int)
 
-  val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1)
+  val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1,
+    -1, -1, -1, -1, -1, 0)
 
   private val windowCfg =
     Deduplication.Config(catchupIntervalUs = 5L * 86400 * 1000000)
@@ -178,9 +181,9 @@ object StreamBench {
     var streamSec = -1.0
     try {
       deduper.start()
+      // copy (not move): the saturation phase below re-feeds the same corpus
       corpusFiles.foreach { f =>
-        Files.move(f, Paths.get(feedDir, f.getFileName.toString),
-          StandardCopyOption.ATOMIC_MOVE)
+        Files.copy(f, Paths.get(feedDir, f.getFileName.toString))
         Thread.sleep(feedMs)
       }
       // processAllAvailable has no timeout; a wedged stream must fail the
@@ -212,6 +215,18 @@ object StreamBench {
     val (_, tailRemoved) =
       if (deduper.isAlive) (Nil, 0L) else drainDedupe(job, maxRuns = 64)
 
+    // ---- saturation phase: offered rate >> batch capacity. The whole
+    // corpus is dropped at once on a FRESH warehouse (offered rate = disk
+    // speed, far past the measured ~60k rows/s batch capacity) with the
+    // dedupe loop running concurrently throughout — the catch-up regime the
+    // reference's 6 h probe interval exists for. Measured: the offered
+    // burst rate, micro-batch p95 under saturation, the peak row backlog
+    // actually accumulated, wall time to absorb it, whether any dedupe run
+    // got through during the burst, and — after the offered rate drops back
+    // to the steady cadence — the post-burst batch median (latency
+    // recovery).
+    val satStats = saturationPhase(spark, base, corpusFiles, corpusRows, feedMs)
+
     import scala.jdk.CollectionConverters._
     val batchWalls = batchSecs.asScala.map(_.doubleValue).toSeq
     val conc = concWalls.asScala
@@ -224,6 +239,110 @@ object StreamBench {
       quietDedupeSec = fullSpanMedian(quietWalls),
       concurrentDedupeSec = fullSpanMedian(conc),
       quietRuns = quietWalls.size, concurrentRuns = conc.size,
-      dupesRemoved = concRemoved.get() + tailRemoved)
+      dupesRemoved = concRemoved.get() + tailRemoved,
+      satOfferedRps = satStats._1, satP95Sec = satStats._2,
+      satBacklogPeakRows = satStats._3, satRecoverySec = satStats._4,
+      satRecoveredP50Sec = satStats._5, satDedupeRuns = satStats._6)
+  }
+
+  /** See the call-site comment in [[runIn]]. Returns (offeredRps, p95 under
+    * saturation, peak backlog rows, backlog recovery sec, post-burst steady
+    * p50, dedupe runs during the phase). */
+  private def saturationPhase(spark: SparkSession, base: String,
+      corpusFiles: Seq[java.nio.file.Path], corpusRows: Long,
+      feedMs: Long): (Double, Double, Long, Double, Double, Int) = {
+    val satFeed = s"$base/satfeed"
+    Files.createDirectories(Paths.get(satFeed))
+    val wh = s"$base/sat"
+    val table = new TransactionsTable(spark, s"$wh/transactions")
+    val pipe = new IngestPipeline(spark, table,
+      new ErrorsTable(spark, s"$wh/errors"), preDedupe = false)
+    val job = new Deduplication.Job(spark, table,
+      new StateStore(spark, s"$wh/state"), windowCfg)
+
+    val batchSecs = new ConcurrentLinkedQueue[java.lang.Double]()
+    val rowsSeen = new AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          rowsSeen.addAndGet(p.numInputRows)
+          val d = p.durationMs.get("triggerExecution")
+          if (d != null) batchSecs.add(d.toDouble / 1e3): Unit
+        }
+      }
+    }
+    val stop = new AtomicBoolean(false)
+    val runs = new AtomicLong(0)
+    val deduper = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          if (!table.exists()) Thread.sleep(200)
+          else {
+            val r = job.runIncremental()
+            if (r.windowEndUs > r.windowStartUs) runs.incrementAndGet(): Unit
+            else Thread.sleep(200)
+          }
+        } catch {
+          case _: InterruptedException => stop.set(true)
+          case _: Throwable => try Thread.sleep(200) catch
+            { case _: InterruptedException => stop.set(true) }
+        }
+      }
+    }, "streambench-sat-dedupe")
+    deduper.setDaemon(true)
+
+    var offered = -1.0; var satP95 = -1.0; var peak = -1L
+    var recovery = -1.0; var recoveredP50 = -1.0
+    // A wedged stream must fail the measurement, never hang the bench: both
+    // drains run on daemon watchdogs with hard deadlines.
+    def drainWithDeadline(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+      val d = new Thread(() =>
+        try q.processAllAvailable() catch { case _: Throwable => () },
+        "streambench-sat-drain")
+      d.setDaemon(true); d.start(); d.join(300000)
+      !d.isAlive && q.exception.isEmpty
+    }
+    spark.streams.addListener(listener)
+    val query = pipe.startStream(satFeed, s"$wh/checkpoint",
+      Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      deduper.start()
+      val t0 = System.nanoTime()
+      corpusFiles.foreach(f =>
+        Files.copy(f, Paths.get(satFeed, f.getFileName.toString)))
+      val dropSec = (System.nanoTime() - t0) / 1e9
+      offered = corpusRows / math.max(dropSec, 1e-9)
+      // backlog at the instant the offer ended: everything not yet processed
+      peak = corpusRows - rowsSeen.get()
+      if (drainWithDeadline(query)) {
+        recovery = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener delivery is async; let the tail land
+        import scala.jdk.CollectionConverters._
+        val burst = batchSecs.asScala.map(_.doubleValue).toSeq
+        satP95 = BenchUtil.p95(burst)
+        // offered rate back at the steady cadence (fresh names — the file
+        // source skips already-seen paths); the post-burst median shows
+        // whether latency actually recovered
+        corpusFiles.take(8).foreach { f =>
+          Files.copy(f, Paths.get(satFeed, "tail-" + f.getFileName.toString))
+          Thread.sleep(feedMs)
+        }
+        if (drainWithDeadline(query)) {
+          Thread.sleep(500)
+          val all = batchSecs.asScala.map(_.doubleValue).toSeq
+          recoveredP50 = BenchUtil.median(all.drop(burst.size))
+        }
+      }
+    } finally {
+      stop.set(true)
+      try query.stop() catch { case _: Throwable => () }
+      deduper.join(120000)
+      if (deduper.isAlive) deduper.interrupt()
+      spark.streams.removeListener(listener)
+    }
+    (offered, satP95, peak, recovery, recoveredP50, runs.get().toInt)
   }
 }

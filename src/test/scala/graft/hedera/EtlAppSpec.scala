@@ -89,6 +89,68 @@ class EtlAppSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("kill mid-batch without drain: restart replays idempotently, dedupe leaves exactly-once") {
+    // The ungraceful-death drill: stop() the continuous app with files still
+    // in flight and the dedupe scheduler firing (no processAllAvailable, no
+    // drain), restart on the same checkpoint, feed more. The batch-id
+    // ledger must make replayed committed batches no-ops; the one genuine
+    // duplicate window (crash between append and ledger mark) plus the
+    // corpus's planted dups are repaired by dedupe — the end state is every
+    // distinct key exactly once.
+    val base = GraftTestSpark.tmpDir("graft-etlapp-kill")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val staged0 = s"$base/staged0"
+    graft.PipelineBench.jsonCorpus(spark, GraftTestSpark.sfDir, staged0)
+    val staged = s"$base/staged"
+    spark.read.text(staged0).repartition(6).write.text(staged)
+    val distinctKeys = spark.read.text(staged).distinct().count()
+    val files = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val Array(wave1, wave2, wave3) = Array(files.slice(0, 2), files.slice(2, 4),
+      files.slice(4, files.length))
+    def feed(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(in, f.getName)): Unit
+    }
+    def poll(deadlineMs: Long = 120000)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      def safely = try cond catch { case _: org.apache.spark.SparkException => false }
+      var ok = safely
+      while (!ok && System.currentTimeMillis() < end) { Thread.sleep(250); ok = safely }
+      ok
+    }
+    val args = EtlApp.Args(
+      input = in, warehouse = s"$base/wh", checkpoint = s"$base/wh/checkpoint",
+      incrementalMs = 400L, fullMs = 3600000L, triggerMs = 50L)
+
+    val h1 = EtlApp.start(spark, args)
+    feed(wave1)
+    assert(poll()(h1.table.exists() && h1.table.read().count() > 0), "wave 1 must land")
+    feed(wave2) // in flight at the kill
+    h1.stop()   // ungraceful: no drain — wave 2 may be mid-batch right now
+
+    val h2 = EtlApp.start(spark, args) // same checkpoint: replay + resume
+    try {
+      feed(wave3)
+      assert(poll()(h2.table.read().select("consensusTimestamp").distinct().count()
+        == distinctKeys), "every distinct key must land across the kill/restart")
+    } finally h2.stop()
+
+    // quiesce deterministically: unbounded catch-up incremental + one full
+    // pass for any replay below the checkpoint
+    val job = new Deduplication.Job(spark, h2.table,
+      new StateStore(spark, s"$base/wh/state"),
+      Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
+    job.runIncremental()
+    job.runFull()
+    val totalRows = h2.table.read().count()
+    val distinctRows = h2.table.read().select("consensusTimestamp").distinct().count()
+    assert(distinctRows === distinctKeys, "no key lost")
+    assert(totalRows === distinctKeys,
+      "no duplicate survives: ledger-replayed batches were no-ops, the rest deduped")
+  }
+
   test("--once pipeline: drain input, dedupe planted duplicates, idempotent rerun") {
     val base = GraftTestSpark.tmpDir("graft-etlapp")
     val in = s"$base/in"
