@@ -108,6 +108,11 @@ object Bench {
     val skew = try GenSkew.bench(spark, sfDir, listener)
     catch { case _: Throwable => PipelineBench.FailedRates }
 
+    // Hot JOIN key (one customer = half of orders): skew-vs-uniform wall for
+    // the join-chain and ranking-window headline shapes.
+    val joinSkew = try GenSkew.benchJoinSkew(spark, sfDir)
+    catch { case _: Throwable => GenSkew.JoinSkewFailed }
+
     // The engine as deployed: continuous-trigger streaming ingest with the
     // dedupe job firing concurrently (EtlApp's shape).
     val stream = try StreamBench.run(spark, sfDir)
@@ -194,6 +199,10 @@ object Bench {
       s""""skew_dupes_removed":${skew.dedupeDuplicates},""" +
       s""""skew_ingest_slowdown":${ratio(rates.ingestRowsPerSec, skew.ingestRowsPerSec)},""" +
       s""""skew_dedupe_slowdown":${ratio(skew.dedupeSec, rates.dedupeSec)},""" +
+      s""""skew_join_q3_sec":${f"${joinSkew.q3Skew}%.3f"},""" +
+      s""""skew_join_q3_slowdown":${ratio(joinSkew.q3Skew, joinSkew.q3Uniform)},""" +
+      s""""skew_join_wrank_sec":${f"${joinSkew.wrankSkew}%.3f"},""" +
+      s""""skew_join_wrank_slowdown":${ratio(joinSkew.wrankSkew, joinSkew.wrankUniform)},""" +
       s""""streaming":{"rows":${stream.rows},"batches":${stream.batches},""" +
       s""""batch_p50_sec":${f"${stream.batchP50Sec}%.3f"},""" +
       s""""batch_p95_sec":${f"${stream.batchP95Sec}%.3f"},""" +

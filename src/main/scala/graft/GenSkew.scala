@@ -69,4 +69,58 @@ object GenSkew {
     try PipelineBench.measure(spark, base, inDir, listener)
     finally BenchUtil.deleteRecursively(new java.io.File(base))
   }
+
+  /** Hot-JOIN-key corpus: ONE customer owns half of all orders — the
+    * adversarial shape for the customer⋈orders join and the per-customer
+    * ranking window (one window partition holds 50 % of the rows). Writes a
+    * Registry-compatible tables dir: `orders.parquet` rewritten with the
+    * remapped key, every other table symlinked to the uniform corpus.
+    * Returns the hot custkey. */
+  def skewedJoinDir(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    import java.nio.file.{Files => JFiles, Paths}
+    JFiles.createDirectories(Paths.get(outDir))
+    val orders = Tables.load(spark, sfDir, "orders")
+    val hot = orders.agg(min(col("o_custkey"))).head().getLong(0)
+    orders.withColumn("o_custkey",
+        when(col("o_orderkey") % 2 === 0, lit(hot)).otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    Tables.names.filterNot(_ == "orders").foreach { t =>
+      val link = Paths.get(outDir, s"$t.parquet")
+      if (!JFiles.exists(link))
+        JFiles.createSymbolicLink(link, Paths.get(sfDir, s"$t.parquet")): Unit
+    }
+    hot
+  }
+
+  final case class JoinSkew(q3Uniform: Double, q3Skew: Double,
+      wrankUniform: Double, wrankSkew: Double)
+  val JoinSkewFailed: JoinSkew = JoinSkew(-1, -1, -1, -1)
+
+  /** Skew-vs-uniform wall medians for the two skew-sensitive headline
+    * shapes — the broadcast-dim join chain (`q3_shipping`) and the
+    * per-customer ranking window (`q_window_rank`) — identical harness on
+    * both corpora (one warm + median of 3). AQE's skew handling and the
+    * dims staying broadcast must hold the ratio near 1 even though one
+    * customer owns half the orders. */
+  def benchJoinSkew(spark: SparkSession, sfDir: String): JoinSkew = {
+    val base = java.nio.file.Files.createTempDirectory("graft-joinskew").toString
+    try {
+      skewedJoinDir(spark, sfDir, base)
+      def timed(name: String, dir: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.queries.Registry.byName(name).build(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm: listing + codegen
+        BenchUtil.median(Seq.fill(3)(once()))
+      }
+      JoinSkew(
+        q3Uniform = timed("q3_shipping", sfDir),
+        q3Skew = timed("q3_shipping", base),
+        wrankUniform = timed("q_window_rank", sfDir),
+        wrankSkew = timed("q_window_rank", base))
+    } finally BenchUtil.deleteRecursively(new java.io.File(base))
+  }
 }

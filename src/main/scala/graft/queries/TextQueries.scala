@@ -26,6 +26,25 @@ object TextQueries {
   private val Shingles4 =
     "list_transform(generate_series(1, len(ws) - 3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
 
+  /** Guarded eval-side join for decontamination: broadcast the eval n-gram
+    * dictionary only while it is PROVABLY small. "Eval ≪ train" is an
+    * assumption, not an invariant — nothing stops a caller pointing the
+    * operator at a huge eval suite, and an unconditional broadcast would
+    * then OOM every executor. The guard counts the EVAL side only (a
+    * partially-aggregated count over the small side, never O(train); it
+    * re-derives the eval frame once, which is the price of statelessness)
+    * and past the cap switches to a shuffled hash join — eval still the
+    * per-partition build side, AQE absorbing any hot n-gram. Results are
+    * identical on both paths (DecontaminationGuardSpec). */
+  private[queries] def contaminationCounts(trainG: org.apache.spark.sql.DataFrame,
+      evalG: org.apache.spark.sql.DataFrame,
+      maxBroadcastRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    val ev = if (evalG.count() <= maxBroadcastRows) broadcast(evalG)
+             else evalG.hint("shuffle_hash")
+    trainG.join(ev, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Exact 3-gram-jaccard near-dup pairs (df-capped); shared by
     * t_jaccard_pairs (emits the pairs) and t_dup_clusters (uses them as the
     * edge list for connected components). */
@@ -439,8 +458,7 @@ object TextQueries {
           .select(explode(array_distinct(shingles(col("text"), 4))).as("g")).distinct()
         val trainG = d.filter(col("doc_id") % 20 =!= 0)
           .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 4))).as("g"))
-        trainG.join(broadcast(evalG), Seq("g"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+        contaminationCounts(trainG, evalG)
       },
       Some(s"""WITH ev AS (
               |  SELECT DISTINCT unnest(list_distinct($Shingles4)) AS g

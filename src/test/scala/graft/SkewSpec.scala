@@ -156,4 +156,30 @@ class SkewSpec extends AnyFunSuite {
     assert(res.duplicatesRemoved === lines - distinctKeys)
     assert(table.read().count() === distinctKeys)
   }
+
+  test("hot join key: one customer owns half the orders; join + window stay correct") {
+    val dir = GraftTestSpark.tmpDir("joinskew")
+    val hot = GenSkew.skewedJoinDir(spark, GraftTestSpark.sfDir, dir)
+    val orders = Tables.load(spark, dir, "orders")
+    val total = orders.count()
+    val hotCnt = orders.filter(col("o_custkey") === hot).count()
+    assert(hotCnt >= total / 2, s"hot customer must own ≥ half of orders ($hotCnt/$total)")
+
+    // the per-customer ranking window with a 50%-of-rows partition: the hot
+    // customer's top-3 must match an independent driver-side sort
+    val got = graft.queries.Registry.byName("q_window_rank").build(spark, dir)
+      .filter(col("o_custkey") === hot)
+      .orderBy(col("rnk")).select(col("o_orderkey")).as[Long].collect().toSeq
+    val want = orders.filter(col("o_custkey") === hot)
+      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)].collect()
+      .sortBy { case (k, p) => (-p, k) }.take(3).map(_._1).toSeq
+    assert(got === want, "hot-partition window rank must stay exact")
+
+    // the join chain re-planned over the skewed orders completes and keeps
+    // its contract (top-10, revenue-descending)
+    val q3 = graft.queries.Registry.byName("q3_shipping").build(spark, dir)
+      .select(col("revenue")).as[Double].collect().toSeq
+    assert(q3.length <= 10)
+    assert(q3 === q3.sortBy(-_), "q3 ordering contract holds under join skew")
+  }
 }
