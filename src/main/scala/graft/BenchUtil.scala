@@ -13,8 +13,14 @@ object BenchUtil {
     else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 0.95).toInt))
 
   def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
+    // NEVER traverse a symlink: listFiles() resolves links, so recursing
+    // through a symlinked directory entry would enumerate — and delete —
+    // the TARGET's children (the join-skew bench dir symlinks the shared
+    // test corpus). A link is deleted as the link itself.
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete(): Unit
   }
 }

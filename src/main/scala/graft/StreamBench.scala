@@ -54,6 +54,17 @@ object StreamBench {
   private val windowCfg =
     Deduplication.Config(catchupIntervalUs = 5L * 86400 * 1000000)
 
+  /** Land `src` in the watched feed dir ATOMICALLY: copy to a dot-prefixed
+    * temp name (hidden from the file source) and rename into place. A plain
+    * copy straight to the final name races the 250 ms trigger — the source
+    * commits a listed path once, so a file read mid-copy would be consumed
+    * truncated and never re-read. */
+  private def feedFile(src: java.nio.file.Path, feedDir: String, name: String): Unit = {
+    val tmp = Paths.get(feedDir, s".$name.tmp")
+    Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, Paths.get(feedDir, name), StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   /** Median over full-span windows only (see class doc); falls back to all
     * runs when arrival never left a full window to process. */
   private def fullSpanMedian(runs: Seq[(Double, Long)]): Double = {
@@ -183,7 +194,7 @@ object StreamBench {
       deduper.start()
       // copy (not move): the saturation phase below re-feeds the same corpus
       corpusFiles.foreach { f =>
-        Files.copy(f, Paths.get(feedDir, f.getFileName.toString))
+        feedFile(f, feedDir, f.getFileName.toString)
         Thread.sleep(feedMs)
       }
       // processAllAvailable has no timeout; a wedged stream must fail the
@@ -311,8 +322,7 @@ object StreamBench {
     try {
       deduper.start()
       val t0 = System.nanoTime()
-      corpusFiles.foreach(f =>
-        Files.copy(f, Paths.get(satFeed, f.getFileName.toString)))
+      corpusFiles.foreach(f => feedFile(f, satFeed, f.getFileName.toString))
       val dropSec = (System.nanoTime() - t0) / 1e9
       offered = corpusRows / math.max(dropSec, 1e-9)
       // backlog at the instant the offer ended: everything not yet processed
@@ -327,7 +337,7 @@ object StreamBench {
         // source skips already-seen paths); the post-burst median shows
         // whether latency actually recovered
         corpusFiles.take(8).foreach { f =>
-          Files.copy(f, Paths.get(satFeed, "tail-" + f.getFileName.toString))
+          feedFile(f, satFeed, "tail-" + f.getFileName.toString)
           Thread.sleep(feedMs)
         }
         if (drainWithDeadline(query)) {

@@ -87,17 +87,23 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     if (readLeaseHolder(f).contains(holderId))
       try f.delete(leasePath, false) catch { case _: java.io.IOException => () }
 
-  /** Run `body` holding the cross-process lease, heartbeating on a daemon
-    * timer so a long write job never looks stale. Callers hold [[writeLock]]
-    * first (one lease client per process). */
+  /** One daemon heartbeat thread per table, created on first lease hold and
+    * reused for every subsequent one — `withLease` runs per micro-batch
+    * append (every 250 ms under `EtlApp`), so spawning a fresh Timer thread
+    * per call would churn a thread per batch for the life of the stream. */
+  private lazy val leaseBeat = new java.util.Timer("graft-lease-heartbeat", true)
+
+  /** Run `body` holding the cross-process lease, heartbeating on the shared
+    * daemon timer so a long write job never looks stale. Callers hold
+    * [[writeLock]] first (one lease client per process). */
   private def withLease[T](f: FileSystem)(body: => T): T = {
     acquireLease(f)
-    val beat = new java.util.Timer("graft-lease-heartbeat", true)
-    beat.schedule(new java.util.TimerTask {
+    val beat = new java.util.TimerTask {
       override def run(): Unit =
         try f.setTimes(leasePath, System.currentTimeMillis(), -1)
         catch { case _: java.io.IOException => () }
-    }, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
+    }
+    leaseBeat.schedule(beat, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
     try body
     finally { beat.cancel(); releaseLease(f) }
   }

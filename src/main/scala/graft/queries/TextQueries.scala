@@ -30,17 +30,19 @@ object TextQueries {
     * dictionary only while it is PROVABLY small. "Eval ≪ train" is an
     * assumption, not an invariant — nothing stops a caller pointing the
     * operator at a huge eval suite, and an unconditional broadcast would
-    * then OOM every executor. The guard counts the EVAL side only (a
-    * partially-aggregated count over the small side, never O(train); it
-    * re-derives the eval frame once, which is the price of statelessness)
-    * and past the cap switches to a shuffled hash join — eval still the
-    * per-partition build side, AQE absorbing any hot n-gram. Results are
-    * identical on both paths (DecontaminationGuardSpec). */
+    * then OOM every executor. The guard probe is BOUNDED: `limit(cap + 1)
+    * .count()` scans the eval side only until the cap overflows (an
+    * oversized dictionary short-circuits; a small one pays one cheap extra
+    * derivation — never O(train) either way). Past the cap it switches to
+    * a shuffled hash join — eval still the per-partition build side, AQE
+    * absorbing any hot n-gram. Results are identical on both paths
+    * (DecontaminationGuardSpec). */
   private[queries] def contaminationCounts(trainG: org.apache.spark.sql.DataFrame,
       evalG: org.apache.spark.sql.DataFrame,
       maxBroadcastRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
-    val ev = if (evalG.count() <= maxBroadcastRows) broadcast(evalG)
-             else evalG.hint("shuffle_hash")
+    val oversized = maxBroadcastRows < Int.MaxValue - 1 &&
+      evalG.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
+    val ev = if (oversized) evalG.hint("shuffle_hash") else broadcast(evalG)
     trainG.join(ev, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
