@@ -15,6 +15,7 @@ import graft.GraftSession
   *   graft.hedera.EtlApp --input DIR --warehouse DIR [--checkpoint DIR]
   *     [--once] [--incremental-ms 300000] [--full-ms 86400000]
   *     [--trigger-ms 1000] [--pre-dedupe false]
+  *     [--max-files-per-trigger 256]   (0 = unbounded intake)
   * }}}
   *
   *  - continuous (default): file-stream the input dir, start the dedupe
@@ -40,7 +41,11 @@ object EtlApp {
       input: String = "", warehouse: String = "", checkpoint: String = "",
       once: Boolean = false, incrementalMs: Long = 300000L,
       fullMs: Long = 86400000L, triggerMs: Long = 1000L,
-      preDedupe: Boolean = false)
+      preDedupe: Boolean = false,
+      // Bounded intake by default: after an outage (or under a burst) the
+      // backlog drains as a queue of ≤256-file batches instead of one
+      // giant catch-up batch (see IngestPipeline.startStream). 0 = unbounded.
+      maxFilesPerTrigger: Int = 256)
 
   private[hedera] def parse(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -52,6 +57,7 @@ object EtlApp {
       case "--full-ms" :: v :: t => loop(a.copy(fullMs = v.toLong), t)
       case "--trigger-ms" :: v :: t => loop(a.copy(triggerMs = v.toLong), t)
       case "--pre-dedupe" :: v :: t => loop(a.copy(preDedupe = v.toBoolean), t)
+      case "--max-files-per-trigger" :: v :: t => loop(a.copy(maxFilesPerTrigger = v.toInt), t)
       case Nil => a
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
@@ -68,6 +74,9 @@ object EtlApp {
       table: TransactionsTable) {
     def stop(): Unit = { scheduler.stop(); query.stop() }
   }
+
+  private def intakeBound(a: Args): Option[Int] =
+    if (a.maxFilesPerTrigger > 0) Some(a.maxFilesPerTrigger) else None
 
   /** The warehouse wiring both modes share — one copy, so the layout can
     * never drift between continuous and `--once`. */
@@ -93,7 +102,7 @@ object EtlApp {
   def start(spark: org.apache.spark.sql.SparkSession, a: Args): Handles = {
     val (table, pipe, job) = wire(spark, a, Deduplication.Config())
     val q = pipe.startStream(a.input, a.checkpoint,
-      Trigger.ProcessingTime(a.triggerMs))
+      Trigger.ProcessingTime(a.triggerMs), intakeBound(a))
     val sched = new DedupeScheduler(job, a.incrementalMs, a.fullMs)
     sched.start()
     Handles(q, sched, table)
@@ -110,7 +119,8 @@ object EtlApp {
       // old windows dirty).
       val (table, pipe, job) = wire(spark, a,
         Deduplication.Config(catchupIntervalUs = Long.MaxValue / 4))
-      val q = pipe.startStream(a.input, a.checkpoint, Trigger.AvailableNow())
+      val q = pipe.startStream(a.input, a.checkpoint, Trigger.AvailableNow(),
+        intakeBound(a))
       q.awaitTermination()
       val (inc, full) = new DedupeScheduler(job, a.incrementalMs, a.fullMs).runOnceNow()
       println(s"etl-once: rows=${table.read().count()} " +

@@ -150,10 +150,22 @@ final class IngestPipeline(
 
   /** Streaming ingest: file source + checkpoint → at-least-once appends,
     * made idempotent under batch REPLAY by the batch-id ledger and repaired
-    * to effective exactly-once by the dedupe jobs (see class doc). */
+    * to effective exactly-once by the dedupe jobs (see class doc).
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch's intake: without it, a
+    * feed burst (or a long stream outage) makes the NEXT batch swallow the
+    * whole backlog — one giant write job whose memory, latency, and
+    * failure blast-radius grow with the outage instead of staying constant.
+    * Bounded, a backlog drains as a queue of same-sized batches (and
+    * `Trigger.AvailableNow` honors the limit too, so a `--once` backfill
+    * is bounded-memory as well). Deployments should set it; the default
+    * stays unbounded for drop-in compatibility. */
   def startStream(inputDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.text(inputDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val src = spark.readStream
+    maxFilesPerTrigger.foreach(n => src.option("maxFilesPerTrigger", n.toLong))
+    src.text(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -161,4 +173,5 @@ final class IngestPipeline(
         writeBatchOnce(batch, id, s"$checkpointDir/graft-batch-ledger"); ()
       }
       .start()
+  }
 }

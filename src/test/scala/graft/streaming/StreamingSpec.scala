@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.read().count() === 6)
   }
 
+  test("bounded intake drains a backlog as multiple batches, exactly once") {
+    val dir = GraftTestSpark.tmpDir("stream-bounded")
+    val in = s"$dir/in"
+    new java.io.File(in).mkdirs()
+    // a 10-file backlog already waiting when the stream starts — the
+    // post-outage shape. Unbounded, this would land as ONE batch.
+    val ts0 = 1600000000L * 1000000000L
+    (0 until 10).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$in/f$i%02d.jsonl"),
+        s"""{"consensusTimestamp":${ts0 + i * 1000000L},"transactionType":14}\n""")
+    }
+    val table = new TransactionsTable(spark, s"$dir/transactions")
+    val pipe = new IngestPipeline(spark, table, new ErrorsTable(spark, s"$dir/errors"))
+    val q = pipe.startStream(in, s"$dir/ckpt", Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(3))
+    q.awaitTermination(120000)
+    assert(table.read().count() === 10, "every backlogged row lands exactly once")
+    // the ledger records one mark per committed batch: 10 files at ≤3 per
+    // trigger must have drained as ≥4 bounded batches, not one giant one
+    val marks = new java.io.File(s"$dir/ckpt/graft-batch-ledger").listFiles()
+      .count(_.getName.startsWith("batch-"))
+    assert(marks >= 4, s"expected a bounded multi-batch drain, saw $marks batches")
+  }
+
   test("batch-id ledger makes a replayed micro-batch a no-op") {
     val dir = GraftTestSpark.tmpDir("stream-ledger")
     val table = new TransactionsTable(spark, s"$dir/transactions")
