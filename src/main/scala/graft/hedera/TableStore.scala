@@ -273,18 +273,22 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
       .map(_.getPath.getName).filter(_.startsWith("day="))
     writeLock.synchronized { withLease(f) {
       if (days.nonEmpty && !f.exists(bakDir)) f.mkdirs(bakDir)
-      snapshot.foreach { snap =>
-        days.foreach(d => writeNames(f, manifestPath(d), snap.getOrElse(d, Set.empty)))
-      }
-      // Staged manifests before ANY rename: every crash window after this
-      // point is decidable by recovery (marker present → roll forward;
-      // absent → roll back, discarding exactly the staged names).
-      days.foreach { d =>
+      // Each day's manifests and swap touch only that day's paths, so both
+      // phases fan out over a thread pool: a backfill rewrites EVERY day,
+      // and ~10 metadata ops per day run sequentially turn O(days) into
+      // the wall-time bottleneck (measured: a 300-day sf1 backfill spent
+      // ~16 s in this loop; on an object store each op is a network
+      // round-trip and the sequential form would be minutes). The phase
+      // BARRIER is the crash invariant: every manifest lands before any
+      // rename, so recovery can always decide a day's direction.
+      perDay(days) { d =>
+        snapshot.foreach(snap =>
+          writeNames(f, manifestPath(d), snap.getOrElse(d, Set.empty)))
         val staged = f.listStatus(new Path(stageDir, d)).filter(_.isFile)
           .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
         writeNames(f, stagedManifestPath(d), staged)
       }
-      days.foreach { d =>
+      perDay(days) { d =>
         val live = new Path(path, d)
         val bak = new Path(bakDir, d)
         if (f.exists(live))
@@ -301,6 +305,27 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
       f.delete(bakDir, true)
     } }
   }
+
+  /** Run `body` for every day on a bounded pool (FileSystem metadata ops
+    * are thread-safe and IO-bound). Propagates the first failure; always
+    * awaits all tasks so no day's ops outlive the lease. */
+  private def perDay(days: Seq[String])(body: String => Unit): Unit =
+    if (days.size <= 1) days.foreach(body)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(days.size, 16))
+      try {
+        import scala.jdk.CollectionConverters._
+        val futures = pool.invokeAll(
+          days.map(d => new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = body(d)
+          }: java.util.concurrent.Callable[Unit]).asJava)
+        futures.asScala.foreach { fu =>
+          try fu.get() // rethrow the first failure, unwrapped
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
 
   /** Step 2b: move backup-day files absent from the day's manifest (i.e.
     * appended after the caller's snapshot) into the new live day. No
