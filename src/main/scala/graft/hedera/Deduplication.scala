@@ -114,7 +114,15 @@ object Deduplication {
       val obs = Observation()
       val w = Window.partitionBy(col("consensusTimestamp"))
         .orderBy(col("consensusTimestamp"))
-      val (snapDf, snapshot) = table.readSnapshot()
+      // Snapshot only the window's days: they are the only days the swap
+      // below can touch (kept derives from the dayWindow filter), and
+      // listing the whole table per tick would be O(table-days) driver
+      // metadata calls for a fixed-size window. ISO day dir names compare
+      // lexicographically, so string bounds are the day bounds.
+      val loDir = "day=" + java.time.LocalDate.ofEpochDay(Math.floorDiv(startUs, 86400000000L))
+      val hiDir = "day=" + java.time.LocalDate.ofEpochDay(Math.floorDiv(endUs, 86400000000L))
+      val (snapDf, snapshot) =
+        table.readSnapshot(d => d >= loDir && d <= hiDir)
       val marked = snapDf.filter(dayWindow(startUs, endUs))
         .withColumn("_inwin", tsUs.between(startUs, endUs))
         .withColumn("_rn", row_number().over(w))

@@ -125,18 +125,26 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * file appended AFTER this snapshot (the ingest-vs-dedupe race guard —
     * a plain `read()` lists lazily, so the set of files a later rewrite
     * actually covered would be unknowable). */
-  def readSnapshot(): (DataFrame, Map[String, Set[String]]) = {
+  def readSnapshot(dayFilter: String => Boolean = _ => true)
+      : (DataFrame, Map[String, Set[String]]) = {
     val f = fs
     val root = new Path(path)
+    // `dayFilter` (on the "day=YYYY-MM-DD" dir name) bounds the per-day
+    // listing: a windowed repair swaps only its window's days, so listing
+    // the whole table would be O(table-days) driver metadata round-trips
+    // per dedupe tick — unbounded as the table grows, for a fixed window.
     val dayDirs =
       if (!f.exists(root)) Array.empty[Path]
       else f.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day=")
+          && dayFilter(s.getPath.getName))
         .map(_.getPath)
-    val listing: Map[String, Set[String]] = dayDirs.map { d =>
-      d.getName -> f.listStatus(d).filter(_.isFile).map(_.getPath.getName)
-        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
-    }.toMap
+    val listing: Map[String, Set[String]] =
+      perDay(dayDirs.map(_.getName).toSeq) { name =>
+        name -> f.listStatus(new Path(root, name)).filter(_.isFile)
+          .map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      }.toMap
     val files = for { (d, names) <- listing.toSeq; n <- names } yield s"$path/$d/$n"
     val df =
       if (files.isEmpty)
@@ -308,19 +316,20 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
 
   /** Run `body` for every day on a bounded pool (FileSystem metadata ops
     * are thread-safe and IO-bound). Propagates the first failure; always
-    * awaits all tasks so no day's ops outlive the lease. */
-  private def perDay(days: Seq[String])(body: String => Unit): Unit =
-    if (days.size <= 1) days.foreach(body)
+    * awaits all tasks so no day's ops outlive the caller's lease. Results
+    * come back in `days` order. */
+  private def perDay[T](days: Seq[String])(body: String => T): Seq[T] =
+    if (days.size <= 1) days.map(body)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(days.size, 16))
       try {
         import scala.jdk.CollectionConverters._
         val futures = pool.invokeAll(
-          days.map(d => new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = body(d)
-          }: java.util.concurrent.Callable[Unit]).asJava)
-        futures.asScala.foreach { fu =>
+          days.map(d => new java.util.concurrent.Callable[T] {
+            override def call(): T = body(d)
+          }: java.util.concurrent.Callable[T]).asJava)
+        futures.asScala.toSeq.map { fu =>
           try fu.get() // rethrow the first failure, unwrapped
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
         }
