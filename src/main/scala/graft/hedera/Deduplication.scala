@@ -76,11 +76,13 @@ object Deduplication {
       * window jobs list only the window's `day=` directories no matter how
       * large the table is. The µs filter then bounds rows exactly.
       */
-    private def dayWindow(startUs: Long, endUs: Long) = {
-      val loDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(startUs, 86400000000L))
-      val hiDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(endUs, 86400000000L))
-      col("day").between(lit(java.sql.Date.valueOf(loDay)), lit(java.sql.Date.valueOf(hiDay)))
-    }
+    /** The one copy of µs-epoch → partition day (UTC) in this class. */
+    private def epochDay(us: Long): java.time.LocalDate =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L))
+
+    private def dayWindow(startUs: Long, endUs: Long) =
+      col("day").between(lit(java.sql.Date.valueOf(epochDay(startUs))),
+        lit(java.sql.Date.valueOf(epochDay(endUs))))
 
     /** Window scan: partition-pruned by day, row-bounded by µs. */
     def windowScan(startUs: Long, endUs: Long) =
@@ -117,12 +119,9 @@ object Deduplication {
       // Snapshot only the window's days: they are the only days the swap
       // below can touch (kept derives from the dayWindow filter), and
       // listing the whole table per tick would be O(table-days) driver
-      // metadata calls for a fixed-size window. ISO day dir names compare
-      // lexicographically, so string bounds are the day bounds.
-      val loDir = "day=" + java.time.LocalDate.ofEpochDay(Math.floorDiv(startUs, 86400000000L))
-      val hiDir = "day=" + java.time.LocalDate.ofEpochDay(Math.floorDiv(endUs, 86400000000L))
+      // metadata calls for a fixed-size window.
       val (snapDf, snapshot) =
-        table.readSnapshot(d => d >= loDir && d <= hiDir)
+        table.readSnapshot(Some((epochDay(startUs), epochDay(endUs))))
       val marked = snapDf.filter(dayWindow(startUs, endUs))
         .withColumn("_inwin", tsUs.between(startUs, endUs))
         .withColumn("_rn", row_number().over(w))
@@ -147,7 +146,7 @@ object Deduplication {
       * the global max. The probe is therefore O(unprocessed data), never
       * O(table) — the last full-table scan the incremental job had. */
     def probeEnd(startUs: Long): Long = {
-      val fromDay = java.time.LocalDate.ofEpochDay(Math.floorDiv(startUs, 86400000000L))
+      val fromDay = epochDay(startUs)
       val r = table.read()
         .filter(col("day") >= lit(java.sql.Date.valueOf(fromDay)) && tsUs > startUs)
         .agg(min(tsUs).as("mn"), max(tsUs).as("mx")).first()

@@ -95,17 +95,25 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
 
   /** Run `body` holding the cross-process lease, heartbeating on the shared
     * daemon timer so a long write job never looks stale. Callers hold
-    * [[writeLock]] first (one lease client per process). */
+    * [[writeLock]] first (one lease client per process). The heartbeat
+    * swallows EVERY non-fatal throwable, not just IOException — one
+    * unchecked exception (a connector's UnsupportedOperationException on
+    * setTimes, say) would otherwise kill the shared Timer and poison every
+    * future write on this table ("Timer already cancelled"). And the
+    * schedule call sits inside the release scope, so a failure there can
+    * never strand the acquired lease file. */
   private def withLease[T](f: FileSystem)(body: => T): T = {
     acquireLease(f)
-    val beat = new java.util.TimerTask {
-      override def run(): Unit =
-        try f.setTimes(leasePath, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
-    }
-    leaseBeat.schedule(beat, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
-    try body
-    finally { beat.cancel(); releaseLease(f) }
+    try {
+      val beat = new java.util.TimerTask {
+        override def run(): Unit =
+          try f.setTimes(leasePath, System.currentTimeMillis(), -1)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      leaseBeat.schedule(beat, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
+      try body
+      finally beat.cancel()
+    } finally releaseLease(f)
   }
 
   /** Plain-parquet read. Visibility vs a concurrent repair: each day swap
@@ -125,19 +133,27 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * file appended AFTER this snapshot (the ingest-vs-dedupe race guard —
     * a plain `read()` lists lazily, so the set of files a later rewrite
     * actually covered would be unknowable). */
-  def readSnapshot(dayFilter: String => Boolean = _ => true)
+  def readSnapshot(dayRange: Option[(java.time.LocalDate, java.time.LocalDate)] = None)
       : (DataFrame, Map[String, Set[String]]) = {
     val f = fs
     val root = new Path(path)
-    // `dayFilter` (on the "day=YYYY-MM-DD" dir name) bounds the per-day
-    // listing: a windowed repair swaps only its window's days, so listing
-    // the whole table would be O(table-days) driver metadata round-trips
-    // per dedupe tick — unbounded as the table grows, for a fixed window.
+    // `dayRange` bounds the per-day listing: a windowed repair swaps only
+    // its window's days, so listing the whole table would be O(table-days)
+    // driver metadata round-trips per dedupe tick — unbounded as the table
+    // grows, for a fixed window. The dir-name mapping stays HERE (this
+    // class owns the `day=YYYY-MM-DD` layout; fixed-width ISO names make
+    // the range a lexicographic string comparison).
+    val inRange: String => Boolean = dayRange match {
+      case None => _ => true
+      case Some((lo, hi)) =>
+        val (loDir, hiDir) = (s"day=$lo", s"day=$hi")
+        d => d >= loDir && d <= hiDir
+    }
     val dayDirs =
       if (!f.exists(root)) Array.empty[Path]
       else f.listStatus(root)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("day=")
-          && dayFilter(s.getPath.getName))
+          && inRange(s.getPath.getName))
         .map(_.getPath)
     val listing: Map[String, Set[String]] =
       perDay(dayDirs.map(_.getName).toSeq) { name =>
@@ -314,26 +330,37 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     } }
   }
 
-  /** Run `body` for every day on a bounded pool (FileSystem metadata ops
-    * are thread-safe and IO-bound). Propagates the first failure; always
-    * awaits all tasks so no day's ops outlive the caller's lease. Results
-    * come back in `days` order. */
+  /** Shared bounded pool for per-day metadata ops — one per table, like
+    * [[leaseBeat]] (a fresh pool per call would churn up to 16 threads
+    * three times per dedupe tick). Daemon threads with an idle timeout, so
+    * an idle table holds no threads and never pins JVM exit. */
+  private lazy val dayPool = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(16, 16, 10,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-day-ops"); t.setDaemon(true); t
+      })
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
+
+  /** Run `body` for every day on the shared bounded pool (FileSystem
+    * metadata ops are thread-safe and IO-bound). Propagates the first
+    * failure; always awaits all tasks so no day's ops outlive the caller's
+    * lease. Results come back in `days` order. */
   private def perDay[T](days: Seq[String])(body: String => T): Seq[T] =
     if (days.size <= 1) days.map(body)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(days.size, 16))
-      try {
-        import scala.jdk.CollectionConverters._
-        val futures = pool.invokeAll(
-          days.map(d => new java.util.concurrent.Callable[T] {
-            override def call(): T = body(d)
-          }: java.util.concurrent.Callable[T]).asJava)
-        futures.asScala.toSeq.map { fu =>
-          try fu.get() // rethrow the first failure, unwrapped
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        }
-      } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      val futures = dayPool.invokeAll(
+        days.map(d => new java.util.concurrent.Callable[T] {
+          override def call(): T = body(d)
+        }: java.util.concurrent.Callable[T]).asJava)
+      futures.asScala.toSeq.map { fu =>
+        try fu.get() // rethrow the first failure, unwrapped
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
     }
 
   /** Step 2b: move backup-day files absent from the day's manifest (i.e.

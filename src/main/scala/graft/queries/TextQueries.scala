@@ -40,8 +40,13 @@ object TextQueries {
   private[queries] def contaminationCounts(trainG: org.apache.spark.sql.DataFrame,
       evalG: org.apache.spark.sql.DataFrame,
       maxBroadcastRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
-    val oversized = maxBroadcastRows < Int.MaxValue - 1 &&
-      evalG.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
+    // A cap past limit()'s Int range can't use the bounded probe — fall
+    // back to the full count there rather than silently skipping the guard
+    // (which would broadcast an arbitrarily large eval side).
+    val oversized =
+      if (maxBroadcastRows < Int.MaxValue - 1)
+        evalG.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
+      else evalG.count() > maxBroadcastRows
     val ev = if (oversized) evalG.hint("shuffle_hash") else broadcast(evalG)
     trainG.join(ev, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
