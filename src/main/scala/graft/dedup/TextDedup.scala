@@ -40,13 +40,22 @@ object TextDedup {
 
   // ---- MinHash + LSH ------------------------------------------------------
 
+  /** `portable = true` swaps both hash families — shingle hashes to the
+    * md5-derived [[graft.functions.TextFunctions.portableHash60]] and the
+    * signature permutations to the mod-(2^31−1) affine family — so the whole
+    * pipeline (signature → banding → candidate pairs → jaccard verify) is
+    * reproducible in any SQL engine with md5 + BIGINT arithmetic. That is
+    * what backs the full DuckDB oracles on t_minhash_pairs/t_minhash_dedup;
+    * the default xxhash64 family stays the production choice (faster) and is
+    * spec-verified (NoOracleEquivalenceSpec). */
   final case class MinHashConfig(
       shingleK: Int = 3,
       numPerm: Int = 64,
       bands: Int = 16,
       seed: Long = 42L,
       maxBucket: Int = 64,
-      jaccardThreshold: Double = 0.5) {
+      jaccardThreshold: Double = 0.5,
+      portable: Boolean = false) {
     require(numPerm % bands == 0, "bands must divide numPerm")
     def rowsPerBand: Int = numPerm / bands
   }
@@ -55,8 +64,9 @@ object TextDedup {
     * Shingles come from the *normalized* text (lowercase, collapsed
     * whitespace) so near-dup detection is case/format-insensitive, matching
     * the exact-dedup fingerprint semantics. */
-  def shingleHashes(text: Column, k: Int): Column =
-    transform(array_distinct(shingles(normalized(text), k)), s => xxhash64(s))
+  def shingleHashes(text: Column, k: Int, portable: Boolean = false): Column =
+    transform(array_distinct(shingles(normalized(text), k)),
+      s => if (portable) portableHash60(s) else xxhash64(s))
 
   /** doc → (id, shingle-hash set, MinHash signature). The shingle-hash
     * array is bound as an attribute first so the signature consumes it
@@ -65,17 +75,24 @@ object TextDedup {
   def signatures(docs: DataFrame, idCol: String, textCol: String, cfg: MinHashConfig): DataFrame =
     docs.select(
         col(idCol).as("doc_id"),
-        shingleHashes(col(textCol), cfg.shingleK).as("sh"))
+        shingleHashes(col(textCol), cfg.shingleK, cfg.portable).as("sh"))
       .select(col("doc_id"), col("sh"),
-        MinHashSignature(col("sh"), cfg.numPerm, cfg.seed).as("sig"))
+        MinHashSignature(col("sh"), cfg.numPerm, cfg.seed, cfg.portable).as("sig"))
 
   /** Exploded (band_key, doc) rows: one per band, key = hash of the band's
-    * signature slice tagged with the band index. */
-  private def bandRows(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    * signature slice tagged with the band index (portable family: the
+    * band index + the slice values spelled out as a string — equality is
+    * all a bucket key needs, and a string key is what a SQL oracle can
+    * rebuild verbatim). */
+  private[dedup] def bandRows(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val r = cfg.rowsPerBand
     val bandKeys = transform(
       sequence(lit(0), lit(cfg.bands - 1)),
-      b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))
+      b =>
+        if (cfg.portable)
+          concat(b.cast("string"), lit(":"),
+            concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), v => v.cast("string"))))
+        else xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))
     sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
   }
 
@@ -176,10 +193,13 @@ object TextDedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** doc → 64-bit SimHash fingerprint of its token stream. */
-  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** doc → SimHash fingerprint of its token stream (64-bit xxhash64 family
+    * by default; `portable = true` selects the 60-bit md5-prefix family the
+    * DuckDB oracle reproduces — see [[graft.expressions.SimHash64]]). */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      SimHash64(tokens(normalized(col(textCol)))).as("simhash"))
+      SimHash64(tokens(normalized(col(textCol))), portable).as("simhash"))
 
   /** Near-dup pairs by SimHash: band on the four 16-bit chunks (any chunk
     * equal → candidate; Hamming ≤ `maxHamming` → pair). Exact for pairs

@@ -1,5 +1,7 @@
 package graft.expressions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -7,16 +9,26 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** 64-bit SimHash over an array of token strings.
+/** SimHash over an array of token strings.
   *
-  * Classic Charikar scheme: each token is hashed (xxhash64, Spark's native
-  * hash — consistent with the engine's other fingerprints); each of the 64
-  * bit positions accumulates +1/-1 by the token's bit; the sign vector is the
-  * fingerprint. Near-duplicate docs land within a small Hamming distance —
-  * pair them with `bit_count(a ^ b)` (built-in, codegen'd) after banding on
-  * 16-bit chunks.
+  * Classic Charikar scheme: each token is hashed; each bit position
+  * accumulates +1/−1 by the token's bit; the sign vector is the fingerprint.
+  * Near-duplicate docs land within a small Hamming distance — pair them with
+  * `bit_count(a ^ b)` (built-in, codegen'd) after banding on 16-bit chunks.
+  *
+  * Two token-hash families:
+  *
+  *  - default (`portable = false`): 64-bit xxhash64 (Spark's native hash —
+  *    consistent with the engine's other fingerprints), 64 fingerprint bits.
+  *  - `portable = true`: the 60-bit md5-prefix hash of
+  *    [[graft.functions.TextFunctions.portableHash60]] (value of the first
+  *    15 hex chars of md5(token)), 60 fingerprint bits. Any engine with md5
+  *    reproduces it, which upgrades the registry's simhash query from a
+  *    rows-only check to a full DuckDB oracle. Costs one MD5 per token
+  *    (~2-4× xxhash64) — the production family stays the default.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression, portable: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
 
@@ -29,17 +41,21 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
           s"simhash64 expects array<string>, got ${other.simpleString}")
     }
 
+  private val width = if (portable) 60 else 64
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](width)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val tok = arr.getUTF8String(i)
-        val h = XxHash64Function.hash(tok, StringType, 42L)
+        val h =
+          if (portable) SimHash64.md5Prefix60(tok.getBytes)
+          else XxHash64Function.hash(tok, StringType, 42L)
         var b = 0
-        while (b < 64) {
+        while (b < width) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
           b += 1
         }
@@ -48,7 +64,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < width) {
       if (acc(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -59,6 +75,26 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 object SimHash64 {
-  def apply(tokens: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Value of the first 15 hex chars of md5(bytes) — bytes 0..6 plus the
+    * high nibble of byte 7. Bit-identical to
+    * [[graft.functions.TextFunctions.portableHash60]] on UTF-8 input
+    * (PortableFamilySpec pins the equivalence). */
+  private[expressions] def md5Prefix60(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xfL)
+  }
+
+  def apply(tokens: Column): Column = apply(tokens, portable = false)
+
+  def apply(tokens: Column, portable: Boolean): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens), portable))
 }

@@ -163,4 +163,17 @@ object TextFunctions {
     * — cheaper join key than the md5 string at scale (8 bytes vs 32).
     */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** 60-bit PORTABLE content hash: the integer value of the first 15 hex
+    * chars of `md5(s)`. Reproducible by any engine with md5 + hex parsing —
+    * DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT` — which is what
+    * upgrades the sketch queries (MinHash, SimHash) from rows-only to
+    * full-oracle checks: the whole pipeline downstream of this hash is
+    * deterministic, so both engines can compute identical sketches. Built
+    * from codegen'd built-ins (md5/substring/conv); ~2-4× the cost of
+    * xxhash64, which stays the default family for production sketches.
+    * Always non-negative (fits 60 bits).
+    */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 }

@@ -9,9 +9,14 @@ import graft.functions.TextFunctions._
 /** Text-analysis / corpus-dedup operators over the `documents` table — the
   * training-data-pipeline extension family. SQL-expressible members carry a
   * DuckDB oracle that mirrors the Spark expression tree operation-for-
-  * operation (same fold order, same rounding) so results match exactly;
-  * sketch-based members (MinHash, SimHash) are rows-only checked (hash
-  * functions differ across engines by construction).
+  * operation (same fold order, same rounding) so results match exactly.
+  * That includes the sketch members: MinHash and SimHash run the registry
+  * queries under the PORTABLE hash family (md5-prefix hashes +
+  * SQL-expressible permutations — see TextFunctions.portableHash60), and
+  * winnowing's native polynomial hash is replayed with HUGEINT-emulated
+  * wrapping arithmetic, so the full sketch pipelines are oracle-checked
+  * byte-for-byte. Only genuinely approximate/engine-external results (HLL
+  * registers, random-hyperplane LSH, image codecs) stay rows-only.
   */
 object TextQueries {
 
@@ -109,6 +114,90 @@ object TextQueries {
     |      floor((CAST(inter AS DOUBLE) / (ca.n + cb.n - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
     |    FROM pairs0 JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
     |  WHERE jaccard >= 0.4)""".stripMargin
+
+  /** The portable-family MinHash-LSH pipeline as DuckDB CTEs ending in
+    * `mjp(a_id, b_id, inter, jaccard)` — the oracle counterpart of
+    * [[TextDedup.nearDuplicatePairs]] with `portable = true`: md5-prefix
+    * 60-bit shingle hashes, mod-(2^31−1) affine signature permutations,
+    * string band keys, the maxBucket=64 cap, and the exact-jaccard verify.
+    * Shared by t_minhash_pairs (emits the pairs) and t_minhash_dedup (uses
+    * them as the cluster edge list). Mirrors MinHashConfig(numPerm = 64,
+    * bands = 16, maxBucket = 64, jaccardThreshold = 0.4) exactly. */
+  private val MinhashCtes = s"""md AS (
+    |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+    |  FROM documents),
+    |msh AS (
+    |  SELECT doc_id,
+    |    list_transform(
+    |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+    |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])),
+    |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS xs
+    |  FROM md WHERE len(ws) >= 3),
+    |mshx AS (SELECT doc_id, xs FROM msh WHERE len(xs) > 0),
+    |msig AS (
+    |  SELECT doc_id, p,
+    |    min((((p + 1) * 2654435761) % 2147483647 * (x % 2147483647)
+    |         + ((p + 1) * 1779033703) % 2147483647) % 2147483647) AS v
+    |  FROM (SELECT doc_id, unnest(xs) AS x FROM mshx)
+    |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p)
+    |  GROUP BY doc_id, p),
+    |mbnd AS (
+    |  SELECT doc_id,
+    |    (p // 4)::VARCHAR || ':' || string_agg(v::VARCHAR, ',' ORDER BY p) AS key
+    |  FROM msig GROUP BY doc_id, p // 4),
+    |mok AS (SELECT key FROM mbnd GROUP BY key HAVING count(*) <= 64),
+    |mbok AS (SELECT mbnd.doc_id, mbnd.key FROM mbnd JOIN mok USING (key)),
+    |mcand AS (
+    |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+    |  FROM mbok x JOIN mbok y ON x.key = y.key AND x.doc_id < y.doc_id),
+    |mcnt AS (SELECT doc_id, len(xs) AS n FROM mshx),
+    |mux AS (SELECT doc_id, unnest(xs) AS x FROM mshx),
+    |miv AS (
+    |  SELECT c.a_id, c.b_id, count(DISTINCT xa.x) AS inter
+    |  FROM mcand c
+    |  JOIN mux xa ON xa.doc_id = c.a_id
+    |  JOIN mux xb ON xb.doc_id = c.b_id AND xb.x = xa.x
+    |  GROUP BY c.a_id, c.b_id),
+    |mjp AS (
+    |  SELECT a_id, b_id, inter,
+    |    floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1000000 + 0.5) / 1000000 AS jaccard
+    |  FROM miv JOIN mcnt ca ON a_id = ca.doc_id JOIN mcnt cb ON b_id = cb.doc_id
+    |  WHERE floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1000000 + 0.5) / 1000000 >= 0.4)""".stripMargin
+
+  /** The native winnowing fingerprint pipeline as DuckDB CTEs ending in
+    * `wf(doc_id, fp)` (distinct) — the oracle counterpart of
+    * [[graft.expressions.WinnowFingerprint]] with k = 8, window = 16:
+    * polynomial char-gram hash base 1000003 with wrapping mod-2^64
+    * arithmetic (emulated via HUGEINT, mapped back to signed BIGINT),
+    * rightmost-min window selection. Reproduces the NATIVE hash family —
+    * wrapping 64-bit arithmetic is exact ring arithmetic mod 2^64, so the
+    * rolling-update kernel and this direct per-gram fold agree bit-for-bit
+    * (the corpus is ASCII, so Java UTF-16 code units = codepoints =
+    * `unicode(ch)`). Shared by t_winnow and t_winnow_pairs. */
+  private val WinnowCtes = s"""wd AS (
+    |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+    |wg AS (
+    |  SELECT doc_id, unnest(generate_series(1, length(nt) - 7)) AS i, nt
+    |  FROM wd WHERE length(nt) >= 8),
+    |wgh AS (
+    |  SELECT doc_id, i - 1 AS p,
+    |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+    |              THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+    |  FROM (
+    |    SELECT doc_id, i,
+    |      list_reduce(
+    |        list_transform(string_split(substr(nt, i, 8), ''), ch -> unicode(ch)::HUGEINT),
+    |        (a, c) -> (a * 1000003 + c) % 18446744073709551616::HUGEINT) AS hu
+    |    FROM wg)),
+    |wgm AS (SELECT doc_id, p, h, count(*) OVER (PARTITION BY doc_id) AS m FROM wgh),
+    |wst AS (
+    |  SELECT doc_id, unnest(generate_series(0, greatest(m - 16, 0))) AS s
+    |  FROM (SELECT DISTINCT doc_id, m FROM wgm)),
+    |wsel AS (
+    |  SELECT wst.doc_id, wst.s, (array_agg(wgm.h ORDER BY wgm.h ASC, wgm.p DESC))[1] AS fp
+    |  FROM wst JOIN wgm ON wgm.doc_id = wst.doc_id AND wgm.p BETWEEN wst.s AND wst.s + 15
+    |  GROUP BY wst.doc_id, wst.s),
+    |wf AS (SELECT DISTINCT doc_id, fp FROM wsel)""".stripMargin
 
   /** Recursive-CTE cluster fixpoint over `jp` ending in
     * `clustered(doc_id, cluster_id)` — the oracle counterpart of
@@ -280,45 +369,84 @@ object TextQueries {
       (s, dir) => clusteredDocs(s, dir),
       Some(s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster_id FROM clustered")),
 
-    // MinHash-LSH near-dup pairs (sketch path; engine-specific hashes →
-    // rows-only check; exactness covered by t_jaccard_pairs + ScalaTest).
+    // MinHash-LSH near-dup pairs, FULL-ORACLE via the portable hash family
+    // (md5-prefix shingle hashes + mod-(2^31−1) affine permutations): the
+    // entire sketch pipeline — signature, banding, bucket cap, candidate
+    // join, exact-jaccard verify — is replayed by the DuckDB CTEs and must
+    // match byte-for-byte. The production xxhash64 family runs the same
+    // code path (portable is a hash-family parameter, not a fork) and is
+    // pinned by NoOracleEquivalenceSpec precision/recall assertions.
     Q("t_minhash_pairs",
       (s, dir) => TextDedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text",
-        TextDedup.MinHashConfig(jaccardThreshold = 0.4)),
-      None),
+        TextDedup.MinHashConfig(jaccardThreshold = 0.4, portable = true)),
+      Some(s"WITH $MinhashCtes\nSELECT a_id, b_id, inter, jaccard FROM mjp")),
 
     // MinHash near-dup SURVIVOR SET — the operator a curation pipeline
     // actually runs: ONE survivor (the min id) per connected component of
     // the near-dup graph (ConnectedComponents over the LSH-verified pairs).
-    // Rows-only: pair-level exactness is covered by t_jaccard_pairs' oracle,
-    // the component fixpoint by t_dup_clusters' recursive-CTE oracle, and
-    // the survivor rule is proven against brute-force jaccard + union-find
-    // in NoOracleEquivalenceSpec.
+    // Full-oracle via the portable family: the oracle recomputes the pairs
+    // (CTEs above) and the component fixpoint (recursive reachability, the
+    // t_dup_clusters pattern), then keeps docs that label themselves.
     Q("t_minhash_dedup",
       (s, dir) => TextDedup.minHashDedup(docs(s, dir), "doc_id", "text",
-          TextDedup.MinHashConfig(jaccardThreshold = 0.4))
+          TextDedup.MinHashConfig(jaccardThreshold = 0.4, portable = true))
         .select(col("doc_id"), col("source"), col("lang")),
-      None),
+      Some(s"""WITH RECURSIVE $MinhashCtes,
+              |medges AS (
+              |  SELECT a_id AS u, b_id AS v FROM mjp
+              |  UNION SELECT b_id, a_id FROM mjp),
+              |mreach(u, v) AS (
+              |  SELECT u, v FROM medges
+              |  UNION
+              |  SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u),
+              |mclustered AS (
+              |  SELECT d.doc_id,
+              |    least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+              |  FROM documents d LEFT JOIN mreach r ON d.doc_id = r.u
+              |  GROUP BY d.doc_id)
+              |SELECT d.doc_id, d.source, d.lang
+              |FROM documents d JOIN mclustered c ON d.doc_id = c.doc_id
+              |WHERE c.cluster_id = c.doc_id""".stripMargin)),
 
-    // Winnowed rolling-hash fingerprints (rows-only: the hash scheme is
-    // engine-internal; overlap semantics covered in TextDedupSpec).
+    // Winnowed rolling-hash fingerprints, FULL-ORACLE against the NATIVE
+    // hash family: the polynomial mod-2^64 char-gram hash and the
+    // rightmost-min window selection are deterministic, so DuckDB replays
+    // them exactly (HUGEINT-emulated wrapping arithmetic). Exploded to one
+    // row per (doc, fingerprint) so the check covers the VALUES, not just
+    // set sizes.
     Q("t_winnow",
       (s, dir) => TextDedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
-        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps")),
-      None),
+        .select(col("doc_id"), explode(col("fps")).as("fp")),
+      Some(s"WITH $WinnowCtes\nSELECT doc_id, fp FROM wf")),
 
-    // Winnow shared-passage candidate pairs (rows-only: the rolling-hash
-    // scheme is engine-internal; the join-aggregate path is proven equal to
-    // brute-force fingerprint intersection in NoOracleEquivalenceSpec).
+    // Winnow shared-passage candidate pairs — full-oracle: fingerprint sets
+    // from the CTEs above, pair-counted through the same join-aggregate.
     Q("t_winnow_pairs",
       (s, dir) => TextDedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
         minShared = 3),
-      None),
+      Some(s"""WITH $WinnowCtes
+              |SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS shared
+              |FROM wf x JOIN wf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
 
-    // SimHash fingerprints (rows-only: xxhash64 is Spark-native).
+    // SimHash fingerprints, FULL-ORACLE via the portable 60-bit md5-prefix
+    // token-hash family (the Charikar fold downstream of the token hash is
+    // deterministic, so DuckDB recomputes the exact fingerprints). The
+    // 64-bit xxhash64 family remains the production default, pinned by the
+    // independent sign-vector fold in NoOracleEquivalenceSpec.
     Q("t_simhash",
-      (s, dir) => TextDedup.simHashes(docs(s, dir), "doc_id", "text"),
-      None,
+      (s, dir) => TextDedup.simHashes(docs(s, dir), "doc_id", "text", portable = true),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+             |  FROM documents),
+             |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+             |bits AS (
+             |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+             |  GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id""".stripMargin),
       headline = true),
 
     // BPE-ish subword token estimate. The pattern is an explicit-ASCII

@@ -5,15 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{GraftTestSpark, Tables}
 import graft.dedup.TextDedup
 
-/** Strongest-available evidence for every registered query the driver can
-  * only rows-check (no DuckDB oracle: engine-specific hashes/sketches or
-  * regex dialects). One named test per rows-only query, each proving the
-  * REGISTERED query (via Registry.byName, exactly what Verify runs)
-  * equivalent to an oracle-checked or independently-reimplemented exact
-  * counterpart — the pattern VERDICT r1 asked to extend from the LSH recall
-  * specs. Sibling fixture-level coverage: TextDedupSpec (minhash/simhash
-  * planted dups), WinnowSpec (shared-passage semantics), SimilaritySpec /
-  * IvfSpec (ANN recall), MultimodalSpec (stub-kernel determinism).
+/** Strongest-available evidence for the queries the driver can only
+  * rows-check (no DuckDB oracle: genuinely approximate sketches, random
+  * hyperplanes, image codecs) PLUS the production-hash-family pins for the
+  * sketch queries whose REGISTRY entries now run the portable family under
+  * a full DuckDB oracle (t_minhash_pairs/t_minhash_dedup/t_simhash — the
+  * xxhash64 family stays the production default and is proven here; the
+  * two families share one kernel, differing only in hash constants). Each
+  * test proves its subject equivalent to an oracle-checked or
+  * independently-reimplemented exact counterpart — the pattern VERDICT r1
+  * asked to extend from the LSH recall specs. Sibling fixture-level
+  * coverage: TextDedupSpec (minhash/simhash planted dups), WinnowSpec
+  * (shared-passage semantics), SimilaritySpec / IvfSpec (ANN recall),
+  * MultimodalSpec (stub-kernel determinism), PortableFamilySpec
+  * (cross-engine hash constants).
   */
 class NoOracleEquivalenceSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
@@ -108,7 +113,11 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
   // ---- t_simhash: independent Charikar fold reimplementation --------------
 
   test("t_simhash: matches an independent sign-vector fold over xxhash64 token hashes") {
-    val got = run("t_simhash").filter(col("doc_id") < 20)
+    // the PRODUCTION (xxhash64, 64-bit) family — the registry query runs the
+    // same kernel under the portable md5-prefix family, where it has a full
+    // DuckDB oracle (and PortableFamilySpec pins the two families' plumbing)
+    val got = TextDedup.simHashes(docs, "doc_id", "text")
+      .filter(col("doc_id") < 20)
       .as[(Long, Long)].collect().toMap
     // whitespace-only docs tokenize to [""] in Spark's split; keep the
     // independent fold to unambiguous inputs
@@ -138,16 +147,19 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
   // ---- t_winnow: registered output vs fingerprint-set invariants ----------
 
   test("t_winnow: deterministic, complete, and sized like a winnow must be") {
-    val a = run("t_winnow").as[(Long, Long)].collect().sortBy(_._1)
-    val b = run("t_winnow").as[(Long, Long)].collect().sortBy(_._1)
+    // registered output is now exploded (doc_id, fp) with a full DuckDB
+    // oracle; the invariants here run over the per-doc set sizes
+    val a = run("t_winnow").as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val b = run("t_winnow").as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(a.toSeq === b.toSeq, "winnow fingerprints must be deterministic")
-    assert(a.length === docs.count())
+    val counts = a.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val lens = docs.select(col("doc_id"), length(col("text")).cast("long")).as[(Long, Long)]
       .collect().toMap
-    a.foreach { case (id, nFps) =>
-      assert(nFps >= 0 && nFps <= lens(id),
-        s"doc $id: $nFps fingerprints vs ${lens(id)} chars")
-      if (lens(id) > 200) assert(nFps > 0, s"long doc $id must have fingerprints")
+    lens.foreach { case (id, len) =>
+      val nFps = counts.getOrElse(id, 0L)
+      assert(nFps >= 0 && nFps <= len,
+        s"doc $id: $nFps fingerprints vs $len chars")
+      if (len > 200) assert(nFps > 0, s"long doc $id must have fingerprints")
     }
   }
 
