@@ -153,6 +153,32 @@ object Bench {
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
     } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // Persisted text-dedup (MinHash-LSH) lifecycle: index the documents
+    // corpus once, then the incremental dedupe-new-against-corpus search —
+    // the daily-crawl operation a standing corpus runs (nothing is
+    // re-shingled on the corpus side).
+    val (lshBuildSec, lshSearchSec) = try {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+      try {
+        val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        val tb = System.nanoTime()
+        graft.dedup.TextDedupIndex.build(docs, "doc_id", "text", dir)
+        val build = (System.nanoTime() - tb) / 1e9
+        val fresh = docs.limit(500)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(col("text"), lit(" extra token")))
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.dedup.TextDedupIndex.searchNew(fresh, dir, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm
+        (build, once())
+      } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     val results: Seq[(String, QStats)] = Registry.headline.map { q =>
       val st = try {
         runOnce(q.name) // warmup: file listing, codegen, JIT — outside timing
@@ -194,6 +220,8 @@ object Bench {
       s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
       s""""ivf_build_sec":${f"$ivfBuildSec%.3f"},""" +
       s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""" +
+      s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""" +
+      s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""" +
       s""""skew_ingest_rows_per_sec":${skew.ingestRowsPerSec.round},""" +
       s""""skew_dedupe_sec":${skew.dedupeSec},""" +
       s""""skew_dupes_removed":${skew.dedupeDuplicates},""" +

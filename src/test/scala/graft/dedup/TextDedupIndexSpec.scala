@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftTestSpark, Tables}
+
+/** Persisted MinHash-LSH index lifecycle: build → searchNew → appendDocs.
+  * The search path must agree with the transient
+  * [[TextDedup.nearDuplicatePairs]] cross-pairs (same family, same caps) —
+  * the index is a LAYOUT of the same math, never a different answer.
+  */
+class TextDedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val cfg = TextDedup.MinHashConfig(jaccardThreshold = 0.4)
+  private lazy val corpus = Tables.load(spark, GraftTestSpark.sfDir, "documents")
+    .select(col("doc_id"), col("text")).cache()
+
+  // deterministic selection: the same 5 lowest-id docs on every call
+  private def planted(offset: Long) = corpus.orderBy(col("doc_id")).limit(5)
+    .withColumn("doc_id", col("doc_id") + offset)
+    .withColumn("text", concat(col("text"), lit(" extra token")))
+
+  test("build + searchNew finds planted near-dups against the standing corpus") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val pairs = TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, _, _, j) => assert(j >= cfg.jaccardThreshold) }
+    // every planted doc must find its source (a " extra token" suffix keeps
+    // jaccard far above threshold)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 5).foreach { i =>
+      val srcId = corpus.orderBy(col("doc_id")).limit(5).collect()(i).getLong(0)
+      assert(found.contains((srcId + 1000000L, srcId)),
+        s"planted copy of doc $srcId not matched to its source")
+    }
+  }
+
+  test("index search equals the transient cross-pair set") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val newDocs = planted(1000000L)
+    val viaIndex = TextDedupIndex.searchNew(newDocs, dir, "doc_id", "text", cfg)
+      .select(col("corpus_id"), col("new_id")).as[(Long, Long)].collect().toSet
+    // transient path over the union, restricted to corpus×new pairs
+    // (a_id < b_id and new ids are offset high, so cross pairs are (corpus, new))
+    val transient = TextDedup.nearDuplicatePairs(
+        corpus.unionByName(newDocs), "doc_id", "text", cfg)
+      .filter(col("a_id") < 1000000L && col("b_id") >= 1000000L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(transient.nonEmpty)
+    assert(viaIndex === transient,
+      "persisted-index search must reproduce the transient pipeline's cross pairs")
+  }
+
+  test("appendDocs extends the index: a later batch matches appended docs") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    TextDedupIndex.appendDocs(planted(1000000L), dir, "doc_id", "text", cfg)
+    // third batch: near-dups OF THE APPENDED DOCS (same text mutation, so
+    // they also match the original corpus — assert the appended ids appear)
+    val pairs = TextDedupIndex.searchNew(planted(2000000L), dir, "doc_id", "text", cfg)
+      .select(col("new_id"), col("corpus_id")).as[(Long, Long)].collect()
+    val matchedAppended = pairs.collect {
+      case (n, c) if c >= 1000000L && c < 2000000L => (n, c)
+    }
+    assert(matchedAppended.nonEmpty,
+      "appended docs must be searchable as part of the standing corpus")
+    // identical text (planted(1M) vs planted(2M) differ only in id) pairs at
+    // jaccard 1.0 — every third-batch doc must hit its appended twin
+    assert(matchedAppended.map(_._1).distinct.length === 5)
+  }
+
+  test("a mismatched hash family fails loudly instead of joining foreign keys") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val e = intercept[IllegalArgumentException] {
+      TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text",
+        cfg.copy(portable = true))
+    }
+    assert(e.getMessage.contains("different MinHash family"))
+  }
+}
