@@ -9,22 +9,27 @@ import org.apache.spark.sql.functions._
   * itself for every new crawl; it keeps the banded signature table on disk
   * and dedupes ARRIVING documents against it:
   *
-  *   - [[build]]: shingle + sign the corpus once; persist three tables under
-  *     `dir` —
-  *       `bands/` (band_key, doc_id) — the LSH bucket table, repartitioned
+  *   - [[build]]: shingle + sign the corpus ONCE (one text scan: the
+  *     signature frame is written first and the band table derives from the
+  *     written columns, never from a second derivation of the text), then
+  *     persist three tables under `dir` —
+  *       `sets/`   (doc_id, sh, sig) — shingle-hash sets for exact-jaccard
+  *         verification plus the signature (id-keyed; searches prune to
+  *         doc_id+sh, so the sig column costs nothing at probe time);
+  *       `bands/`  (band_key, doc_id) — the LSH bucket table, repartitioned
   *         and sorted by band_key so parquet row-group min/max stats skip
   *         non-probed buckets;
-  *       `sets/`  (doc_id, sh)       — shingle-hash sets for exact-jaccard
-  *         verification (id-keyed, only joined rows are read);
-  *       `hot/`   (band_key)         — buckets over `maxBucket`, the
-  *         precomputed skew guard (tiny; broadcast at search time).
+  *       `counts/` (band_key, n)      — the per-bucket census. Search joins
+  *         it with the arriving batch's own band counts so the `maxBucket`
+  *         skew cap applies to the COMBINED bucket size, exactly like the
+  *         transient pipeline's census over the union corpus.
   *   - [[searchNew]]: candidate-join NEW docs' bands against the stored
   *     bucket table (id-only shuffle), verify with exact jaccard over the
   *     stored sets — emits (new_id, corpus_id, inter, jaccard) pairs. The
   *     standing corpus is touched only through the index tables; nothing is
   *     re-shingled.
   *   - [[appendDocs]]: after the keep/drop decision, append the survivors'
-  *     bands + sets and refresh `hot/` with one aggregation over the
+  *     sets + bands and refresh `counts/` with one aggregation over the
   *     id-only bucket table — the incremental maintenance step (no global
   *     rebuild; same model as IVF's assign-with-stored-centroids).
   *
@@ -38,28 +43,30 @@ object TextDedupIndex {
 
   import TextDedup.MinHashConfig
 
-  /** Shingle + sign + band `docs` under `cfg` — the shared derivation for
-    * build, search, and append (they must agree byte-for-byte for bucket
-    * keys to match). */
-  private def derive(docs: DataFrame, idCol: String, textCol: String,
-      cfg: MinHashConfig): (DataFrame, DataFrame) = {
-    val sigs = TextDedup.signatures(docs, idCol, textCol, cfg)
-      .filter(size(col("sh")) > 0)
-    (TextDedup.bandRows(sigs, cfg), sigs.select(col("doc_id"), col("sh")))
+  private def writeBands(sigs: DataFrame, dir: String, cfg: MinHashConfig,
+      mode: String): Unit = {
+    val spark = sigs.sparkSession
+    TextDedup.bandRows(sigs, cfg)
+      .repartition(spark.sparkContext.defaultParallelism, col("band_key"))
+      .sortWithinPartitions(col("band_key"))
+      .write.mode(mode).parquet(s"$dir/bands")
   }
 
-  /** Index `corpus` under `dir` (overwrites any previous index). */
+  /** Index `corpus` under `dir` (overwrites any previous index). Text is
+    * shingled exactly once: the signature frame is written first and the
+    * band table derives from the WRITTEN columns (columnar id+sig
+    * read-back), never from a second derivation of the text — corpus-scale
+    * inputs must not rely on cache residency. */
   def build(corpus: DataFrame, idCol: String, textCol: String, dir: String,
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (bands, sets) = derive(corpus, idCol, textCol, cfg)
-    bands
-      .repartition(spark.sparkContext.defaultParallelism, col("band_key"))
-      .sortWithinPartitions(col("band_key"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    sets.write.mode("overwrite").parquet(s"$dir/sets")
-    refreshHot(spark, dir, cfg)
+    TextDedup.signatures(corpus, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0)
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    writeBands(spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sig")),
+      dir, cfg, "overwrite")
+    refreshCounts(spark, dir)
     // stamp the hash family so a mismatched search fails loudly instead of
     // silently joining foreign bucket keys
     Seq((cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed, cfg.maxBucket, cfg.portable))
@@ -67,15 +74,13 @@ object TextDedupIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Recompute the over-cap bucket census from the id-only bands table.
-    * Tiny by construction (only boilerplate buckets exceed the cap) and
-    * type-preserving (band keys are long for the xxhash64 family, string
-    * for the portable one). */
-  private def refreshHot(spark: SparkSession, dir: String, cfg: MinHashConfig): Unit =
+  /** Recompute the per-bucket census from the id-only bands table.
+    * Band keys are long for the xxhash64 family, string for the portable
+    * one — the census preserves whichever type the index uses. */
+  private def refreshCounts(spark: SparkSession, dir: String): Unit =
     spark.read.parquet(s"$dir/bands")
       .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > cfg.maxBucket).select(col("band_key"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/hot")
+      .write.mode("overwrite").parquet(s"$dir/counts")
 
   private def requireMatching(spark: SparkSession, dir: String,
       cfg: MinHashConfig): Unit = {
@@ -92,14 +97,31 @@ object TextDedupIndex {
   /** Near-duplicate pairs of NEW docs against the INDEXED corpus:
     * (new_id, corpus_id, inter, jaccard), jaccard ≥ cfg.jaccardThreshold.
     * A new doc may also pair with an id present in both frames — callers
-    * dedupe on id space. Hot (over-cap) buckets are excluded on BOTH sides,
-    * exactly like [[TextDedup.candidatePairs]]'s census cap. */
+    * dedupe on id space.
+    *
+    * The `maxBucket` cap applies to the COMBINED bucket population (stored
+    * census + the arriving batch's own band counts), so a skewed batch —
+    * 500 boilerplate docs landing in one bucket — degrades to dropped
+    * buckets exactly like [[TextDedup.candidatePairs]]'s census over the
+    * union corpus, never to a join blowup; search ≡ transient cross-pairs
+    * holds under skew too (TextDedupIndexSpec). The over-cap key set is
+    * output-sized (only buckets the batch touches), hence broadcastable. */
   def searchNew(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val spark = newDocs.sparkSession
     requireMatching(spark, dir, cfg)
-    val (newBands, newSets) = derive(newDocs, idCol, textCol, cfg)
-    val hot = spark.read.parquet(s"$dir/hot")
+    // one derivation of the arriving batch, cached: bands and sets must be
+    // consistent views even over a non-deterministic input (e.g. a limit())
+    val newSigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val newBands = TextDedup.bandRows(newSigs.select(col("doc_id"), col("sig")), cfg)
+    val newSets = newSigs.select(col("doc_id"), col("sh"))
+    val corpusCounts = spark.read.parquet(s"$dir/counts")
+    val hot = newBands.groupBy(col("band_key")).agg(count(lit(1)).as("n_new"))
+      .join(corpusCounts, Seq("band_key"), "left")
+      .filter(col("n_new") + coalesce(col("n"), lit(0L)) > cfg.maxBucket)
+      .select(col("band_key"))
     val corpusBands = spark.read.parquet(s"$dir/bands")
       .join(broadcast(hot), Seq("band_key"), "left_anti")
     val cand = newBands.join(broadcast(hot), Seq("band_key"), "left_anti")
@@ -108,7 +130,7 @@ object TextDedupIndex {
       .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
-    val corpusSets = spark.read.parquet(s"$dir/sets")
+    val corpusSets = spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sh"))
     cand
       .join(newSets.withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("sh", "sh_new"), "new_id")
@@ -123,18 +145,21 @@ object TextDedupIndex {
       .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
   }
 
-  /** Append (already-deduped) docs to the index and refresh the hot-bucket
-    * census. */
+  /** Append (already-deduped) docs to the index and refresh the bucket
+    * census. The batch's signature frame is cached (batch-sized, unlike the
+    * corpus) so sets and bands are consistent views of ONE derivation even
+    * over a non-deterministic input. */
   def appendDocs(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = newDocs.sparkSession
     requireMatching(spark, dir, cfg)
-    val (bands, sets) = derive(newDocs, idCol, textCol, cfg)
-    bands
-      .repartition(spark.sparkContext.defaultParallelism, col("band_key"))
-      .sortWithinPartitions(col("band_key"))
-      .write.mode("append").parquet(s"$dir/bands")
-    sets.write.mode("append").parquet(s"$dir/sets")
-    refreshHot(spark, dir, cfg)
+    val sigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0)
+      .cache()
+    try {
+      sigs.write.mode("append").parquet(s"$dir/sets")
+      writeBands(sigs.select(col("doc_id"), col("sig")), dir, cfg, "append")
+      refreshCounts(spark, dir)
+    } finally sigs.unpersist()
   }
 }

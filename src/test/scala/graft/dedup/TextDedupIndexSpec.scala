@@ -74,6 +74,34 @@ class TextDedupIndexSpec extends AnyFunSuite {
     assert(matchedAppended.map(_._1).distinct.length === 5)
   }
 
+  test("a skewed arriving batch is census-capped like the transient union pipeline") {
+    // 70 near-identical copies of one corpus doc: every band bucket they
+    // form holds ~70 rows > maxBucket=64, so BOTH paths must drop those
+    // buckets (no join blowup, no pairs); 3 well-behaved planted docs in
+    // the same batch must still match. The combined census (stored counts +
+    // the batch's own band counts) is what makes the index path agree.
+    val (id0, text0) = corpus.orderBy(col("doc_id")).limit(1)
+      .as[(Long, String)].collect().head
+    val flood = (0 until 70)
+      .map(i => (id0 + 3000000L + i * 10, text0 + " extra token"))
+      .toDF("doc_id", "text")
+    val newDocs = flood.unionByName(planted(4000000L).limit(3))
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val viaIndex = TextDedupIndex.searchNew(newDocs, dir, "doc_id", "text", cfg)
+      .select(col("corpus_id"), col("new_id")).as[(Long, Long)].collect().toSet
+    val transient = TextDedup.nearDuplicatePairs(
+        corpus.unionByName(newDocs), "doc_id", "text", cfg)
+      .filter(col("a_id") < 3000000L && col("b_id") >= 3000000L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(viaIndex === transient,
+      "combined-census cap must reproduce the transient union census under batch skew")
+    assert(viaIndex.exists(_._2 >= 4000000L),
+      "well-behaved docs in a skewed batch must still match")
+    assert(!viaIndex.exists(p => p._2 >= 3000000L && p._2 < 4000000L),
+      "the flooded bucket must be dropped, not joined")
+  }
+
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)

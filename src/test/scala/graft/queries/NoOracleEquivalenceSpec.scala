@@ -87,7 +87,12 @@ class NoOracleEquivalenceSpec extends AnyFunSuite {
   // ---- t_minhash_dedup: survivor set vs brute-force jaccard rule ----------
 
   test("t_minhash_dedup: survivors = min-id per component of brute-force near-dup graph") {
-    val survivors = run("t_minhash_dedup").select("doc_id").as[Long].collect().toSet
+    // the PRODUCTION (xxhash64) family, called directly — the registry
+    // entry runs the same kernel under the portable family, where the
+    // survivor set has a full recursive-CTE DuckDB oracle
+    val survivors = TextDedup.minHashDedup(docs, "doc_id", "text",
+        TextDedup.MinHashConfig(jaccardThreshold = 0.4))
+      .select("doc_id").as[Long].collect().toSet
     // independent survivor rule: brute-force jaccard pairs over the same
     // normalized shingle-hash sets -> in-JVM union-find -> min per component
     val sets = docs.select(col("doc_id"),
