@@ -102,6 +102,21 @@ class TextDedupIndexSpec extends AnyFunSuite {
       "the flooded bucket must be dropped, not joined")
   }
 
+  test("searchNew plan: no cartesian product, sets read prunes the sig column") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val plan = TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no quadratic stage in the search plan")
+    // the sets table stores (doc_id, sh, sig); the probe needs doc_id+sh
+    // only — parquet column pruning must drop the 64-long sig payload
+    val setsScans = plan.linesIterator.filter(l =>
+      l.contains("/sets") && l.contains("ReadSchema")).toSeq
+    assert(setsScans.nonEmpty, "expected a FileScan over the sets table")
+    setsScans.foreach(l => assert(!l.contains("sig"),
+      s"sets scan must not read the signature column: $l"))
+  }
+
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
