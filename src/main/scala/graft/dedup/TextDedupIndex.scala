@@ -162,4 +162,85 @@ object TextDedupIndex {
       refreshCounts(spark, dir)
     } finally sigs.unpersist()
   }
+
+  // ---- continuous curation -------------------------------------------------
+  //
+  // The deployed shape of the index: documents arrive as a stream, each
+  // micro-batch is collapsed to its intra-batch near-dup survivors
+  // (cluster-keep-min, the t_minhash_dedup rule), deduped against the
+  // STANDING corpus through the index, and the remainder is emitted to the
+  // curated output and appended to the index — so later batches dedupe
+  // against everything kept so far. Index maintenance assumes a single
+  // curator process (one stream owns build/append/counts, like one dedupe
+  // job owns the fact table's repair); concurrent READERS are safe on any
+  // completed state, and a multi-curator deployment would serialize on a
+  // lease exactly like TransactionsTable's writers.
+
+  /** Compute a batch's curation survivors and MATERIALIZE them to a staging
+    * dir before anything mutates the index. The survivors plan reads the
+    * index tables (through [[searchNew]]) and the append that follows
+    * writes them — an unmaterialized frame re-evaluated after the append
+    * would match every survivor against itself and drop it. Correctness
+    * must not depend on cache residency, so this is a staged write, not a
+    * cache(). Returns the read-back frame and the staging path (caller
+    * deletes it once the rows are persisted elsewhere; orphans from
+    * crashed attempts are inert and may be garbage-collected). */
+  private def stageSurvivors(batch: DataFrame, dir: String, idCol: String,
+      textCol: String, cfg: MinHashConfig): (DataFrame, String) = {
+    val spark = batch.sparkSession
+    requireMatching(spark, dir, cfg)
+    val intra = TextDedup.minHashDedup(batch, idCol, textCol, cfg)
+    val matched = searchNew(intra, dir, idCol, textCol, cfg)
+      .select(col("new_id").as(idCol)).distinct()
+    val survivors = intra.join(matched, Seq(idCol), "left_anti")
+    val stage = s"$dir/staging/${java.util.UUID.randomUUID()}"
+    survivors.write.mode("overwrite").parquet(stage)
+    (spark.read.parquet(stage), stage)
+  }
+
+  /** One curation step in batch form: intra-batch near-dup collapse
+    * (cluster keep-min), drop docs matching the standing index, append the
+    * survivors, return them (reader-stable: backed by the staging dir, not
+    * by the mutated index). */
+  def curateBatch(batch: DataFrame, dir: String, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val (staged, _) = stageSurvivors(batch, dir, idCol, textCol, cfg)
+    appendDocs(staged, dir, idCol, textCol, cfg)
+    staged
+  }
+
+  /** Continuous curation: run [[curateBatch]] per micro-batch of `input`
+    * (any streaming DataFrame with `idCol`/`textCol`), emitting survivors
+    * to `outDir`. Same delivery model as the ingest pipeline: at-least-once
+    * with a batch-id ledger. The body orders out-write BEFORE index-append,
+    * so every crash window replays safely — before the out-write the replay
+    * redoes the whole batch; between out-write and append the replay
+    * re-emits the same rows (exact duplicates by id, the documented
+    * at-least-once residue); after the append the replayed survivors all
+    * match their indexed selves and the batch becomes a no-op. */
+  def curateStream(input: DataFrame, dir: String, outDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val ledger = new org.apache.hadoop.fs.Path(s"$checkpointDir/graft-curate-ledger")
+        val fs = ledger.getFileSystem(spark.sessionState.newHadoopConf())
+        val mark = new org.apache.hadoop.fs.Path(ledger, f"batch-$id%020d")
+        if (!fs.exists(mark)) {
+          val (staged, stage) = stageSurvivors(batch, dir, idCol, textCol, cfg)
+          staged.write.mode("append").parquet(outDir)
+          appendDocs(staged, dir, idCol, textCol, cfg)
+          fs.mkdirs(ledger)
+          fs.create(mark, true).close()
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        }
+        ()
+      }
+      .start()
 }

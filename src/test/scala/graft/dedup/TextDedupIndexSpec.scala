@@ -117,6 +117,70 @@ class TextDedupIndexSpec extends AnyFunSuite {
       s"sets scan must not read the signature column: $l"))
   }
 
+  // deterministic novel docs, mutually dissimilar and dissimilar to the
+  // corpus (distinct synthetic token streams)
+  private def novel(id: Long, salt: String): (Long, String) =
+    id -> (0 until 60).map(j => s"$salt$j").mkString(" ")
+
+  test("curateBatch: intra-batch collapse, index dedup, survivors appended") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val (d0, t0) = corpus.orderBy(col("doc_id")).limit(1)
+      .as[(Long, String)].collect().head
+    val a = novel(5000001L, "aa")
+    val aPrime = (5000002L, a._2 + " extra token") // near-dup of a, higher id
+    val b = novel(5000003L, "bb")
+    val batch = Seq((5000000L, t0 + " extra token"), a, aPrime, b)
+      .toDF("doc_id", "text")
+    val kept = TextDedupIndex.curateBatch(batch, dir, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(a._1, b._1),
+      "corpus-dup dropped, intra-batch pair collapsed to min id, novel kept")
+    // a second batch near-duplicating a survivor must now be dropped too
+    val batch2 = Seq((6000001L, a._2 + " another token"), novel(6000002L, "cc"))
+      .toDF("doc_id", "text")
+    val kept2 = TextDedupIndex.curateBatch(batch2, dir, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(6000002L),
+      "survivors of earlier batches are part of the standing corpus")
+  }
+
+  test("curateStream: curated output across batches with checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    val feed = GraftTestSpark.tmpDir("curate-feed")
+    val out = GraftTestSpark.tmpDir("curate-out")
+    val ckpt = GraftTestSpark.tmpDir("curate-ckpt")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val (_, t0) = corpus.orderBy(col("doc_id")).limit(1)
+      .as[(Long, String)].collect().head
+    val a = novel(5000001L, "aa")
+
+    def runOnce(): Unit = {
+      val input = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$feed/*")
+      val q = TextDedupIndex.curateStream(input, dir, out, ckpt,
+        "doc_id", "text", cfg, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    Seq((5000000L, t0 + " extra token"), a, (5000002L, a._2 + " extra token"))
+      .toDF("doc_id", "text").write.parquet(s"$feed/b1")
+    runOnce()
+    // batch 2: near-dup of a survivor + a novel doc
+    Seq((6000001L, a._2 + " another token"), novel(6000002L, "cc"))
+      .toDF("doc_id", "text").write.parquet(s"$feed/b2")
+    runOnce()
+
+    val curated = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(curated === Set(5000001L, 6000002L),
+      "curated output keeps one representative per cluster across batches")
+    // restart with the same checkpoint and no new data: a replay must be a no-op
+    runOnce()
+    val again = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(again === curated, "ledger makes replays no-ops")
+  }
+
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
