@@ -133,10 +133,20 @@ object TextDedup {
     * reported as near-duplicates. They are excluded before banding (they
     * carry no shingle evidence either way). */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, cfg)
-      .filter(size(col("sh")) > 0)
-      .cache()
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    nearDuplicatePairsWith(docs, idCol, textCol, cfg, _.cache())
+
+  /** [[nearDuplicatePairs]] with the signature-materialization strategy
+    * injected. One-shot callers keep the default `cache()`; per-micro-batch
+    * callers (the curation stream) pass `localCheckpoint()` — a cache entry
+    * per batch accumulates in the CacheManager forever (entries are held
+    * until an explicit unpersist), while locally-checkpointed blocks are
+    * freed by the ContextCleaner once the frame is unreferenced. */
+  private[dedup] def nearDuplicatePairsWith(docs: DataFrame, idCol: String,
+      textCol: String, cfg: MinHashConfig,
+      mat: DataFrame => DataFrame): DataFrame = {
+    val sigs = mat(signatures(docs, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0))
     val sets = sigs.select(col("doc_id"), col("sh"))
     candidatePairs(sigs, cfg)
       .join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
@@ -158,8 +168,15 @@ object TextDedup {
     * C) or under-deletes (keeps a non-representative middle node that never
     * appears on the drop side of a pair). */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val pairs = nearDuplicatePairs(docs, idCol, textCol, cfg)
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    minHashDedupWith(docs, idCol, textCol, cfg, _.cache())
+
+  /** [[minHashDedup]] with the materialization strategy injected — see
+    * [[nearDuplicatePairsWith]]. */
+  private[dedup] def minHashDedupWith(docs: DataFrame, idCol: String,
+      textCol: String, cfg: MinHashConfig,
+      mat: DataFrame => DataFrame): DataFrame = {
+    val pairs = nearDuplicatePairsWith(docs, idCol, textCol, cfg, mat)
       .select(col("a_id"), col("b_id"))
     val losers = ConnectedComponents.components(pairs, "a_id", "b_id")
       .filter(col("id") =!= col("component"))

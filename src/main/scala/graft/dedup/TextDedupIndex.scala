@@ -1,7 +1,9 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.fingerprint
 
 /** Persisted MinHash-LSH dedup index — the operator LIFECYCLE for
   * incremental corpus curation, mirroring [[graft.similarity.IvfIndex]]'s
@@ -12,36 +14,52 @@ import org.apache.spark.sql.functions._
   *   - [[build]]: shingle + sign the corpus ONCE (one text scan: the
   *     signature frame is written first and the band table derives from the
   *     written columns, never from a second derivation of the text), then
-  *     persist three tables under `dir` —
-  *       `sets/`   (doc_id, sh, sig) — shingle-hash sets for exact-jaccard
+  *     persist the index under `dir` —
+  *       `sets/`    (doc_id, sh, sig) — shingle-hash sets for exact-jaccard
   *         verification plus the signature (id-keyed; searches prune to
   *         doc_id+sh, so the sig column costs nothing at probe time);
-  *       `bands/`  (band_key, doc_id) — the LSH bucket table, repartitioned
+  *       `bands/`   (band_key, doc_id) — the LSH bucket table, repartitioned
   *         and sorted by band_key so parquet row-group min/max stats skip
   *         non-probed buckets;
-  *       `counts/` (band_key, n)      — the per-bucket census. Search joins
+  *       `counts/`  (band_key, n)      — the per-bucket census. Search joins
   *         it with the arriving batch's own band counts so the `maxBucket`
   *         skew cap applies to the COMBINED bucket size, exactly like the
-  *         transient pipeline's census over the union corpus.
+  *         transient pipeline's census over the union corpus;
+  *       `shortfp/` (fp)               — exact md5 fingerprints of indexed
+  *         docs with NO shingle evidence (shorter than `shingleK` tokens).
+  *         Shingle-less docs cannot participate in MinHash matching, so the
+  *         curation path dedupes them EXACTLY by normalized fingerprint —
+  *         without this they would be re-emitted on every arrival.
   *   - [[searchNew]]: candidate-join NEW docs' bands against the stored
   *     bucket table (id-only shuffle), verify with exact jaccard over the
   *     stored sets — emits (new_id, corpus_id, inter, jaccard) pairs. The
   *     standing corpus is touched only through the index tables; nothing is
-  *     re-shingled.
+  *     re-shingled. An id present on BOTH sides reports itself as a match
+  *     (identical content → jaccard 1.0): that is what makes a replayed or
+  *     re-crawled batch drop out instead of duplicating.
   *   - [[appendDocs]]: after the keep/drop decision, append the survivors'
-  *     sets + bands and refresh `counts/` with one aggregation over the
-  *     id-only bucket table — the incremental maintenance step (no global
-  *     rebuild; same model as IVF's assign-with-stored-centroids).
+  *     sets + bands (+ short fingerprints) and refresh `counts/` with one
+  *     aggregation over the id-only bucket table — the incremental
+  *     maintenance step (no global rebuild; same model as IVF's
+  *     assign-with-stored-centroids).
+  *   - [[curateBatch]] / [[curateStream]]: the deployed shape — see below.
   *
   * Family-agnostic: `cfg.portable` selects the same hash family on both the
   * indexed corpus and the probes, so the index works for the production
   * xxhash64 family and the oracle-portable family alike (the two must never
-  * be mixed within one index — `build` stamps the family and `searchNew` /
-  * `appendDocs` require a matching config).
+  * be mixed within one index — `build` stamps the family and the other
+  * entry points require a matching config). Index maintenance assumes a
+  * single curator process (one stream owns build/append/counts, like one
+  * dedupe job owns the fact table's repair); concurrent READERS are safe on
+  * any completed state, and a multi-curator deployment would serialize on a
+  * lease exactly like TransactionsTable's writers.
   */
 object TextDedupIndex {
 
   import TextDedup.MinHashConfig
+
+  private def noShingles(textCol: String, cfg: MinHashConfig) =
+    size(TextDedup.shingleHashes(col(textCol), cfg.shingleK, cfg.portable)) === 0
 
   private def writeBands(sigs: DataFrame, dir: String, cfg: MinHashConfig,
       mode: String): Unit = {
@@ -53,10 +71,11 @@ object TextDedupIndex {
   }
 
   /** Index `corpus` under `dir` (overwrites any previous index). Text is
-    * shingled exactly once: the signature frame is written first and the
-    * band table derives from the WRITTEN columns (columnar id+sig
-    * read-back), never from a second derivation of the text — corpus-scale
-    * inputs must not rely on cache residency. */
+    * shingled exactly once per document for the main tables: the signature
+    * frame is written first and the band table derives from the WRITTEN
+    * columns (columnar id+sig read-back) — corpus-scale inputs must not
+    * rely on cache residency. (The shingle-less fingerprint pass is a
+    * second scan of only the short docs' text.) */
   def build(corpus: DataFrame, idCol: String, textCol: String, dir: String,
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = corpus.sparkSession
@@ -67,6 +86,9 @@ object TextDedupIndex {
     writeBands(spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sig")),
       dir, cfg, "overwrite")
     refreshCounts(spark, dir)
+    corpus.filter(noShingles(textCol, cfg))
+      .select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/shortfp")
     // stamp the hash family so a mismatched search fails loudly instead of
     // silently joining foreign bucket keys
     Seq((cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed, cfg.maxBucket, cfg.portable))
@@ -95,9 +117,9 @@ object TextDedupIndex {
   }
 
   /** Near-duplicate pairs of NEW docs against the INDEXED corpus:
-    * (new_id, corpus_id, inter, jaccard), jaccard ≥ cfg.jaccardThreshold.
-    * A new doc may also pair with an id present in both frames — callers
-    * dedupe on id space.
+    * (new_id, corpus_id, inter, jaccard), jaccard ≥ cfg.jaccardThreshold,
+    * one row per distinct pair. An id indexed AND searched pairs with
+    * itself (jaccard 1.0) — "already indexed" is a match, by design.
     *
     * The `maxBucket` cap applies to the COMBINED bucket population (stored
     * census + the arriving batch's own band counts), so a skewed batch —
@@ -110,11 +132,13 @@ object TextDedupIndex {
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val spark = newDocs.sparkSession
     requireMatching(spark, dir, cfg)
-    // one derivation of the arriving batch, cached: bands and sets must be
-    // consistent views even over a non-deterministic input (e.g. a limit())
+    // one derivation of the arriving batch: localCheckpoint (not cache)
+    // materializes it so bands and sets are consistent views even over a
+    // non-deterministic input, without leaking a CacheManager entry per
+    // call in a long-running stream
     val newSigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
       .filter(size(col("sh")) > 0)
-      .cache()
+      .localCheckpoint()
     val newBands = TextDedup.bandRows(newSigs.select(col("doc_id"), col("sig")), cfg)
     val newSets = newSigs.select(col("doc_id"), col("sh"))
     val corpusCounts = spark.read.parquet(s"$dir/counts")
@@ -127,7 +151,6 @@ object TextDedupIndex {
     val cand = newBands.join(broadcast(hot), Seq("band_key"), "left_anti")
       .withColumnRenamed("doc_id", "new_id")
       .join(corpusBands.withColumnRenamed("doc_id", "corpus_id"), Seq("band_key"))
-      .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
     val corpusSets = spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sh"))
@@ -143,81 +166,126 @@ object TextDedupIndex {
           (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")).cast("double")))
       .filter(!isnan(col("jaccard")) && col("jaccard") >= cfg.jaccardThreshold)
       .select(col("new_id"), col("corpus_id"), col("inter"), col("jaccard"))
+      // a crash mid-append can leave duplicate index entries for a doc
+      // (benign by design); dedupe the output so they never surface
+      .dropDuplicates("new_id", "corpus_id")
   }
 
   /** Append (already-deduped) docs to the index and refresh the bucket
-    * census. The batch's signature frame is cached (batch-sized, unlike the
-    * corpus) so sets and bands are consistent views of ONE derivation even
-    * over a non-deterministic input. */
+    * census. The batch's signature frame is locally checkpointed
+    * (batch-sized, unlike the corpus) so sets and bands are consistent
+    * views of ONE derivation even over a non-deterministic input. */
   def appendDocs(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = newDocs.sparkSession
     requireMatching(spark, dir, cfg)
     val sigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
       .filter(size(col("sh")) > 0)
-      .cache()
-    try {
-      sigs.write.mode("append").parquet(s"$dir/sets")
-      writeBands(sigs.select(col("doc_id"), col("sig")), dir, cfg, "append")
-      refreshCounts(spark, dir)
-    } finally sigs.unpersist()
+      .localCheckpoint()
+    sigs.write.mode("append").parquet(s"$dir/sets")
+    writeBands(sigs.select(col("doc_id"), col("sig")), dir, cfg, "append")
+    refreshCounts(spark, dir)
+    newDocs.filter(noShingles(textCol, cfg))
+      .select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("append").parquet(s"$dir/shortfp")
   }
 
   // ---- continuous curation -------------------------------------------------
   //
   // The deployed shape of the index: documents arrive as a stream, each
   // micro-batch is collapsed to its intra-batch near-dup survivors
-  // (cluster-keep-min, the t_minhash_dedup rule), deduped against the
-  // STANDING corpus through the index, and the remainder is emitted to the
-  // curated output and appended to the index — so later batches dedupe
-  // against everything kept so far. Index maintenance assumes a single
-  // curator process (one stream owns build/append/counts, like one dedupe
-  // job owns the fact table's repair); concurrent READERS are safe on any
-  // completed state, and a multi-curator deployment would serialize on a
-  // lease exactly like TransactionsTable's writers.
+  // (cluster-keep-min, the t_minhash_dedup rule; shingle-less docs dedupe
+  // EXACTLY by fingerprint), deduped against the STANDING corpus through
+  // the index, and the remainder is emitted to the curated output and
+  // appended to the index — so later batches dedupe against everything
+  // kept so far.
 
   /** Compute a batch's curation survivors and MATERIALIZE them to a staging
-    * dir before anything mutates the index. The survivors plan reads the
-    * index tables (through [[searchNew]]) and the append that follows
-    * writes them — an unmaterialized frame re-evaluated after the append
-    * would match every survivor against itself and drop it. Correctness
-    * must not depend on cache residency, so this is a staged write, not a
-    * cache(). Returns the read-back frame and the staging path (caller
-    * deletes it once the rows are persisted elsewhere; orphans from
-    * crashed attempts are inert and may be garbage-collected). */
+    * dir before anything mutates the index: the survivors plan reads the
+    * index tables (through [[searchNew]]), and correctness must not depend
+    * on cache residency. The drop set (near-dup matches + short-doc exact
+    * matches + intra-batch short dups) is collected to the driver — it is
+    * batch-bounded by construction. Returns the staging path; the caller
+    * owns its lifecycle (deleted after the rows are persisted elsewhere;
+    * orphans from crashed attempts are inert). */
   private def stageSurvivors(batch: DataFrame, dir: String, idCol: String,
-      textCol: String, cfg: MinHashConfig): (DataFrame, String) = {
+      textCol: String, cfg: MinHashConfig): String = {
     val spark = batch.sparkSession
-    requireMatching(spark, dir, cfg)
-    val intra = TextDedup.minHashDedup(batch, idCol, textCol, cfg)
-    val matched = searchNew(intra, dir, idCol, textCol, cfg)
-      .select(col("new_id").as(idCol)).distinct()
-    val survivors = intra.join(matched, Seq(idCol), "left_anti")
+    import spark.implicits._
+    // ONE evaluation of the intra-batch dedup pipeline, into executor
+    // block storage (truncated lineage; freed by the ContextCleaner)
+    val intra = TextDedup.minHashDedupWith(batch, idCol, textCol, cfg,
+        _.localCheckpoint())
+      .localCheckpoint()
+    val nearIds = searchNew(intra, dir, idCol, textCol, cfg)
+      .select(col("new_id")).distinct().as[Long].collect()
+    // shingle-less docs: exact dedupe by normalized fingerprint — within
+    // the batch (keep min id) and against the indexed short-doc set
+    val short = intra.filter(noShingles(textCol, cfg))
+      .select(col(idCol).cast("long").as("id"), fingerprint(col(textCol)).as("fp"))
+    val shortLoserIds = short
+      .withColumn("rn", row_number().over(Window.partitionBy(col("fp")).orderBy(col("id"))))
+      .filter(col("rn") > 1).select(col("id")).as[Long].collect()
+    val shortIndexedIds = short
+      .join(spark.read.parquet(s"$dir/shortfp"), Seq("fp"), "left_semi")
+      .select(col("id")).as[Long].collect()
+    val drop = (nearIds ++ shortLoserIds ++ shortIndexedIds).distinct
+    val dropDf = drop.toSeq.toDF(idCol)
     val stage = s"$dir/staging/${java.util.UUID.randomUUID()}"
-    survivors.write.mode("overwrite").parquet(stage)
-    (spark.read.parquet(stage), stage)
+    intra.join(broadcast(dropDf), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(stage)
+    stage
   }
 
-  /** One curation step in batch form: intra-batch near-dup collapse
-    * (cluster keep-min), drop docs matching the standing index, append the
-    * survivors, return them (reader-stable: backed by the staging dir, not
-    * by the mutated index). */
-  def curateBatch(batch: DataFrame, dir: String, idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val (staged, _) = stageSurvivors(batch, dir, idCol, textCol, cfg)
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** One curation step in batch form: intra-batch collapse, drop docs
+    * matching the standing index, append survivors to `outDir` AND to the
+    * index. Returns the survivor ids (batch-bounded). Retries are the
+    * caller's concern — [[curateStream]] adds the ledger that makes
+    * replayed batches safe. */
+  def curateBatch(batch: DataFrame, dir: String, outDir: String, idCol: String,
+      textCol: String, cfg: MinHashConfig = MinHashConfig()): Array[Long] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+    val staged = spark.read.parquet(stage)
+    staged.write.mode("append").parquet(outDir)
     appendDocs(staged, dir, idCol, textCol, cfg)
-    staged
+    val ids = staged.select(col(idCol).cast("long")).as[Long].collect()
+    val (fs, p) = hadoopFs(spark, stage)
+    fs.delete(p, true)
+    ids
   }
 
-  /** Continuous curation: run [[curateBatch]] per micro-batch of `input`
-    * (any streaming DataFrame with `idCol`/`textCol`), emitting survivors
-    * to `outDir`. Same delivery model as the ingest pipeline: at-least-once
-    * with a batch-id ledger. The body orders out-write BEFORE index-append,
-    * so every crash window replays safely — before the out-write the replay
-    * redoes the whole batch; between out-write and append the replay
-    * re-emits the same rows (exact duplicates by id, the documented
-    * at-least-once residue); after the append the replayed survivors all
-    * match their indexed selves and the batch becomes a no-op. */
+  /** Continuous curation: run the [[curateBatch]] body per micro-batch of
+    * `input` (any streaming DataFrame with `idCol`/`textCol`), emitting
+    * survivors to `outDir`.
+    *
+    * Delivery model, enforced by a TWO-MARK ledger (`out-` after the
+    * curated-output write — its content records the staging path — and
+    * `idx-` after the index append):
+    *
+    *  - crash before the out-write: full replay, nothing was persisted;
+    *  - crash between the out-write and its mark: the replay redoes the
+    *    batch and the curated output gets the same rows twice — the ONE
+    *    at-least-once residue (exact duplicates by id, trivially dropped
+    *    downstream; same class as the ingest ledger's residual window);
+    *  - crash between the out-mark and the index append (or mid-append):
+    *    the replay reads the staged survivors back from the path recorded
+    *    in the out-mark and redoes ONLY the append — the curated output is
+    *    not re-written. A partial first append can leave duplicate index
+    *    entries for the batch; those are benign ([[searchNew]] dedupes its
+    *    output, and the census only becomes more conservative);
+    *  - crash after the idx-mark: the batch is skipped entirely.
+    *
+    * Additionally, content-level self-matching ([[searchNew]]'s identical
+    * docs → jaccard 1.0; `shortfp/` for shingle-less docs) makes a
+    * re-CRAWLED document (same content arriving again in a later batch)
+    * drop out instead of duplicating. */
   def curateStream(input: DataFrame, dir: String, outDir: String,
       checkpointDir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig(),
@@ -229,16 +297,30 @@ object TextDedupIndex {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val ledger = new org.apache.hadoop.fs.Path(s"$checkpointDir/graft-curate-ledger")
-        val fs = ledger.getFileSystem(spark.sessionState.newHadoopConf())
-        val mark = new org.apache.hadoop.fs.Path(ledger, f"batch-$id%020d")
-        if (!fs.exists(mark)) {
-          val (staged, stage) = stageSurvivors(batch, dir, idCol, textCol, cfg)
-          staged.write.mode("append").parquet(outDir)
-          appendDocs(staged, dir, idCol, textCol, cfg)
-          fs.mkdirs(ledger)
-          fs.create(mark, true).close()
+        val (fs, ledger) = hadoopFs(spark, s"$checkpointDir/graft-curate-ledger")
+        val idxMark = new org.apache.hadoop.fs.Path(ledger, f"idx-$id%020d")
+        val outMark = new org.apache.hadoop.fs.Path(ledger, f"out-$id%020d")
+        def markIdx(stage: String): Unit = {
+          fs.create(idxMark, true).close()
           fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        }
+        if (!fs.exists(idxMark)) {
+          if (fs.exists(outMark)) {
+            // out is durable; finish the index side from the recorded stage
+            val in = fs.open(outMark)
+            val stage = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+            markIdx(stage)
+          } else {
+            val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+            spark.read.parquet(stage).write.mode("append").parquet(outDir)
+            fs.mkdirs(ledger)
+            val o = fs.create(outMark, true)
+            try o.write(stage.getBytes("UTF-8")) finally o.close()
+            appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+            markIdx(stage)
+          }
         }
         ()
       }

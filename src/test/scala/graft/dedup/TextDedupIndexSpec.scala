@@ -124,25 +124,59 @@ class TextDedupIndexSpec extends AnyFunSuite {
 
   test("curateBatch: intra-batch collapse, index dedup, survivors appended") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
+    val out = GraftTestSpark.tmpDir("curate-out")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
-    val (d0, t0) = corpus.orderBy(col("doc_id")).limit(1)
+    val (_, t0) = corpus.orderBy(col("doc_id")).limit(1)
       .as[(Long, String)].collect().head
     val a = novel(5000001L, "aa")
     val aPrime = (5000002L, a._2 + " extra token") // near-dup of a, higher id
     val b = novel(5000003L, "bb")
     val batch = Seq((5000000L, t0 + " extra token"), a, aPrime, b)
       .toDF("doc_id", "text")
-    val kept = TextDedupIndex.curateBatch(batch, dir, "doc_id", "text", cfg)
-      .select("doc_id").as[Long].collect().toSet
+    val kept = TextDedupIndex.curateBatch(batch, dir, out, "doc_id", "text", cfg).toSet
     assert(kept === Set(a._1, b._1),
       "corpus-dup dropped, intra-batch pair collapsed to min id, novel kept")
     // a second batch near-duplicating a survivor must now be dropped too
     val batch2 = Seq((6000001L, a._2 + " another token"), novel(6000002L, "cc"))
       .toDF("doc_id", "text")
-    val kept2 = TextDedupIndex.curateBatch(batch2, dir, "doc_id", "text", cfg)
-      .select("doc_id").as[Long].collect().toSet
+    val kept2 = TextDedupIndex.curateBatch(batch2, dir, out, "doc_id", "text", cfg).toSet
     assert(kept2 === Set(6000002L),
       "survivors of earlier batches are part of the standing corpus")
+    // the curated output holds exactly the survivors, and staging is clean
+    val curated = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(curated === Set(a._1, b._1, 6000002L))
+    val staging = new java.io.File(s"$dir/staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      "curateBatch must clean up its staging dir")
+  }
+
+  test("an already-indexed doc reports itself as a match (replay/re-crawl safety)") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val again = corpus.orderBy(col("doc_id")).limit(3)
+    val pairs = TextDedupIndex.searchNew(again, dir, "doc_id", "text", cfg)
+      .as[(Long, Long, Long, Double)].collect()
+    val selfMatches = pairs.collect { case (n, c, _, j) if n == c => (n, j) }
+    assert(selfMatches.length === 3, "identical indexed content must self-match")
+    selfMatches.foreach { case (_, j) => assert(j === 1.0) }
+  }
+
+  test("shingle-less docs dedupe exactly by fingerprint across batches") {
+    val dir = GraftTestSpark.tmpDir("lsh-index")
+    val out = GraftTestSpark.tmpDir("curate-out")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    // two tokens < shingleK=3: no shingle evidence, MinHash cannot see them
+    val batch1 = Seq((7000001L, "tiny stub"), (7000002L, "tiny stub"),
+      (7000003L, "other stub")).toDF("doc_id", "text")
+    val kept1 = TextDedupIndex.curateBatch(batch1, dir, out, "doc_id", "text", cfg).toSet
+    assert(kept1 === Set(7000001L, 7000003L),
+      "intra-batch exact dups of short docs collapse to min id")
+    // the same stub arriving again must be dropped by the shortfp table
+    val batch2 = Seq((8000001L, "tiny stub"), (8000002L, "brand new stub"))
+      .toDF("doc_id", "text")
+    val kept2 = TextDedupIndex.curateBatch(batch2, dir, out, "doc_id", "text", cfg).toSet
+    assert(kept2 === Set(8000002L),
+      "an indexed short doc must not be re-emitted on re-arrival")
   }
 
   test("curateStream: curated output across batches with checkpoint") {
@@ -175,10 +209,26 @@ class TextDedupIndexSpec extends AnyFunSuite {
     val curated = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     assert(curated === Set(5000001L, 6000002L),
       "curated output keeps one representative per cluster across batches")
-    // restart with the same checkpoint and no new data: a replay must be a no-op
+
+    // FORCE a foreachBatch replay — deleting the newest entry from Spark's
+    // commit log makes the restarted query re-deliver that batch (this is
+    // the crash-after-foreachBatch window, which Spark's own checkpoint
+    // cannot dedupe; only the curate ledger can)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val setsRows = spark.read.parquet(s"$dir/sets").count()
+    // drop the checksum sibling too — a stale .crc trips Spark's
+    // concurrent-query detection on the rewrite
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
     runOnce()
     val again = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
-    assert(again === curated, "ledger makes replays no-ops")
+    assert(again === curated,
+      "ledger idx-mark must make the replayed batch a no-op for the output")
+    assert(spark.read.parquet(s"$dir/sets").count() === setsRows,
+      "ledger idx-mark must make the replayed batch a no-op for the index")
   }
 
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
