@@ -58,8 +58,27 @@ object TextDedupIndex {
 
   import TextDedup.MinHashConfig
 
+  /** Shingle-less predicate by TOKEN COUNT (< shingleK tokens ⟺ empty
+    * shingle set) — no hashing, so the short-doc passes stay cheap scans.
+    * Null text coalesces to "" so null-text docs take the exact-fingerprint
+    * path instead of being invisible to both dedup mechanisms. */
   private def noShingles(textCol: String, cfg: MinHashConfig) =
-    size(TextDedup.shingleHashes(col(textCol), cfg.shingleK, cfg.portable)) === 0
+    size(graft.functions.TextFunctions.tokens(
+      graft.functions.TextFunctions.normalized(
+        coalesce(col(textCol), lit(""))))) < cfg.shingleK
+
+  /** Normalized exact fingerprint with the same null policy. */
+  private def shortFp(textCol: String) =
+    fingerprint(coalesce(col(textCol), lit(""))).as("fp")
+
+  /** The indexed short-doc fingerprints; an index persisted before the
+    * shortfp table existed reads as empty instead of failing. */
+  private def readShortFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, p) = hadoopFs(spark, s"$dir/shortfp")
+    if (fs.exists(p)) spark.read.parquet(s"$dir/shortfp")
+    else Seq.empty[String].toDF("fp")
+  }
 
   private def writeBands(sigs: DataFrame, dir: String, cfg: MinHashConfig,
       mode: String): Unit = {
@@ -71,11 +90,12 @@ object TextDedupIndex {
   }
 
   /** Index `corpus` under `dir` (overwrites any previous index). Text is
-    * shingled exactly once per document for the main tables: the signature
-    * frame is written first and the band table derives from the WRITTEN
-    * columns (columnar id+sig read-back) — corpus-scale inputs must not
-    * rely on cache residency. (The shingle-less fingerprint pass is a
-    * second scan of only the short docs' text.) */
+    * shingled exactly once per document: the signature frame is written
+    * first and the band table derives from the WRITTEN columns (columnar
+    * id+sig read-back) — corpus-scale inputs must not rely on cache
+    * residency. (The shingle-less fingerprint pass is a second scan, but a
+    * token-COUNT scan — no shingling, no hashing, except the md5 of the few
+    * short docs.) */
   def build(corpus: DataFrame, idCol: String, textCol: String, dir: String,
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = corpus.sparkSession
@@ -87,7 +107,7 @@ object TextDedupIndex {
       dir, cfg, "overwrite")
     refreshCounts(spark, dir)
     corpus.filter(noShingles(textCol, cfg))
-      .select(fingerprint(col(textCol)).as("fp")).distinct()
+      .select(shortFp(textCol)).distinct()
       .write.mode("overwrite").parquet(s"$dir/shortfp")
     // stamp the hash family so a mismatched search fails loudly instead of
     // silently joining foreign bucket keys
@@ -174,7 +194,15 @@ object TextDedupIndex {
   /** Append (already-deduped) docs to the index and refresh the bucket
     * census. The batch's signature frame is locally checkpointed
     * (batch-sized, unlike the corpus) so sets and bands are consistent
-    * views of ONE derivation even over a non-deterministic input. */
+    * views of ONE derivation even over a non-deterministic input.
+    *
+    * Write ORDER is retry-safety-bearing: bands before sets. A crash after
+    * bands alone leaves entries that generate candidates but join no set —
+    * a retry re-appends both (duplicate band rows are benign; searchNew
+    * dedupes output and the census only grows conservative). The reverse
+    * order would be worse: sets-without-bands makes the docs SELF-MATCH on
+    * retry, so they would never receive band rows and future near-dups of
+    * them could never be found. */
   def appendDocs(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = newDocs.sparkSession
@@ -182,11 +210,11 @@ object TextDedupIndex {
     val sigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    sigs.write.mode("append").parquet(s"$dir/sets")
     writeBands(sigs.select(col("doc_id"), col("sig")), dir, cfg, "append")
+    sigs.write.mode("append").parquet(s"$dir/sets")
     refreshCounts(spark, dir)
     newDocs.filter(noShingles(textCol, cfg))
-      .select(fingerprint(col(textCol)).as("fp")).distinct()
+      .select(shortFp(textCol)).distinct()
       .write.mode("append").parquet(s"$dir/shortfp")
   }
 
@@ -211,28 +239,28 @@ object TextDedupIndex {
   private def stageSurvivors(batch: DataFrame, dir: String, idCol: String,
       textCol: String, cfg: MinHashConfig): String = {
     val spark = batch.sparkSession
-    import spark.implicits._
     // ONE evaluation of the intra-batch dedup pipeline, into executor
     // block storage (truncated lineage; freed by the ContextCleaner)
     val intra = TextDedup.minHashDedupWith(batch, idCol, textCol, cfg,
         _.localCheckpoint())
       .localCheckpoint()
-    val nearIds = searchNew(intra, dir, idCol, textCol, cfg)
-      .select(col("new_id")).distinct().as[Long].collect()
+    val nearMatched = searchNew(intra, dir, idCol, textCol, cfg)
+      .select(col("new_id").as(idCol))
     // shingle-less docs: exact dedupe by normalized fingerprint — within
     // the batch (keep min id) and against the indexed short-doc set
     val short = intra.filter(noShingles(textCol, cfg))
-      .select(col(idCol).cast("long").as("id"), fingerprint(col(textCol)).as("fp"))
-    val shortLoserIds = short
-      .withColumn("rn", row_number().over(Window.partitionBy(col("fp")).orderBy(col("id"))))
-      .filter(col("rn") > 1).select(col("id")).as[Long].collect()
-    val shortIndexedIds = short
-      .join(spark.read.parquet(s"$dir/shortfp"), Seq("fp"), "left_semi")
-      .select(col("id")).as[Long].collect()
-    val drop = (nearIds ++ shortLoserIds ++ shortIndexedIds).distinct
-    val dropDf = drop.toSeq.toDF(idCol)
+      .select(col(idCol), shortFp(textCol))
+    val shortLosers = short
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .filter(col("rn") > 1).select(col(idCol))
+    val shortIndexed = short.join(readShortFp(spark, dir), Seq("fp"), "left_semi")
+      .select(col(idCol))
+    // one distributed anti-join over the unioned drop set — id-type
+    // agnostic, nothing collected to the driver
+    val drop = nearMatched.union(shortLosers).union(shortIndexed).distinct()
     val stage = s"$dir/staging/${java.util.UUID.randomUUID()}"
-    intra.join(broadcast(dropDf), Seq(idCol), "left_anti")
+    intra.join(drop, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(stage)
     stage
   }
@@ -255,6 +283,8 @@ object TextDedupIndex {
     val staged = spark.read.parquet(stage)
     staged.write.mode("append").parquet(outDir)
     appendDocs(staged, dir, idCol, textCol, cfg)
+    // the curation API reports survivor ids as longs (the engine's doc-id
+    // type); build/searchNew/appendDocs themselves stay id-type agnostic
     val ids = staged.select(col(idCol).cast("long")).as[Long].collect()
     val (fs, p) = hadoopFs(spark, stage)
     fs.delete(p, true)
@@ -300,27 +330,47 @@ object TextDedupIndex {
         val (fs, ledger) = hadoopFs(spark, s"$checkpointDir/graft-curate-ledger")
         val idxMark = new org.apache.hadoop.fs.Path(ledger, f"idx-$id%020d")
         val outMark = new org.apache.hadoop.fs.Path(ledger, f"out-$id%020d")
+        // the staging dir lives under the INDEX dir, which may be a
+        // different filesystem than the checkpoint — always derive the FS
+        // from the path being touched
         def markIdx(stage: String): Unit = {
           fs.create(idxMark, true).close()
-          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          val (sfs, sp) = hadoopFs(spark, stage)
+          sfs.delete(sp, true)
         }
-        if (!fs.exists(idxMark)) {
-          if (fs.exists(outMark)) {
-            // out is durable; finish the index side from the recorded stage
-            val in = fs.open(outMark)
-            val stage = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-            appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
-            markIdx(stage)
-          } else {
-            val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
-            spark.read.parquet(stage).write.mode("append").parquet(outDir)
-            fs.mkdirs(ledger)
-            val o = fs.create(outMark, true)
-            try o.write(stage.getBytes("UTF-8")) finally o.close()
-            appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
-            markIdx(stage)
-          }
+        // Finish the index side from the stage recorded in the out-mark.
+        // Returns false — degrading to a full recompute, whose only cost is
+        // the documented duplicate-output residue — when the mark is
+        // unreadable (crash mid-write before it was atomically renamed in)
+        // or the staged dir is gone (an operator swept `staging/`).
+        def replayFromOutMark(): Boolean = {
+          if (!fs.exists(outMark)) return false
+          val stage =
+            try {
+              val in = fs.open(outMark)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: java.io.IOException => "" }
+          if (stage.isEmpty) return false
+          val (sfs, sp) = hadoopFs(spark, stage)
+          if (!sfs.exists(sp)) return false
+          appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+          markIdx(stage)
+          true
+        }
+        if (!fs.exists(idxMark) && !replayFromOutMark()) {
+          val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+          spark.read.parquet(stage).write.mode("append").parquet(outDir)
+          // atomic mark: write to a temp name, then rename — a half-written
+          // mark must never exist under the real name
+          fs.mkdirs(ledger)
+          val tmp = new org.apache.hadoop.fs.Path(ledger, outMark.getName + ".tmp")
+          val o = fs.create(tmp, true)
+          try o.write(stage.getBytes("UTF-8")) finally o.close()
+          fs.delete(outMark, false)
+          fs.rename(tmp, outMark)
+          appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+          markIdx(stage)
         }
         ()
       }

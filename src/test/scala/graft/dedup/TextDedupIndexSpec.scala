@@ -165,18 +165,21 @@ class TextDedupIndexSpec extends AnyFunSuite {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     val out = GraftTestSpark.tmpDir("curate-out")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
-    // two tokens < shingleK=3: no shingle evidence, MinHash cannot see them
+    // two tokens < shingleK=3: no shingle evidence, MinHash cannot see
+    // them; null text coalesces to "" and takes the same exact path
     val batch1 = Seq((7000001L, "tiny stub"), (7000002L, "tiny stub"),
-      (7000003L, "other stub")).toDF("doc_id", "text")
-    val kept1 = TextDedupIndex.curateBatch(batch1, dir, out, "doc_id", "text", cfg).toSet
-    assert(kept1 === Set(7000001L, 7000003L),
-      "intra-batch exact dups of short docs collapse to min id")
-    // the same stub arriving again must be dropped by the shortfp table
-    val batch2 = Seq((8000001L, "tiny stub"), (8000002L, "brand new stub"))
+      (7000003L, "other stub"), (7000004L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
+    val kept1 = TextDedupIndex.curateBatch(batch1, dir, out, "doc_id", "text", cfg).toSet
+    assert(kept1 === Set(7000001L, 7000003L, 7000004L),
+      "intra-batch exact dups of short docs collapse to min id; null text kept once")
+    // the same stub (and another null-text doc) arriving again must be
+    // dropped by the shortfp table
+    val batch2 = Seq((8000001L, "tiny stub"), (8000002L, "brand new stub"),
+      (8000003L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val kept2 = TextDedupIndex.curateBatch(batch2, dir, out, "doc_id", "text", cfg).toSet
     assert(kept2 === Set(8000002L),
-      "an indexed short doc must not be re-emitted on re-arrival")
+      "indexed short docs (incl. the null-text representative) must not re-emit")
   }
 
   test("curateStream: curated output across batches with checkpoint") {
