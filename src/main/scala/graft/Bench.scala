@@ -132,8 +132,10 @@ object Bench {
 
     // Persisted-ANN lifecycle: one-time quantizer train + inverted-file
     // write (build), then the search-only latency a STANDING index gives —
-    // the operating number the transient registry query can't show.
-    val (ivfBuildSec, ivfSearchSec) = try {
+    // the operating number the transient registry query can't show. Plus
+    // the recall estimate the retrain-on-drift trigger acts on (measured
+    // every run so drift of the MONITOR itself would also be visible).
+    val (ivfBuildSec, ivfSearchSec, ivfRecallEst) = try {
       import org.apache.spark.sql.functions.col
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
       try {
@@ -149,9 +151,11 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm: listing + codegen
-        (build, once())
+        val search = once()
+        val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
+        (build, search, recall)
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
-    } catch { case _: Throwable => (-1.0, -1.0) }
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
     // Persisted text-dedup (MinHash-LSH) lifecycle: index the documents
     // corpus once, then the incremental dedupe-new-against-corpus search —
@@ -178,6 +182,69 @@ object Bench {
         (build, once())
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
     } catch { case _: Throwable => (-1.0, -1.0) }
+
+    // Curation lifecycle — the DEPLOYED shape of the LSH index (VERDICT r5
+    // #2): one leased curateBatch against a standing index (wall +
+    // survivors/s), then a multi-batch curateStream feed with per-micro-
+    // batch latency p50/p95 — the number a user adopting continuous
+    // curation actually operates on (reference analog: the dedupe job's
+    // runtime metrics ride every run, AbstractDeduplication.java:128-160).
+    val (curateBatchSec, curateSurvPerSec, csBatches, csP50, csP95) = try {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+      val dir = java.nio.file.Files.createTempDirectory("graft-curate").toString
+      try {
+        val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        val idx = s"$dir/idx"
+        // standing corpus: the even half; the curated batch mixes near-dups
+        // of indexed docs (must drop) with unindexed docs (mostly survive)
+        graft.dedup.TextDedupIndex.build(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        val dups = docs.filter(col("doc_id") % 2 === 0).limit(250)
+          .withColumn("doc_id", col("doc_id") + 20000000L)
+          .withColumn("text", concat(col("text"), lit(" extra token")))
+        val novel = docs.filter(col("doc_id") % 2 === 1).limit(250)
+          .withColumn("doc_id", col("doc_id") + 30000000L)
+        val batch = dups.unionByName(novel).localCheckpoint()
+        val t0 = System.nanoTime()
+        val kept = graft.dedup.TextDedupIndex.curateBatch(
+          batch, idx, s"$dir/out", "doc_id", "text")
+        val cbWall = (System.nanoTime() - t0) / 1e9
+        val survPerSec = if (cbWall > 0) kept.length / cbWall else -1.0
+
+        // continuous shape: the full corpus re-identified, fed as 6 files,
+        // one micro-batch each against the SAME standing index (each batch
+        // dedupes against everything kept so far — the accumulation path)
+        val feed = s"$dir/feed"
+        docs.withColumn("doc_id", col("doc_id") + 40000000L)
+          .repartition(6).write.parquet(feed)
+        val walls = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+        val listener = new StreamingQueryListener {
+          override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            if (p.numInputRows > 0) {
+              val d = p.durationMs.get("triggerExecution")
+              if (d != null) walls.add(d.toDouble / 1e3): Unit
+            }
+          }
+        }
+        spark.streams.addListener(listener)
+        try {
+          val input = spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(feed)
+          val q = graft.dedup.TextDedupIndex.curateStream(input, idx,
+            s"$dir/out2", s"$dir/ckpt", "doc_id", "text",
+            trigger = Trigger.AvailableNow())
+          q.awaitTermination(300000)
+          if (q.isActive) q.stop()
+        } finally spark.streams.removeListener(listener)
+        import scala.jdk.CollectionConverters._
+        val ws = walls.asScala.map(_.doubleValue).toSeq
+        (cbWall, survPerSec, ws.size, BenchUtil.median(ws), BenchUtil.p95(ws))
+      } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+    } catch { case _: Throwable => (-1.0, -1.0, 0, -1.0, -1.0) }
 
     val results: Seq[(String, QStats)] = Registry.headline.map { q =>
       val st = try {
@@ -222,6 +289,12 @@ object Bench {
       s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""" +
       s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""" +
       s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""" +
+      s""""ivf_recall_est":${f"$ivfRecallEst%.3f"},""" +
+      s""""curate_batch_sec":${f"$curateBatchSec%.3f"},""" +
+      s""""curate_survivors_per_sec":${f"$curateSurvPerSec%.1f"},""" +
+      s""""curate_stream_batches":$csBatches,""" +
+      s""""curate_stream_p50_sec":${f"$csP50%.3f"},""" +
+      s""""curate_stream_p95_sec":${f"$csP95%.3f"},""" +
       s""""skew_ingest_rows_per_sec":${skew.ingestRowsPerSec.round},""" +
       s""""skew_dedupe_sec":${skew.dedupeSec},""" +
       s""""skew_dupes_removed":${skew.dedupeDuplicates},""" +

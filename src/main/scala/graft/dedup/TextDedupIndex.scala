@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.fingerprint
+import graft.util.{FileLease, SwapDir}
 
 /** Persisted MinHash-LSH dedup index — the operator LIFECYCLE for
   * incremental corpus curation, mirroring [[graft.similarity.IvfIndex]]'s
@@ -24,7 +25,12 @@ import graft.functions.TextFunctions.fingerprint
   *       `counts/`  (band_key, n)      — the per-bucket census. Search joins
   *         it with the arriving batch's own band counts so the `maxBucket`
   *         skew cap applies to the COMBINED bucket size, exactly like the
-  *         transient pipeline's census over the union corpus;
+  *         transient pipeline's census over the union corpus. Rewrites go
+  *         through [[graft.util.SwapDir]] (stage + rename), so an
+  *         overlapping reader always sees a COMPLETE census — never the
+  *         empty/partial state a plain overwrite exposes for the whole
+  *         write job (which would silently disable the skew cap for that
+  *         probe — ADVICE r5);
   *       `shortfp/` (fp)               — exact md5 fingerprints of indexed
   *         docs with NO shingle evidence (shorter than `shingleK` tokens).
   *         Shingle-less docs cannot participate in MinHash matching, so the
@@ -38,25 +44,47 @@ import graft.functions.TextFunctions.fingerprint
   *     (identical content → jaccard 1.0): that is what makes a replayed or
   *     re-crawled batch drop out instead of duplicating.
   *   - [[appendDocs]]: after the keep/drop decision, append the survivors'
-  *     sets + bands (+ short fingerprints) and refresh `counts/` with one
-  *     aggregation over the id-only bucket table — the incremental
-  *     maintenance step (no global rebuild; same model as IVF's
-  *     assign-with-stored-centroids).
+  *     sets + bands (+ short fingerprints, anti-joined against the already-
+  *     indexed set so direct callers don't grow `shortfp/` without bound)
+  *     and refresh `counts/` with one aggregation over the id-only bucket
+  *     table — the incremental maintenance step (no global rebuild; same
+  *     model as IVF's assign-with-stored-centroids). When any subtable's
+  *     file count passes the compaction threshold, [[compact]] runs in the
+  *     same lease hold — continuous 250 ms-trigger curation would otherwise
+  *     accrete `defaultParallelism` splinter files per batch forever, the
+  *     small-file pathology the fact table's `filesPerDay` layout exists to
+  *     prevent.
   *   - [[curateBatch]] / [[curateStream]]: the deployed shape — see below.
   *
   * Family-agnostic: `cfg.portable` selects the same hash family on both the
   * indexed corpus and the probes, so the index works for the production
   * xxhash64 family and the oracle-portable family alike (the two must never
   * be mixed within one index — `build` stamps the family and the other
-  * entry points require a matching config). Index maintenance assumes a
-  * single curator process (one stream owns build/append/counts, like one
-  * dedupe job owns the fact table's repair); concurrent READERS are safe on
-  * any completed state, and a multi-curator deployment would serialize on a
-  * lease exactly like TransactionsTable's writers.
+  * entry points require a matching config).
+  *
+  * Writer coordination: every mutating entry point — [[build]],
+  * [[appendDocs]], [[curateBatch]], [[compact]], and each [[curateStream]]
+  * micro-batch — holds a cross-process [[graft.util.FileLease]] under `dir`
+  * (the fact table's own mechanism, extracted), so a second curator process
+  * QUEUES instead of interleaving appends and census refreshes. Concurrent
+  * READERS are safe on any completed state and resolve through backup dirs
+  * mid-swap ([[SwapDir.readPath]]); they never repair or take the lease.
   */
 object TextDedupIndex {
 
   import TextDedup.MinHashConfig
+
+  /** One lease client per mutating call (fresh holder id — the lease file
+    * under `dir` is what serializes across processes and threads alike). */
+  private def leaseFor(dir: String) = new FileLease(dir)
+
+  /** Compaction threshold: rewrite a subtable once it holds more than this
+    * many data files. 8 appends' worth of splinter files (each append
+    * writes ≤ `defaultParallelism`) bounds both the rewrite amortization
+    * (one compaction per ~8 appends) and the worst-case open cost a search
+    * pays between compactions. */
+  private def maxIndexFiles(spark: SparkSession): Int =
+    8 * spark.sparkContext.defaultParallelism
 
   /** Shingle-less predicate by TOKEN COUNT (< shingleK tokens ⟺ empty
     * shingle set) — no hashing, so the short-doc passes stay cheap scans.
@@ -71,12 +99,22 @@ object TextDedupIndex {
   private def shortFp(textCol: String) =
     fingerprint(coalesce(col(textCol), lit(""))).as("fp")
 
+  /** Reader-side subtable resolution: the live dir, or its backup when a
+    * crash between a [[SwapDir]] swap's renames left only the backup.
+    * Readers never repair (that is the leased writer's job on its next
+    * mutation) — they just read the surviving complete state. */
+  private def readSub(spark: SparkSession, dir: String, sub: String): DataFrame = {
+    val (f, live) = hadoopFs(spark, s"$dir/$sub")
+    spark.read.parquet(SwapDir.readPath(f, live).toString)
+  }
+
   /** The indexed short-doc fingerprints; an index persisted before the
     * shortfp table existed reads as empty instead of failing. */
   private def readShortFp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (fs, p) = hadoopFs(spark, s"$dir/shortfp")
-    if (fs.exists(p)) spark.read.parquet(s"$dir/shortfp")
+    val resolved = SwapDir.readPath(fs, p)
+    if (fs.exists(resolved)) spark.read.parquet(resolved.toString)
     else Seq.empty[String].toDF("fp")
   }
 
@@ -100,29 +138,38 @@ object TextDedupIndex {
       cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    TextDedup.signatures(corpus, idCol, textCol, cfg)
-      .filter(size(col("sh")) > 0)
-      .write.mode("overwrite").parquet(s"$dir/sets")
-    writeBands(spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sig")),
-      dir, cfg, "overwrite")
-    refreshCounts(spark, dir)
-    corpus.filter(noShingles(textCol, cfg))
-      .select(shortFp(textCol)).distinct()
-      .write.mode("overwrite").parquet(s"$dir/shortfp")
-    // stamp the hash family so a mismatched search fails loudly instead of
-    // silently joining foreign bucket keys
-    Seq((cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed, cfg.maxBucket, cfg.portable))
-      .toDF("shingle_k", "num_perm", "bands", "seed", "max_bucket", "portable")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      TextDedup.signatures(corpus, idCol, textCol, cfg)
+        .filter(size(col("sh")) > 0)
+        .write.mode("overwrite").parquet(s"$dir/sets")
+      writeBands(spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sig")),
+        dir, cfg, "overwrite")
+      refreshCounts(spark, dir)
+      corpus.filter(noShingles(textCol, cfg))
+        .select(shortFp(textCol)).distinct()
+        .write.mode("overwrite").parquet(s"$dir/shortfp")
+      // stamp the hash family so a mismatched search fails loudly instead of
+      // silently joining foreign bucket keys
+      Seq((cfg.shingleK, cfg.numPerm, cfg.bands, cfg.seed, cfg.maxBucket, cfg.portable))
+        .toDF("shingle_k", "num_perm", "bands", "seed", "max_bucket", "portable")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
-  /** Recompute the per-bucket census from the id-only bands table.
-    * Band keys are long for the xxhash64 family, string for the portable
-    * one — the census preserves whichever type the index uses. */
-  private def refreshCounts(spark: SparkSession, dir: String): Unit =
-    spark.read.parquet(s"$dir/bands")
-      .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$dir/counts")
+  /** Recompute the per-bucket census from the id-only bands table, staged
+    * and swapped in ([[SwapDir]]) so overlapping readers always observe a
+    * complete census (callers hold the writer lease). Band keys are long
+    * for the xxhash64 family, string for the portable one — the census
+    * preserves whichever type the index uses. */
+  private def refreshCounts(spark: SparkSession, dir: String): Unit = {
+    val (f, live) = hadoopFs(spark, s"$dir/counts")
+    SwapDir.swapIn(f, live) { tmp =>
+      readSub(spark, dir, "bands")
+        .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
 
   private def requireMatching(spark: SparkSession, dir: String,
       cfg: MinHashConfig): Unit = {
@@ -161,19 +208,19 @@ object TextDedupIndex {
       .localCheckpoint()
     val newBands = TextDedup.bandRows(newSigs.select(col("doc_id"), col("sig")), cfg)
     val newSets = newSigs.select(col("doc_id"), col("sh"))
-    val corpusCounts = spark.read.parquet(s"$dir/counts")
+    val corpusCounts = readSub(spark, dir, "counts")
     val hot = newBands.groupBy(col("band_key")).agg(count(lit(1)).as("n_new"))
       .join(corpusCounts, Seq("band_key"), "left")
       .filter(col("n_new") + coalesce(col("n"), lit(0L)) > cfg.maxBucket)
       .select(col("band_key"))
-    val corpusBands = spark.read.parquet(s"$dir/bands")
+    val corpusBands = readSub(spark, dir, "bands")
       .join(broadcast(hot), Seq("band_key"), "left_anti")
     val cand = newBands.join(broadcast(hot), Seq("band_key"), "left_anti")
       .withColumnRenamed("doc_id", "new_id")
       .join(corpusBands.withColumnRenamed("doc_id", "corpus_id"), Seq("band_key"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
-    val corpusSets = spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sh"))
+    val corpusSets = readSub(spark, dir, "sets").select(col("doc_id"), col("sh"))
     cand
       .join(newSets.withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("sh", "sh_new"), "new_id")
@@ -192,9 +239,22 @@ object TextDedupIndex {
   }
 
   /** Append (already-deduped) docs to the index and refresh the bucket
-    * census. The batch's signature frame is locally checkpointed
-    * (batch-sized, unlike the corpus) so sets and bands are consistent
-    * views of ONE derivation even over a non-deterministic input.
+    * census, under the writer lease. See [[appendDocsUnlocked]] for the
+    * write-order analysis. */
+  def appendDocs(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): Unit = {
+    val (f, _) = hadoopFs(newDocs.sparkSession, dir)
+    leaseFor(dir).withLease(f) {
+      appendDocsUnlocked(newDocs, dir, idCol, textCol, cfg)
+    }
+  }
+
+  /** The append body, run by callers that already hold the lease
+    * ([[curateBatch]], [[curateStream]] — the lease is not reentrant).
+    *
+    * The batch's signature frame is locally checkpointed (batch-sized,
+    * unlike the corpus) so sets and bands are consistent views of ONE
+    * derivation even over a non-deterministic input.
     *
     * Write ORDER is retry-safety-bearing: bands before sets. A crash after
     * bands alone leaves entries that generate candidates but join no set —
@@ -202,9 +262,18 @@ object TextDedupIndex {
     * dedupes output and the census only grows conservative). The reverse
     * order would be worse: sets-without-bands makes the docs SELF-MATCH on
     * retry, so they would never receive band rows and future near-dups of
-    * them could never be found. */
-  def appendDocs(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): Unit = {
+    * them could never be found.
+    *
+    * Short-doc fingerprints are anti-joined against the indexed set first:
+    * a direct caller appending the same short docs across batches would
+    * otherwise grow `shortfp/` without bound (correctness held via the
+    * left_semi probe, but the table didn't — ADVICE r5).
+    *
+    * Ends with a threshold-gated [[compact]] pass in the same lease hold:
+    * continuous appends otherwise accrete `defaultParallelism` files per
+    * batch forever. */
+  private def appendDocsUnlocked(newDocs: DataFrame, dir: String, idCol: String,
+      textCol: String, cfg: MinHashConfig): Unit = {
     val spark = newDocs.sparkSession
     requireMatching(spark, dir, cfg)
     val sigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
@@ -215,7 +284,41 @@ object TextDedupIndex {
     refreshCounts(spark, dir)
     newDocs.filter(noShingles(textCol, cfg))
       .select(shortFp(textCol)).distinct()
+      .join(readShortFp(spark, dir), Seq("fp"), "left_anti")
       .write.mode("append").parquet(s"$dir/shortfp")
+    compactUnlocked(spark, dir, maxIndexFiles(spark))
+  }
+
+  /** Compact any index subtable whose data-file count exceeds `maxFiles`
+    * (0 → the default threshold): read, re-cluster, stage, swap — the
+    * crash discipline of the fact table's day swap ([[SwapDir]]: a crash
+    * between the renames is repaired from the backup on the next writer
+    * entry; a reader that lists during the millisecond rename window
+    * retries, exactly like any plain-parquet compaction). Search results
+    * are unchanged by construction — compaction rewrites the same rows
+    * re-clustered (bands re-sorted by band_key so row-group skipping
+    * survives; shortfp re-distinct'ed, which also collapses any
+    * historically duplicated fingerprints). */
+  def compact(spark: SparkSession, dir: String, maxFiles: Int = 0): Unit = {
+    val (f, _) = hadoopFs(spark, dir)
+    val mf = if (maxFiles > 0) maxFiles else maxIndexFiles(spark)
+    leaseFor(dir).withLease(f) { compactUnlocked(spark, dir, mf) }
+  }
+
+  private def compactUnlocked(spark: SparkSession, dir: String, maxFiles: Int): Unit = {
+    val par = spark.sparkContext.defaultParallelism
+    def rewrite(sub: String)(arrange: DataFrame => DataFrame): Unit = {
+      val (f, live) = hadoopFs(spark, s"$dir/$sub")
+      if (SwapDir.fileCount(f, SwapDir.readPath(f, live)) <= maxFiles) return
+      SwapDir.swapIn(f, live) { tmp =>
+        arrange(spark.read.parquet(SwapDir.readPath(f, live).toString))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    rewrite("bands")(_.repartition(par, col("band_key"))
+      .sortWithinPartitions(col("band_key")))
+    rewrite("sets")(_.repartition(par, col("doc_id")))
+    rewrite("shortfp")(_.distinct().repartition(math.max(1, par / 4)))
   }
 
   // ---- continuous curation -------------------------------------------------
@@ -235,7 +338,7 @@ object TextDedupIndex {
     * matches + intra-batch short dups) is collected to the driver — it is
     * batch-bounded by construction. Returns the staging path; the caller
     * owns its lifecycle (deleted after the rows are persisted elsewhere;
-    * orphans from crashed attempts are inert). */
+    * orphans from crashed attempts are inert and swept on stream start). */
   private def stageSurvivors(batch: DataFrame, dir: String, idCol: String,
       textCol: String, cfg: MinHashConfig): String = {
     val spark = batch.sparkSession
@@ -272,28 +375,68 @@ object TextDedupIndex {
 
   /** One curation step in batch form: intra-batch collapse, drop docs
     * matching the standing index, append survivors to `outDir` AND to the
-    * index. Returns the survivor ids (batch-bounded). Retries are the
-    * caller's concern — [[curateStream]] adds the ledger that makes
+    * index — the whole read-decide-append cycle under ONE lease hold, so
+    * two curator processes cannot both decide "keep" for near-dup docs in
+    * concurrent batches. Returns the survivor ids (batch-bounded). Retries
+    * are the caller's concern — [[curateStream]] adds the ledger that makes
     * replayed batches safe. */
   def curateBatch(batch: DataFrame, dir: String, outDir: String, idCol: String,
       textCol: String, cfg: MinHashConfig = MinHashConfig()): Array[Long] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
-    val staged = spark.read.parquet(stage)
-    staged.write.mode("append").parquet(outDir)
-    appendDocs(staged, dir, idCol, textCol, cfg)
-    // the curation API reports survivor ids as longs (the engine's doc-id
-    // type); build/searchNew/appendDocs themselves stay id-type agnostic
-    val ids = staged.select(col(idCol).cast("long")).as[Long].collect()
-    val (fs, p) = hadoopFs(spark, stage)
-    fs.delete(p, true)
-    ids
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+      val staged = spark.read.parquet(stage)
+      staged.write.mode("append").parquet(outDir)
+      appendDocsUnlocked(staged, dir, idCol, textCol, cfg)
+      // the curation API reports survivor ids as longs (the engine's doc-id
+      // type); build/searchNew/appendDocs themselves stay id-type agnostic
+      val ids = staged.select(col(idCol).cast("long")).as[Long].collect()
+      val (sfs, p) = hadoopFs(spark, stage)
+      sfs.delete(p, true)
+      ids
+    }
+  }
+
+  /** Sweep `staging/` dirs not referenced by any out-mark in THIS stream's
+    * ledger — orphans of attempts that crashed before their out-mark landed
+    * (a replay recomputes those batches from scratch, so the dirs are
+    * inert). Runs under the lease so a live curator's in-flight stage is
+    * never swept mid-batch. One curation stream (one checkpoint) per index
+    * is the deployment shape; [[curateBatch]] callers delete their stages
+    * synchronously and are unaffected. */
+  private def sweepStaging(spark: SparkSession, dir: String,
+      checkpointDir: String): Unit = {
+    val (ifs, stagingRoot) = hadoopFs(spark, s"$dir/staging")
+    if (!ifs.exists(stagingRoot)) return
+    val (cfs, ledger) = hadoopFs(spark, s"$checkpointDir/graft-curate-ledger")
+    val referenced: Set[String] =
+      if (!cfs.exists(ledger)) Set.empty
+      else cfs.listStatus(ledger).toSeq
+        .filter(_.getPath.getName.startsWith("out-"))
+        .flatMap { s =>
+          try {
+            val in = cfs.open(s.getPath)
+            val txt =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            if (txt.isEmpty) None
+            else Some(new org.apache.hadoop.fs.Path(txt).getName)
+          } catch { case _: java.io.IOException => None }
+        }.toSet
+    leaseFor(dir).withLease(ifs) {
+      ifs.listStatus(stagingRoot).map(_.getPath)
+        .filterNot(p => referenced.contains(p.getName))
+        .foreach(p => try { ifs.delete(p, true): Unit }
+          catch { case _: java.io.IOException => () })
+    }
   }
 
   /** Continuous curation: run the [[curateBatch]] body per micro-batch of
     * `input` (any streaming DataFrame with `idCol`/`textCol`), emitting
-    * survivors to `outDir`.
+    * survivors to `outDir`. Each micro-batch holds the index writer lease
+    * for its whole read-decide-append cycle.
     *
     * Delivery model, enforced by a TWO-MARK ledger (`out-` after the
     * curated-output write — its content records the staging path — and
@@ -312,6 +455,14 @@ object TextDedupIndex {
     *    output, and the census only becomes more conservative);
     *  - crash after the idx-mark: the batch is skipped entirely.
     *
+    * Ledger hygiene (ADVICE r5): the idx-mark supersedes the out-mark, so
+    * [[curateStream]] deletes the out-mark when the idx-mark lands, and
+    * each batch prunes marks of batches older than itself — foreachBatch
+    * delivery is sequential, so batch `id` arriving proves every batch
+    * below it committed and can never replay. The ledger therefore holds
+    * O(1) files, not one pair per batch forever. Staging orphans from
+    * crashed attempts are swept once on stream start ([[sweepStaging]]).
+    *
     * Additionally, content-level self-matching ([[searchNew]]'s identical
     * docs → jaccard 1.0; `shortfp/` for shingle-less docs) makes a
     * re-CRAWLED document (same content arriving again in a later batch)
@@ -321,7 +472,8 @@ object TextDedupIndex {
       cfg: MinHashConfig = MinHashConfig(),
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    sweepStaging(input.sparkSession, dir, checkpointDir)
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -335,9 +487,26 @@ object TextDedupIndex {
         // from the path being touched
         def markIdx(stage: String): Unit = {
           fs.create(idxMark, true).close()
+          // the idx-mark alone short-circuits a replay; the out-mark is now
+          // redundant — drop it so the ledger stays bounded
+          fs.delete(outMark, false)
           val (sfs, sp) = hadoopFs(spark, stage)
           sfs.delete(sp, true)
         }
+        // Batches below `id` have committed their offsets (sequential
+        // delivery) and can never replay: their marks are dead weight.
+        def pruneLedger(): Unit =
+          if (fs.exists(ledger))
+            fs.listStatus(ledger).map(_.getPath).foreach { p =>
+              val n = p.getName
+              val digits = n.stripPrefix("idx-").stripPrefix("out-")
+                .stripSuffix(".tmp")
+              if ((n.startsWith("idx-") || n.startsWith("out-"))
+                  && digits.nonEmpty && digits.forall(_.isDigit)
+                  && digits.toLong < id)
+                try { fs.delete(p, false): Unit }
+                catch { case _: java.io.IOException => () }
+            }
         // Finish the index side from the stage recorded in the out-mark.
         // Returns false — degrading to a full recompute, whose only cost is
         // the documented duplicate-output residue — when the mark is
@@ -354,25 +523,30 @@ object TextDedupIndex {
           if (stage.isEmpty) return false
           val (sfs, sp) = hadoopFs(spark, stage)
           if (!sfs.exists(sp)) return false
-          appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+          appendDocsUnlocked(spark.read.parquet(stage), dir, idCol, textCol, cfg)
           markIdx(stage)
           true
         }
-        if (!fs.exists(idxMark) && !replayFromOutMark()) {
-          val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
-          spark.read.parquet(stage).write.mode("append").parquet(outDir)
-          // atomic mark: write to a temp name, then rename — a half-written
-          // mark must never exist under the real name
-          fs.mkdirs(ledger)
-          val tmp = new org.apache.hadoop.fs.Path(ledger, outMark.getName + ".tmp")
-          val o = fs.create(tmp, true)
-          try o.write(stage.getBytes("UTF-8")) finally o.close()
-          fs.delete(outMark, false)
-          fs.rename(tmp, outMark)
-          appendDocs(spark.read.parquet(stage), dir, idCol, textCol, cfg)
-          markIdx(stage)
+        val (lfs, _) = hadoopFs(spark, dir)
+        leaseFor(dir).withLease(lfs) {
+          pruneLedger()
+          if (!fs.exists(idxMark) && !replayFromOutMark()) {
+            val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+            spark.read.parquet(stage).write.mode("append").parquet(outDir)
+            // atomic mark: write to a temp name, then rename — a half-written
+            // mark must never exist under the real name
+            fs.mkdirs(ledger)
+            val tmp = new org.apache.hadoop.fs.Path(ledger, outMark.getName + ".tmp")
+            val o = fs.create(tmp, true)
+            try o.write(stage.getBytes("UTF-8")) finally o.close()
+            fs.delete(outMark, false)
+            fs.rename(tmp, outMark)
+            appendDocsUnlocked(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+            markIdx(stage)
+          }
         }
         ()
       }
       .start()
+  }
 }

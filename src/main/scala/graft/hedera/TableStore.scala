@@ -27,94 +27,14 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
     * monitor so only one thread per process ever touches the lease file. */
   private val writeLock = new Object
 
-  /** Cross-process writer lease: an atomic-`create(overwrite=false)` lock
-    * file under the table path, heartbeat-renewed (mtime touch) every
-    * `leaseMs / 4` while held, taken over by a rival only when its mtime is
-    * at least `leaseMs` stale — so a live holder (however long its write
-    * job runs) is never usurped, while a crashed holder delays rivals by at
-    * most one lease period. Takeover is delete-then-recreate with a
-    * re-check of the mtime immediately before the delete and a read-back
-    * of the holder id after the create; the residual stat→delete window is
-    * the plain-filesystem bound (a deployment that needs it airtight layers
-    * a transactional table format / lock service on the same layout — this
-    * lease is what plain parquet-on-a-filesystem can give, and the
+  /** Cross-process writer lease ([[graft.util.FileLease]] — extracted in r6
+    * so the persisted index lifecycles reuse the identical mechanism):
+    * atomic-create lock file, heartbeat-renewed, stale-takeover; the
     * straggler/manifest protocol still bounds any residual interleave to
-    * preserved-but-duplicated rows, never lost rows). */
-  private val holderId = java.util.UUID.randomUUID().toString
-  private def leasePath = new Path(path, ".graft-writer-lease")
+    * preserved-but-duplicated rows, never lost rows. */
+  private val lease = new graft.util.FileLease(path, leaseMs)
 
-  private def readLeaseHolder(f: FileSystem): Option[String] =
-    try {
-      val in = f.open(leasePath)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
-
-  private def acquireLease(f: FileSystem): Unit = {
-    if (!f.exists(new Path(path))) f.mkdirs(new Path(path))
-    val deadline = System.nanoTime() + 10L * 60 * 1000000000L
-    var acquired = false
-    while (!acquired) {
-      val created =
-        try {
-          val out = f.create(leasePath, false) // atomic O_EXCL create
-          try out.write(holderId.getBytes("UTF-8")) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (created && readLeaseHolder(f).contains(holderId)) acquired = true
-      else if (!created) {
-        def mtimeStale() =
-          try f.getFileStatus(leasePath).getModificationTime <
-            System.currentTimeMillis() - leaseMs
-          catch { case _: java.io.IOException => false } // vanished: retry create
-        if (mtimeStale()) {
-          // re-check right before the delete: a rival takeover that already
-          // re-created the file shows a fresh mtime and keeps its lease
-          try { if (mtimeStale()) f.delete(leasePath, false) }
-          catch { case _: java.io.IOException => () }
-        } else Thread.sleep(50)
-      }
-      if (!acquired && System.nanoTime() > deadline)
-        throw new IllegalStateException(
-          s"writer lease on $leasePath not acquired within 10 min " +
-            s"(held by ${readLeaseHolder(f).getOrElse("<unreadable>")})")
-    }
-  }
-
-  private def releaseLease(f: FileSystem): Unit =
-    // only release a lease that is still ours — a wedged-then-resumed holder
-    // whose lease was taken over must not delete the usurper's lock
-    if (readLeaseHolder(f).contains(holderId))
-      try f.delete(leasePath, false) catch { case _: java.io.IOException => () }
-
-  /** One daemon heartbeat thread per table, created on first lease hold and
-    * reused for every subsequent one — `withLease` runs per micro-batch
-    * append (every 250 ms under `EtlApp`), so spawning a fresh Timer thread
-    * per call would churn a thread per batch for the life of the stream. */
-  private lazy val leaseBeat = new java.util.Timer("graft-lease-heartbeat", true)
-
-  /** Run `body` holding the cross-process lease, heartbeating on the shared
-    * daemon timer so a long write job never looks stale. Callers hold
-    * [[writeLock]] first (one lease client per process). The heartbeat
-    * swallows EVERY non-fatal throwable, not just IOException — one
-    * unchecked exception (a connector's UnsupportedOperationException on
-    * setTimes, say) would otherwise kill the shared Timer and poison every
-    * future write on this table ("Timer already cancelled"). And the
-    * schedule call sits inside the release scope, so a failure there can
-    * never strand the acquired lease file. */
-  private def withLease[T](f: FileSystem)(body: => T): T = {
-    acquireLease(f)
-    try {
-      val beat = new java.util.TimerTask {
-        override def run(): Unit =
-          try f.setTimes(leasePath, System.currentTimeMillis(), -1)
-          catch { case scala.util.control.NonFatal(_) => () }
-      }
-      leaseBeat.schedule(beat, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
-      try body
-      finally beat.cancel()
-    } finally releaseLease(f)
-  }
+  private def withLease[T](f: FileSystem)(body: => T): T = lease.withLease(f)(body)
 
   /** Plain-parquet read. Visibility vs a concurrent repair: each day swap
     * is a pair of directory renames, so a reader that lists files while a

@@ -171,18 +171,44 @@ object IvfIndex {
   // maintenance model (retrain only when drift degrades recall, measured —
   // not on every ingest).
 
+  /** One lease client per mutating call — [[graft.util.FileLease]], the
+    * same cross-process writer coordination as the fact table and the LSH
+    * index: a second maintainer process queues instead of interleaving
+    * appends and compactions. Readers never take it. */
+  private def leaseFor(dir: String) = new graft.util.FileLease(dir)
+
+  /** Compaction threshold for `cells/` — see
+    * [[graft.dedup.TextDedupIndex]]'s identical bound: ~8 appends' worth of
+    * `defaultParallelism`-file batches before one re-clustering rewrite. */
+  private def maxIndexFiles(spark: org.apache.spark.sql.SparkSession): Int =
+    8 * spark.sparkContext.defaultParallelism
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Reader-side resolution through a mid-swap backup ([[graft.util.SwapDir]]). */
+  private def readCells(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (f, live) = hadoopFs(spark, s"$dir/cells")
+    spark.read.parquet(graft.util.SwapDir.readPath(f, live).toString)
+  }
+
   /** Train on `corpus` and persist the index under `dir` (overwrites). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       cfg: Config = Config()): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = trainCentroids(corpus, vecCol, cfg)
-    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    assignCells(corpus, idCol, vecCol, centroids)
-      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").parquet(s"$dir/cells")
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      val centroids = trainCentroids(corpus, vecCol, cfg)
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      assignCells(corpus, idCol, vecCol, centroids)
+        .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").parquet(s"$dir/cells")
+    }
   }
 
   /** The stored quantizer, cell-ordered. */
@@ -192,15 +218,48 @@ object IvfIndex {
       .map(_.getSeq[Double](0)).toSeq
 
   /** Assign new vectors with the stored centroids and append them to the
-    * inverted file — no retrain, no touch of existing cells. */
+    * inverted file — no retrain, no touch of existing cells. Holds the
+    * writer lease; when the inverted file passes the compaction threshold
+    * (continuous append accretes `defaultParallelism` splinter files per
+    * batch), it is re-clustered and swapped in the same hold. */
   def appendVectors(newDocs: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val centroids = readCentroids(spark, dir)
-    assignCells(newDocs, idCol, vecCol, centroids)
-      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$dir/cells")
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      val centroids = readCentroids(spark, dir)
+      assignCells(newDocs, idCol, vecCol, centroids)
+        .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("append").parquet(s"$dir/cells")
+      compactUnlocked(spark, dir, maxIndexFiles(spark))
+    }
+  }
+
+  /** Compact `cells/` when its data-file count exceeds `maxFiles` (0 → the
+    * default threshold): stage-then-swap re-clustering (sorted by cell so
+    * row-group min/max skipping survives) — search results unchanged, same
+    * rows re-laid-out. Crash between the renames is repaired from the
+    * backup by the next leased writer; readers resolve through the backup
+    * meanwhile. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFiles: Int = 0): Unit = {
+    val (f, _) = hadoopFs(spark, dir)
+    val mf = if (maxFiles > 0) maxFiles else maxIndexFiles(spark)
+    leaseFor(dir).withLease(f) { compactUnlocked(spark, dir, mf) }
+  }
+
+  private def compactUnlocked(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxFiles: Int): Unit = {
+    val (f, live) = hadoopFs(spark, s"$dir/cells")
+    if (graft.util.SwapDir.fileCount(f, graft.util.SwapDir.readPath(f, live)) <= maxFiles)
+      return
+    graft.util.SwapDir.swapIn(f, live) { tmp =>
+      spark.read.parquet(graft.util.SwapDir.readPath(f, live).toString)
+        .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Search a persisted index: read centroids (driver-side, tiny), scan the
@@ -210,6 +269,68 @@ object IvfIndex {
       k: Int, nProbe: Int = Config().nProbe): DataFrame = {
     val spark = queries.sparkSession
     val centroids = readCentroids(spark, dir)
-    probe(queries, spark.read.parquet(s"$dir/cells"), idCol, vecCol, centroids, k, nProbe)
+    probe(queries, readCells(spark, dir), idCol, vecCol, centroids, k, nProbe)
+  }
+
+  // ---- recall drift --------------------------------------------------------
+  //
+  // `appendVectors` assigns with the STORED centroids indefinitely; if the
+  // corpus distribution drifts (a new embedding domain, a new data source),
+  // the quantizer partitions the new region badly and nProbe cells stop
+  // covering the true neighbors — recall decays SILENTLY. The standard
+  // maintenance rule is "retrain when measured recall degrades", so the
+  // measurement must exist: `recallEstimate` compares the index's top-k
+  // against the exact brute-force top-k on a bounded probe sample drawn
+  // from the indexed corpus itself (which includes every appended batch —
+  // a drifted append pulls probes from the drifted region in proportion).
+
+  /** Estimated recall@k of the persisted index vs exact brute-force cosine,
+    * on a deterministic hash-thinned sample of `sampleN` indexed vectors.
+    * Cost: sampleN brute-force scans of the corpus (broadcast probe side) +
+    * one index search — bounded, driver state O(sampleN·k). */
+  def recallEstimate(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 10, sampleN: Int = 64, nProbe: Int = Config().nProbe): Double = {
+    import spark.implicits._
+    val cells = readCells(spark, dir)
+    val corpus = cells.select(col("cand_id").as("vid"), col("cv").as("vec"))
+    // deterministic bounded probe sample; fall back to the head when the
+    // thinned stream can't fill it (tiny corpus)
+    val thinned = corpus.filter(pmod(xxhash64(col("vid").cast("string")), lit(7)) === 0)
+      .limit(sampleN)
+    val probes0 = thinned.localCheckpoint()
+    val probes = if (probes0.count() >= math.min(sampleN, 8).toLong) probes0
+      else corpus.limit(sampleN).localCheckpoint()
+    // ids surface as strings so the estimate stays id-type agnostic
+    val exact = SimilaritySearch.knnJoinBrute(probes, corpus, "vid", "vec", k)
+      .select(col("query_id").cast("string"), col("cand_id").cast("string"))
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = searchIndex(probes, dir, "vid", "vec", k, nProbe)
+      .select(col("query_id").cast("string"), col("cand_id").cast("string"))
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.toSeq.map { case (q, truth) =>
+      if (truth.isEmpty) 1.0
+      else (truth & approx.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size
+  }
+
+  /** The documented maintenance trigger: measure recall, retrain (full
+    * [[build]] from the indexed vectors themselves — `cells/` holds every
+    * vector, so no external corpus handle is needed) only when it has
+    * dropped below `threshold`. Returns the pre-retrain estimate and
+    * whether a retrain ran. Idempotent and safe to run after every append
+    * wave or on a schedule; the retrain holds the writer lease via
+    * [[build]]. */
+  def retrainIfDrifted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.7, k: Int = 10, sampleN: Int = 64,
+      cfg: Config = Config()): (Double, Boolean) = {
+    val recall = recallEstimate(spark, dir, k, sampleN, cfg.nProbe)
+    if (recall >= threshold) (recall, false)
+    else {
+      val corpus = readCells(spark, dir)
+        .select(col("cand_id"), col("cv")).localCheckpoint()
+      build(corpus, "cand_id", "cv", dir, cfg)
+      (recall, true)
+    }
   }
 }

@@ -234,6 +234,138 @@ class TextDedupIndexSpec extends AnyFunSuite {
       "ledger idx-mark must make the replayed batch a no-op for the index")
   }
 
+  private def dataFiles(path: String): Int = {
+    val d = new java.io.File(path)
+    if (!d.exists()) 0
+    else d.listFiles().count(f => f.isFile
+      && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  test("continuous appends keep the index file count bounded (auto-compaction)") {
+    val dir = GraftTestSpark.tmpDir("lsh-compact")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val before = TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+      .select(col("new_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    // 12 appends of 8 novel docs each: every append writes up to
+    // defaultParallelism band files, so without compaction bands/ would hold
+    // ~48 files — past the 8×parallelism=32 threshold
+    (0 until 12).foreach { i =>
+      val batch = (0 until 8).map(j => novel(9000000L + i * 100 + j, s"zz${i}x$j"))
+        .toDF("doc_id", "text")
+      TextDedupIndex.appendDocs(batch, dir, "doc_id", "text", cfg)
+    }
+    val bound = 8 * spark.sparkContext.defaultParallelism
+    assert(dataFiles(s"$dir/bands") <= bound,
+      s"bands/ holds ${dataFiles(s"$dir/bands")} files, threshold $bound")
+    assert(dataFiles(s"$dir/sets") <= bound,
+      s"sets/ holds ${dataFiles(s"$dir/sets")} files, threshold $bound")
+    // compaction is a re-layout, never a different answer: the appended
+    // docs are novel (no cross-matches), so the planted probes must find
+    // exactly the pre-append pair set
+    val after = TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+      .select(col("new_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(after === before, "search results must be unchanged by compaction")
+    // and the explicit entry point compacts below any requested bound
+    TextDedupIndex.compact(spark, dir, maxFiles = spark.sparkContext.defaultParallelism)
+    assert(dataFiles(s"$dir/bands") <= spark.sparkContext.defaultParallelism)
+    val again = TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+      .select(col("new_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(again === before)
+  }
+
+  test("appendDocs does not re-append already-indexed short fingerprints") {
+    val dir = GraftTestSpark.tmpDir("lsh-shortfp")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    TextDedupIndex.appendDocs(
+      Seq((9400001L, "tiny stub2"), (9400002L, "uniq stub3")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", cfg)
+    val n1 = spark.read.parquet(s"$dir/shortfp").count()
+    // the same short text arriving again under a new id (direct appendDocs,
+    // no curateBatch pre-drop) must not grow the fingerprint table
+    TextDedupIndex.appendDocs(
+      Seq((9400003L, "tiny stub2")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", cfg)
+    val n2 = spark.read.parquet(s"$dir/shortfp").count()
+    assert(n2 === n1, "duplicate short-doc fingerprints must be anti-joined away")
+    assert(spark.read.parquet(s"$dir/shortfp").distinct().count() === n2)
+  }
+
+  test("two concurrent curators serialize on the writer lease (no double-keep)") {
+    val dir = GraftTestSpark.tmpDir("lsh-hammer")
+    val outA = GraftTestSpark.tmpDir("curate-a")
+    val outB = GraftTestSpark.tmpDir("curate-b")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    // two "sessions" race curateBatch with IDENTICAL novel texts under
+    // different ids: whichever batch appends first must make the other's
+    // docs all match (jaccard 1.0) and drop. Interleaving (both staging
+    // their survivors before either appends) would keep both copies — the
+    // lease makes the whole read-decide-append cycle atomic per curator.
+    val texts = (0 until 6).map(i => novel(0L, s"hh$i")._2)
+    val batchA = texts.zipWithIndex.map { case (t, i) => (9100000L + i, t) }
+      .toDF("doc_id", "text")
+    val batchB = texts.zipWithIndex.map { case (t, i) => (9200000L + i, t) }
+      .toDF("doc_id", "text")
+    @volatile var keptA: Set[Long] = null
+    @volatile var keptB: Set[Long] = null
+    @volatile var err: Throwable = null
+    def curator(batch: org.apache.spark.sql.DataFrame, out: String,
+        sink: Set[Long] => Unit) = new Thread(() =>
+      try sink(TextDedupIndex.curateBatch(batch, dir, out, "doc_id", "text", cfg).toSet)
+      catch { case t: Throwable => err = t })
+    val ta = curator(batchA, outA, keptA = _)
+    val tb = curator(batchB, outB, keptB = _)
+    ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+    assert(err == null, s"curator failed: $err")
+    assert(keptA != null && keptB != null, "a curator timed out")
+    assert(keptA.size + keptB.size === 6,
+      s"exactly one copy of each text must survive across the two curators " +
+        s"(A kept ${keptA.size}, B kept ${keptB.size})")
+    // the index is consistent after the race: the stored census matches a
+    // recount of the bands table, and no text is indexed under both ids
+    val counts = spark.read.parquet(s"$dir/counts")
+      .as[(Long, Long)].collect().toMap
+    val recounted = spark.read.parquet(s"$dir/bands")
+      .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts === recounted, "census must match the bands table after the race")
+    assert(!new java.io.File(leaseFile(dir)).exists(), "lease must be released")
+  }
+
+  private def leaseFile(dir: String) = s"$dir/.graft-writer-lease"
+
+  test("stream start sweeps orphaned staging dirs; the ledger stays bounded") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = GraftTestSpark.tmpDir("lsh-sweep")
+    val feed = GraftTestSpark.tmpDir("sweep-feed")
+    val out = GraftTestSpark.tmpDir("sweep-out")
+    val ckpt = GraftTestSpark.tmpDir("sweep-ckpt")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    // a staging dir orphaned by a crashed attempt that never out-marked
+    val orphan = new java.io.File(s"$dir/staging/orphan-attempt")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("junk.parquet"),
+      "x".getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val input = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$feed/*")
+      val q = TextDedupIndex.curateStream(input, dir, out, ckpt,
+        "doc_id", "text", cfg, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    Seq(novel(9500001L, "sw1")).toDF("doc_id", "text").write.parquet(s"$feed/b1")
+    runOnce()
+    assert(!orphan.exists(), "unreferenced staging orphan must be swept on start")
+    Seq(novel(9500002L, "sw2")).toDF("doc_id", "text").write.parquet(s"$feed/b2")
+    runOnce()
+    // ledger hygiene: the idx-mark supersedes the out-mark, and marks of
+    // committed batches are pruned — O(1) files, not one pair per batch
+    val ledger = new java.io.File(s"$ckpt/graft-curate-ledger")
+    val marks = ledger.listFiles().map(_.getName).filterNot(_.startsWith("."))
+    assert(marks.length <= 1, s"ledger must stay bounded, holds: ${marks.mkString(",")}")
+    assert(marks.forall(_.startsWith("idx-")),
+      "only the newest idx-mark survives (out-marks die when their idx-mark lands)")
+  }
+
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)

@@ -31,6 +31,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("winnow-oracle precondition: the documents corpus is ASCII") {
+    // The t_winnow/t_winnow_pairs DuckDB oracles replay the char-gram hash
+    // with `unicode(ch)` (codepoints), which equals the kernel's UTF-16
+    // `charAt` code units ONLY for BMP text — and DuckDB's lower() can
+    // disagree with Java's outside ASCII. The oracle comment assumes an
+    // ASCII corpus; this spec ENFORCES it (ADVICE r5): if the generator
+    // ever emits non-ASCII documents, this fails and those oracles must be
+    // demoted to rows-only.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val offenders = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .as[(Long, String)].collect()
+        .filter { case (_, t) => t.exists(_ >= 0x80) }
+      assert(offenders.isEmpty,
+        s"non-ASCII document text in $dir breaks the winnow oracle's " +
+          s"code-unit assumption: ids ${offenders.take(5).map(_._1).mkString(",")}")
+    }
+  }
+
   test("fingerprints are deterministic, sorted, distinct, and short text-safe") {
     val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text")
       .filter(col("doc_id") === 1).first().getSeq[Long](1)

@@ -70,6 +70,100 @@ class IvfSpec extends AnyFunSuite {
     assert(hits.exists(r => r._2 == 7L && r._3 >= 0.999999))
   }
 
+  test("continuous appends keep the inverted file's file count bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    val cfg = IvfIndex.Config(nCentroids = 16, nProbe = 8)
+    IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+    val queries = emb.filter(col("vec_id") < 20)
+    val before = IvfIndex.searchIndex(queries, dir, "vec_id", "embedding", 5, cfg.nProbe)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // 12 append waves of fresh ids; each writes up to defaultParallelism
+    // files into cells/ — without compaction ~48 files, past the 32 threshold
+    (0 until 12).foreach { i =>
+      val wave = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 100000L + i * 100L).as("vec_id"),
+          col("embedding"), col("label"))
+      IvfIndex.appendVectors(wave, "vec_id", "embedding", dir)
+    }
+    val files = new java.io.File(s"$dir/cells").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val bound = 8 * spark.sparkContext.defaultParallelism
+    assert(files <= bound, s"cells/ holds $files files, threshold $bound")
+    // compaction re-lays-out the same rows: original probes still find the
+    // same original neighbors among the (now larger) corpus — re-derive on
+    // the brute-force side to confirm nothing was lost or duplicated
+    assert(spark.read.parquet(s"$dir/cells").count() === emb.count() + 12 * 8)
+    assert(spark.read.parquet(s"$dir/cells")
+      .select("cand_id").distinct().count() === emb.count() + 12 * 8)
+    val after = IvfIndex.searchIndex(queries, dir, "vec_id", "embedding", 5, cfg.nProbe)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // appended waves clone vec_id<8, so queries 0-7 legitimately gain
+    // exact-dup neighbors; queries 8-19 saw no new competitive candidates
+    assert(after.filter(_._1 >= 8) === before.filter(_._1 >= 8),
+      "compaction must not change search results for unaffected queries")
+  }
+
+  // ---- recall drift --------------------------------------------------------
+
+  /** Clustered synthetic corpus in 6-d: A-vectors sit on axes e0..e3 (4
+    * tight clusters a 4-cell quantizer separates perfectly). Drifted
+    * B-vectors occupy a brand-NEW direction (e4) the quantizer has no
+    * centroid for: their cell assignment falls to the small dims-0..3 noise
+    * (≈ a random cell among the four axis centroids), while true-neighbor
+    * ranking is dominated by the much larger dim-5 spread — orthogonal to
+    * the assignment signal. So a drifted probe's nearest neighbors are
+    * scattered across cells it does not probe (nProbe=1), and recall decays
+    * silently — the exact geometry "retrain when drift degrades recall"
+    * exists for. */
+  private def axisVec(axis: Int, r: scala.util.Random): Array[Float] = {
+    val v = new Array[Float](6); v(axis) = 1f
+    v(4) = (r.nextFloat() - 0.5f) * 0.3f; v(5) = (r.nextFloat() - 0.5f) * 0.3f; v
+  }
+  private def driftVec(r: scala.util.Random): Array[Float] = {
+    val v = new Array[Float](6)
+    (0 until 4).foreach(i => v(i) = (r.nextFloat() - 0.5f) * 0.5f)
+    v(4) = 1f
+    v(5) = (r.nextFloat() - 0.5f) * 1.6f
+    v
+  }
+
+  test("recall drift is detected on a shifted append and repaired by retrain") {
+    val rnd = new scala.util.Random(7L)
+    val aVecs = (0 until 120).map(i => (i.toLong, axisVec(i % 4, rnd)))
+    // 2× the standing corpus: drift big enough that a corpus-proportional
+    // probe sample must surface it (a trace amount of drift SHOULD read as
+    // high overall recall — the monitor measures the corpus as served)
+    val bVecs = (0 until 240).map(i => (1000L + i, driftVec(rnd)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    val cfg = IvfIndex.Config(nCentroids = 4, nProbe = 1, iters = 10)
+    IvfIndex.build(aVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, cfg)
+    val recall0 = IvfIndex.recallEstimate(spark, dir, k = 5, sampleN = 64, nProbe = 1)
+    assert(recall0 >= 0.9, s"on-distribution recall should be near-exact, got $recall0")
+    // no drift yet: the trigger must NOT retrain
+    val (r0, retrained0) = IvfIndex.retrainIfDrifted(spark, dir,
+      threshold = 0.85, k = 5, sampleN = 64, cfg = cfg.copy(nProbe = 1))
+    assert(!retrained0, s"no-drift estimate $r0 must not trigger a retrain")
+
+    IvfIndex.appendVectors(bVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    val recall1 = IvfIndex.recallEstimate(spark, dir, k = 5, sampleN = 64, nProbe = 1)
+    assert(recall1 < recall0 - 0.1,
+      s"boundary-straddling drift must degrade measured recall: $recall0 -> $recall1")
+
+    // the documented maintenance rule: retrain when measured recall sinks
+    // below threshold — the rebuilt quantizer (trained on the drifted
+    // corpus, with budget for the new clusters) recovers it
+    val (rPre, retrained) = IvfIndex.retrainIfDrifted(spark, dir,
+      threshold = 0.85, k = 5, sampleN = 64,
+      cfg = IvfIndex.Config(nCentroids = 8, nProbe = 1, iters = 10))
+    assert(retrained, s"recall $rPre below 0.85 must trigger a retrain")
+    assert(rPre < 0.85)
+    val recall2 = IvfIndex.recallEstimate(spark, dir, k = 5, sampleN = 64, nProbe = 1)
+    assert(recall2 > recall1 + 0.05,
+      s"retrain must recover recall: $recall1 -> $recall2")
+    // nothing lost by the rebuild-from-cells
+    assert(spark.read.parquet(s"$dir/cells").count() === 360L)
+  }
+
   test("self-similar vectors land in the same cell (dup search works)") {
     val dup = emb.filter(col("vec_id") === 7)
       .select((col("vec_id") + 50000).as("vec_id"), col("embedding"), col("label"))
