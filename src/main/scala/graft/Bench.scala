@@ -81,6 +81,15 @@ object Bench {
     (used, max)
   }
 
+  /** A swallowed failure poisons round-over-round comparison silently (a
+    * crashed suite LOWERS the reported total); every catch below routes
+    * through here so the sentinel is always paired with a diagnosable
+    * stack trace and a loud end-of-run failure record + nonzero exit. */
+  private def failed(section: String, e: Throwable): Unit = {
+    System.err.println(s"[bench] SUITE FAILED: $section — $e")
+    e.printStackTrace()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.localFromEnv("graft-bench")
@@ -100,23 +109,23 @@ object Bench {
     // the query loop: a heap full of query-stage leftovers was observed to
     // degrade the write-heavy pipeline measurement several-fold.
     val rates = try PipelineBench.run(spark, sfDir, listener)
-    catch { case _: Throwable => PipelineBench.FailedRates }
+    catch { case e: Throwable => failed("pipeline", e); PipelineBench.FailedRates }
 
     // Adversarial-skew corpus (hot key ×10⁴, one day carrying 50% of rows),
     // measured by the same machinery — the uniform-vs-skew ratio is the
     // robustness number.
     val skew = try GenSkew.bench(spark, sfDir, listener)
-    catch { case _: Throwable => PipelineBench.FailedRates }
+    catch { case e: Throwable => failed("skew", e); PipelineBench.FailedRates }
 
     // Hot JOIN key (one customer = half of orders): skew-vs-uniform wall for
     // the join-chain and ranking-window headline shapes.
     val joinSkew = try GenSkew.benchJoinSkew(spark, sfDir)
-    catch { case _: Throwable => GenSkew.JoinSkewFailed }
+    catch { case e: Throwable => failed("join_skew", e); GenSkew.JoinSkewFailed }
 
     // The engine as deployed: continuous-trigger streaming ingest with the
     // dedupe job firing concurrently (EtlApp's shape).
     val stream = try StreamBench.run(spark, sfDir)
-    catch { case _: Throwable => StreamBench.Empty }
+    catch { case e: Throwable => failed("streaming", e); StreamBench.Empty }
 
     def ratio(num: Double, den: Double): String =
       if (num >= 0 && den > 0) f"${num / den}%.2f" else "-1"
@@ -126,7 +135,8 @@ object Bench {
     // fixpoint), so they get one warm + one timed pass each, recorded as
     // standalone fields — round-over-round headline totals stay comparable.
     def timedExtra(name: String): Double =
-      try { runOnce(name); runOnce(name) } catch { case _: Throwable => -1.0 }
+      try { runOnce(name); runOnce(name) }
+      catch { case e: Throwable => failed(s"extra:$name", e); -1.0 }
     val ccSec = timedExtra("t_dup_clusters")
     val passageSec = timedExtra("t_passage_dedup")
 
@@ -155,7 +165,7 @@ object Bench {
         val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
         (build, search, recall)
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    } catch { case e: Throwable => failed("ivf_lifecycle", e); (-1.0, -1.0, -1.0) }
 
     // Persisted text-dedup (MinHash-LSH) lifecycle: index the documents
     // corpus once, then the incremental dedupe-new-against-corpus search —
@@ -181,7 +191,7 @@ object Bench {
         once() // warm
         (build, once())
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
-    } catch { case _: Throwable => (-1.0, -1.0) }
+    } catch { case e: Throwable => failed("lsh_lifecycle", e); (-1.0, -1.0) }
 
     // Curation lifecycle — the DEPLOYED shape of the LSH index (VERDICT r5
     // #2): one leased curateBatch against a standing index (wall +
@@ -244,7 +254,7 @@ object Bench {
         val ws = walls.asScala.map(_.doubleValue).toSeq
         (cbWall, survPerSec, ws.size, BenchUtil.median(ws), BenchUtil.p95(ws))
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
-    } catch { case _: Throwable => (-1.0, -1.0, 0, -1.0, -1.0) }
+    } catch { case e: Throwable => failed("curation", e); (-1.0, -1.0, 0, -1.0, -1.0) }
 
     val results: Seq[(String, QStats)] = Registry.headline.map { q =>
       val st = try {
@@ -255,13 +265,34 @@ object Bench {
         val d = listener.settled() - s0
         QStats(walls, d.cpuNs / 1e9, d.gcMs / 1e3, d.runMs / 1e3,
           (d.shufReadB + d.shufWriteB) / 1e6, la)
-      } catch { case _: Throwable => QStats(Seq(-1.0, -1.0, -1.0), -1, -1, -1, -1, -1) }
+      } catch { case e: Throwable =>
+        failed(s"query:${q.name}", e); QStats(Seq(-1.0, -1.0, -1.0), -1, -1, -1, -1, -1) }
       q.name -> st
     }
 
     def jmap(f: QStats => String): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2.median).filter(_ >= 0).sum
+    // Failure accounting (ADVICE r6): a crashed suite must NEVER read as a
+    // win. Any failed headline query poisons the total (-1, not a smaller
+    // sum); every failed section is named in the record; any failure makes
+    // the run exit nonzero so exit-code round gating catches it.
+    val failedQueries = results.collect { case (n, s) if s.median < 0 => n }
+    val failedSections = Seq(
+      "pipeline" -> (rates.ingestSec < 0),
+      "skew" -> (skew.ingestSec < 0),
+      "join_skew" -> (joinSkew.q3Skew < 0 || joinSkew.wrankSkew < 0),
+      // streaming "ran but did no dedupe work" is a failure too: the corpus
+      // always contains duplicates, so 0 removed means the dedupe job never
+      // executed and rows/s is not comparable to a healthy round (r6 lesson).
+      "streaming" -> (stream.batches <= 0 || stream.quietRuns <= 0 || stream.dupesRemoved <= 0),
+      "extra:t_dup_clusters" -> (ccSec < 0),
+      "extra:t_passage_dedup" -> (passageSec < 0),
+      "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0),
+      "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
+      "curation" -> (curateBatchSec < 0 || csBatches <= 0)
+    ).collect { case (n, true) => n }
+    val failedCount = failedQueries.size + failedSections.size
+    val total = if (failedQueries.nonEmpty) -1.0 else results.map(_._2.median).sum
     val (ccUsed, ccMax) = codeCacheMb
     // Field ORDER is load-bearing: the driver snapshots only the TAIL of the
     // bench output, so the large per-run diagnostic dicts go FIRST and the
@@ -324,6 +355,9 @@ object Bench {
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +
       s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
       s""""dedupe_windowed_sec":${f"${rates.windowedDedupeSec}%.3f"},""" +
+      s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""failed_sections":${failedSections.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""failed_count":$failedCount,""" +
       s""""total":$total,"value":$total}"""
     // Belt and braces: persist the full record where a repo snapshot finds it
     // even if stdout capture truncates. GRAFT_BENCH_OUT redirects (e.g. an
@@ -335,5 +369,10 @@ object Bench {
     } catch { case _: Throwable => () }
     println(json)
     spark.stop()
+    if (failedCount > 0) {
+      System.err.println(s"[bench] $failedCount suite(s) failed: " +
+        (failedQueries ++ failedSections).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -16,18 +16,36 @@ object Verify {
     // Four queries in flight: the Spark scheduler interleaves their jobs, so
     // one query's single-task stages don't serialize the whole dump.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            System.err.println(s"[verify] $name FAILED: $e")
+            e.printStackTrace()
+            failures.put(name, String.valueOf(e)): Unit
           }
       })
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // A query that throws leaves no parquet behind and would silently drop
+    // out of the correctness battery (r6: a testdata schema change erased 15
+    // queries from the gate with rc 0). Record failures somewhere durable —
+    // the repo root — so a shrunken battery can never read as clean.
+    locally {
+      val rec = sys.env.getOrElse("GRAFT_VERIFY_FAILURES", "/root/repo/VERIFY_FAILURES.json")
+      import scala.jdk.CollectionConverters._
+      val body = failures.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""  "${k}": "${v.replace("\\", "\\\\").replace("\"", "'").takeWhile(_ >= ' ')}"""" }
+        .mkString("{\n", ",\n", "\n}")
+      try Files.writeString(Paths.get(rec), body + "\n")
+      catch { case _: Throwable => () }
+      if (!failures.isEmpty)
+        System.err.println(s"[verify] ${failures.size} queries FAILED (recorded in $rec)")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
