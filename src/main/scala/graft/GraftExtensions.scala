@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.{intLit, longLit}
 
   def apply(e: SparkSessionExtensions): Unit = {
+    // Operator-optimization rule: derived-time predicates (unix_micros
+    // chains) gain an equivalent raw-column conjunct the parquet scan can
+    // prune row groups with — see DerivedTimeFilterPushdown's scaladoc.
+    e.injectOptimizerRule(_ => graft.plans.DerivedTimeFilterPushdown)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
@@ -69,6 +73,9 @@ object GraftExtensions {
 
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DerivedTimeFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DerivedTimeFilterPushdown
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       args => CosineSimilarity(args(0), args(1)), "built-in")

@@ -28,6 +28,9 @@ object GraftSession {
   /** Apply Graft's semantic configs to any builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Catalyst extensions: native SQL functions + the derived-time
+      // predicate pushdown rule (graft.plans.DerivedTimeFilterPushdown).
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Static conf, default 100: a workload with dozens of concurrent plans
       // (the registry alone codegens >100 whole-stage kernels) evicts live
       // entries, so a repeated query re-generates + re-loads a fresh class

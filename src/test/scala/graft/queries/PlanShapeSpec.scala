@@ -42,6 +42,16 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
 
+    test(s"derived-time window bounds reach the events scan (DerivedTimeFilterPushdown)$tag") {
+      // the window predicate is written on the DERIVED µs image (ts div
+      // 1000); the optimizer rule must recover raw-column bounds the
+      // parquet reader can prune row groups with — for BOTH physical forms
+      // of ts (timestamp at the test sf, ns long in GenScale output)
+      val p = plan(dir, "h_filter_window")
+      assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThanOrEqual(ts,"),
+        s"h_filter_window: derived window not pushed to the scan:\n$p")
+    }
+
     test(s"no query plans a cartesian or nested-loop join except the brute-force baselines$tag") {
       val exempt = Set("e_cosine_topk", "e_label_stats", "e_dup_pairs_exact") ++
         // CC-composed queries EXECUTE their iterative fixpoint at build time
