@@ -338,6 +338,9 @@ object Bench {
       s""""streaming":{"rows":${stream.rows},"batches":${stream.batches},""" +
       s""""batch_p50_sec":${f"${stream.batchP50Sec}%.3f"},""" +
       s""""batch_p95_sec":${f"${stream.batchP95Sec}%.3f"},""" +
+      s""""first_batch_sec":${f"${stream.firstBatchSec}%.3f"},""" +
+      s""""steady_p50_sec":${f"${stream.steadyP50Sec}%.3f"},""" +
+      s""""steady_p95_sec":${f"${stream.steadyP95Sec}%.3f"},""" +
       s""""rows_per_sec":${stream.rowsPerSec.round},""" +
       s""""dedupe_quiet_sec":${f"${stream.quietDedupeSec}%.3f"},""" +
       s""""dedupe_concurrent_sec":${f"${stream.concurrentDedupeSec}%.3f"},""" +

@@ -46,7 +46,14 @@ object StreamBench {
       quietDedupeSec: Double, concurrentDedupeSec: Double,
       quietRuns: Int, concurrentRuns: Int, dupesRemoved: Long,
       satOfferedRps: Double, satP95Sec: Double, satBacklogPeakRows: Long,
-      satRecoverySec: Double, satRecoveredP50Sec: Double, satDedupeRuns: Int)
+      satRecoverySec: Double, satRecoveredP50Sec: Double, satDedupeRuns: Int,
+      // straggler attribution (VERDICT r5 #7): the stream's FIRST batch
+      // pays whole-stage codegen + state-store init inside its
+      // triggerExecution, so it is a warmup artifact, not a steady-state
+      // latency class. batch_p50/p95 keep including it (round-over-round
+      // comparability); these fields separate it out.
+      firstBatchSec: Double = -1, steadyP50Sec: Double = -1,
+      steadyP95Sec: Double = -1)
 
   val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1,
     -1, -1, -1, -1, -1, 0)
@@ -260,7 +267,10 @@ object StreamBench {
       dupesRemoved = concRemoved.get() + tailRemoved,
       satOfferedRps = satStats._1, satP95Sec = satStats._2,
       satBacklogPeakRows = satStats._3, satRecoverySec = satStats._4,
-      satRecoveredP50Sec = satStats._5, satDedupeRuns = satStats._6)
+      satRecoveredP50Sec = satStats._5, satDedupeRuns = satStats._6,
+      firstBatchSec = batchWalls.headOption.getOrElse(-1.0),
+      steadyP50Sec = BenchUtil.median(batchWalls.drop(1)),
+      steadyP95Sec = BenchUtil.p95(batchWalls.drop(1)))
   }
 
   /** See the call-site comment in [[runIn]]. Returns (offeredRps, p95 under
