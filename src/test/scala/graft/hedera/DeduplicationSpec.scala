@@ -103,6 +103,17 @@ class DeduplicationSpec extends AnyFunSuite {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("day"),
       s"expected day partition filters in:\n$plan")
+    // WITHIN the surviving day directories, the µs window predicate
+    // (written on unix_micros(consensusTimestampTruncated)) must also
+    // reach the scan as raw-timestamp bounds (DerivedTimeFilterPushdown),
+    // so row-group statistics prune inside a day — the second pruning
+    // level the 100 TB windowed repair relies on.
+    // (the rendered PushedFilters list truncates with "..." — assert the
+    // lower bound there and both raw bounds in the Filter condition)
+    assert(plan.contains("GreaterThanOrEqual(consensusTimestampTruncated,") &&
+      "consensusTimestampTruncated#\\d+ >= ".r.findFirstIn(plan).isDefined &&
+      "consensusTimestampTruncated#\\d+ <= ".r.findFirstIn(plan).isDefined,
+      s"µs window not pushed as raw timestamp bounds in:\n$plan")
     // the far-away day contributes nothing and its directory is pruned
     // (20 generated rows + 4 every-5th duplicates land in the window)
     assert(scan.count() === 24)
