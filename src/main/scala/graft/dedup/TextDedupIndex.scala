@@ -22,15 +22,19 @@ import graft.util.{FileLease, SwapDir}
   *       `bands/`   (band_key, doc_id) — the LSH bucket table, repartitioned
   *         and sorted by band_key so parquet row-group min/max stats skip
   *         non-probed buckets;
-  *       `counts/`  (band_key, n)      — the per-bucket census. Search joins
-  *         it with the arriving batch's own band counts so the `maxBucket`
-  *         skew cap applies to the COMBINED bucket size, exactly like the
-  *         transient pipeline's census over the union corpus. Rewrites go
-  *         through [[graft.util.SwapDir]] (stage + rename), so an
-  *         overlapping reader always sees a COMPLETE census — never the
-  *         empty/partial state a plain overwrite exposes for the whole
-  *         write job (which would silently disable the skew cap for that
-  *         probe — ADVICE r5);
+  *       `counts/`  (band_key, n)      — the per-bucket census, stored as
+  *         DELTAS: each append contributes its batch's per-bucket counts
+  *         (O(batch)), readers sum deltas per key after restricting to the
+  *         probed key set, and compaction collapses the table back to one
+  *         row per bucket. Search joins the summed census with the
+  *         arriving batch's own band counts so the `maxBucket` skew cap
+  *         applies to the COMBINED bucket size, exactly like the transient
+  *         pipeline's census over the union corpus. The delta write LEADS
+  *         the bands append, so a lock-free reader between the two sees
+  *         census ≥ bands and the cap can only over-trigger (safe);
+  *         compaction rewrites go through [[graft.util.SwapDir]] (stage +
+  *         rename), so an overlapping reader always sees a complete
+  *         census (ADVICE r5);
   *       `shortfp/` (fp)               — exact md5 fingerprints of indexed
   *         docs with NO shingle evidence (shorter than `shingleK` tokens).
   *         Shingle-less docs cannot participate in MinHash matching, so the
@@ -46,14 +50,14 @@ import graft.util.{FileLease, SwapDir}
   *   - [[appendDocs]]: after the keep/drop decision, append the survivors'
   *     sets + bands (+ short fingerprints, anti-joined against the already-
   *     indexed set so direct callers don't grow `shortfp/` without bound)
-  *     and refresh `counts/` with one aggregation over the id-only bucket
-  *     table — the incremental maintenance step (no global rebuild; same
-  *     model as IVF's assign-with-stored-centroids). When any subtable's
-  *     file count passes the compaction threshold, [[compact]] runs in the
-  *     same lease hold — continuous 250 ms-trigger curation would otherwise
-  *     accrete `defaultParallelism` splinter files per batch forever, the
-  *     small-file pathology the fact table's `filesPerDay` layout exists to
-  *     prevent.
+  *     and append the batch's census delta — every maintenance write is
+  *     O(batch); NOTHING per-append touches the corpus-sized tables (no
+  *     global rebuild; same model as IVF's assign-with-stored-centroids).
+  *     When any subtable's file count passes the compaction threshold,
+  *     [[compact]] runs in the same lease hold — continuous 250 ms-trigger
+  *     curation would otherwise accrete `defaultParallelism` splinter
+  *     files per batch forever, the small-file pathology the fact table's
+  *     `filesPerDay` layout exists to prevent.
   *   - [[curateBatch]] / [[curateStream]]: the deployed shape — see below.
   *
   * Family-agnostic: `cfg.portable` selects the same hash family on both the
@@ -159,9 +163,12 @@ object TextDedupIndex {
 
   /** Recompute the per-bucket census from the id-only bands table, staged
     * and swapped in ([[SwapDir]]) so overlapping readers always observe a
-    * complete census (callers hold the writer lease). Band keys are long
-    * for the xxhash64 family, string for the portable one — the census
-    * preserves whichever type the index uses. */
+    * complete census (callers hold the writer lease). BUILD-time only:
+    * appends maintain the census as O(batch) deltas instead (see
+    * appendDocsUnlocked) — this full aggregation is O(corpus) and must
+    * never sit on the per-micro-batch path. Band keys are long for the
+    * xxhash64 family, string for the portable one — the census preserves
+    * whichever type the index uses. */
   private def refreshCounts(spark: SparkSession, dir: String): Unit = {
     val (f, live) = hadoopFs(spark, s"$dir/counts")
     SwapDir.swapIn(f, live) { tmp =>
@@ -208,8 +215,16 @@ object TextDedupIndex {
       .localCheckpoint()
     val newBands = TextDedup.bandRows(newSigs.select(col("doc_id"), col("sig")), cfg)
     val newSets = newSigs.select(col("doc_id"), col("sh"))
+    val newCounts = newBands.groupBy(col("band_key")).agg(count(lit(1)).as("n_new"))
+    // counts/ is a delta table (appendDocs appends per-batch bucket counts;
+    // compaction collapses them): restrict to the batch's keys FIRST
+    // (broadcast semi-join — the batch key set is batch-bounded), then sum
+    // the surviving deltas, so the census read stays O(touched buckets)
+    // regardless of how many appends have accumulated since compaction.
     val corpusCounts = readSub(spark, dir, "counts")
-    val hot = newBands.groupBy(col("band_key")).agg(count(lit(1)).as("n_new"))
+      .join(broadcast(newCounts.select(col("band_key"))), Seq("band_key"), "left_semi")
+      .groupBy(col("band_key")).agg(sum(col("n")).as("n"))
+    val hot = newCounts
       .join(corpusCounts, Seq("band_key"), "left")
       .filter(col("n_new") + coalesce(col("n"), lit(0L)) > cfg.maxBucket)
       .select(col("band_key"))
@@ -279,9 +294,25 @@ object TextDedupIndex {
     val sigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
+    // Census is a DELTA table: append this batch's per-bucket counts
+    // (O(batch)) instead of re-aggregating the whole bands table per
+    // append (O(corpus) — the old refreshCounts swap, which a
+    // 250 ms-trigger curation stream would pay on every micro-batch).
+    // Readers sum deltas per key; compaction below collapses them. The
+    // delta leads the bands append ON PURPOSE: a lock-free reader between
+    // the two writes sees census ≥ bands, so the bucket cap can only
+    // over-trigger (safe) — the old order (bands first, census swapped
+    // last) exposed an under-cap window where a just-appended hot bucket
+    // was not yet in the census.
+    locally {
+      val (cf, clive) = hadoopFs(spark, s"$dir/counts")
+      SwapDir.recover(cf, clive) // crash mid-compaction must not orphan history
+      TextDedup.bandRows(sigs.select(col("doc_id"), col("sig")), cfg)
+        .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(clive.toString)
+    }
     writeBands(sigs.select(col("doc_id"), col("sig")), dir, cfg, "append")
     sigs.write.mode("append").parquet(s"$dir/sets")
-    refreshCounts(spark, dir)
     newDocs.filter(noShingles(textCol, cfg))
       .select(shortFp(textCol)).distinct()
       .join(readShortFp(spark, dir), Seq("fp"), "left_anti")
@@ -319,6 +350,9 @@ object TextDedupIndex {
       .sortWithinPartitions(col("band_key")))
     rewrite("sets")(_.repartition(par, col("doc_id")))
     rewrite("shortfp")(_.distinct().repartition(math.max(1, par / 4)))
+    // collapse census deltas back to one row per bucket
+    rewrite("counts")(_.groupBy(col("band_key")).agg(sum(col("n")).as("n"))
+      .repartition(math.max(1, par / 4), col("band_key")))
   }
 
   // ---- continuous curation -------------------------------------------------

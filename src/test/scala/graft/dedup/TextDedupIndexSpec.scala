@@ -259,6 +259,20 @@ class TextDedupIndexSpec extends AnyFunSuite {
       s"bands/ holds ${dataFiles(s"$dir/bands")} files, threshold $bound")
     assert(dataFiles(s"$dir/sets") <= bound,
       s"sets/ holds ${dataFiles(s"$dir/sets")} files, threshold $bound")
+    assert(dataFiles(s"$dir/counts") <= bound,
+      s"counts/ holds ${dataFiles(s"$dir/counts")} files, threshold $bound")
+    // census-delta invariant: the summed deltas equal a fresh aggregation
+    // of the bands table, bucket for bucket — append order, partial
+    // compactions, and the build's initial census must all compose
+    locally {
+      val summed = spark.read.parquet(s"$dir/counts")
+        .groupBy(col("band_key")).agg(sum(col("n")).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val fresh = spark.read.parquet(s"$dir/bands")
+        .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(summed === fresh, "summed census deltas diverged from the bands table")
+    }
     // compaction is a re-layout, never a different answer: the appended
     // docs are novel (no cross-matches), so the planted probes must find
     // exactly the pre-append pair set
