@@ -31,6 +31,16 @@ object TextQueries {
   private val Shingles4 =
     "list_transform(generate_series(1, len(ws) - 3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
 
+  /** The [[graft.functions.TextFunctions.qualityScore]] formula's 6-dp
+    * DuckDB image over a bound token list `ws` — shared by t_quality and
+    * t_best_of_cluster (which ORDERS by it, so survivor choice rides the
+    * oracle-exact rounded value, never a last-bit double). */
+  private val QualitySql =
+    """floor((0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+      |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+      |      + 0.3 * least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      |                     / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)) * 1000000 + 0.5) / 1000000""".stripMargin
+
   /** Guarded eval-side join for decontamination: broadcast the eval n-gram
     * dictionary only while it is PROVABLY small. "Eval ≪ train" is an
     * assumption, not an invariant — nothing stops a caller pointing the
@@ -315,10 +325,7 @@ object TextQueries {
         qualityScore(col("text")).as("quality"),
         graft.operators.RelationalOps.round6(punctRatio(col("text"))).as("punct_ratio")),
       Some(s"""SELECT doc_id,
-              |  floor((0.4 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-              |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
-              |      + 0.3 * least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-              |                     / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)) * 1000000 + 0.5) / 1000000 AS quality,
+              |  $QualitySql AS quality,
               |  floor((CASE WHEN length(text) = 0 THEN 0.0
               |        ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
               |             / CAST(length(text) AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS punct_ratio
@@ -784,6 +791,130 @@ object TextQueries {
              |  md5(nfc_normalize(text || ' café naïve')) AS nfc_md5,
              |  CAST(length(text || ' café naïve') AS BIGINT) AS len_raw,
              |  CAST(length(nfc_normalize(text || ' café naïve')) AS BIGINT) AS len_nfc
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Deterministic global shuffle into fixed training shards — the
+    // curated-corpus → shard-writer step every pretraining pipeline ends
+    // with: each doc gets a salted-hash shard (pure per-row map, ZERO
+    // shuffle for the assignment) and a position within its shard (the
+    // within-shard hash order = the global random permutation restricted to
+    // the shard). The within-shard row_number is a window PARTITIONED BY
+    // shard: physically `repartition(shard) + sortWithinPartitions(h)` —
+    // exactly the shard-writer plan, one shuffle whose partition count is
+    // the shard count. At 100 TB the shard count scales with the corpus
+    // (2^14+ shards → ~GB-sized sorts per task); there is never a global
+    // sort. Full oracle: the md5-prefix hash (portableHash60) is replayed
+    // in DuckDB.
+    Q("t_shard_shuffle",
+      (s, dir) => {
+        val nShards = 16L
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"),
+            portableHash60(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("shard", pmod(col("h"), lit(nShards)))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM hx""".stripMargin)),
+
+    // Token-budget mixture sampling — the data-mixing step: each source
+    // (domain) gets a token budget; docs are admitted in salted-hash
+    // priority order until their START offset passes the budget. The
+    // running sum is computed in TWO PHASES so no single source ever needs
+    // a global sort: (1) docs are bucketed by the hash's HIGH bits (so
+    // (bucket, h) order ≡ h order), per-(source,bucket) token subtotals are
+    // prefix-summed on the tiny aggregated frame (sources × ≤256 rows);
+    // (2) the exact within-bucket running sum (window per (source,bucket))
+    // is added to the broadcast bucket offset. A hot source costs many
+    // bucket-sized sorts, never one source-sized sort — the decomposition
+    // a 100 TB mixer needs. Budgets are a deterministic salted function of
+    // the source name (stand-in for a weights table; a real weights
+    // dimension would broadcast identically). Full oracle: DuckDB computes
+    // the same admission with ONE flat window per source — the two-phase
+    // decomposition must be exactly invisible in the result.
+    Q("t_mix_sample",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_tokens"),
+            portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("bucket", (col("h") / lit(1L << 52)).cast("long"))
+        val sub = base.groupBy(col("source"), col("bucket"))
+          .agg(sum(col("n_tokens")).as("bt"))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val off = sub.withColumn("bucket_off", sum(col("bt")).over(wOff) - col("bt"))
+          .select(col("source"), col("bucket"), col("bucket_off"))
+        val wIn = Window.partitionBy(col("source"), col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.join(broadcast(off), Seq("source", "bucket"))
+          .withColumn("start_off",
+            col("bucket_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+          .withColumn("budget",
+            pmod(portableHash60(concat(lit("budget:"), col("source"))), lit(800L)) + 200L)
+          .filter(col("start_off") < col("budget"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("start_off"), col("budget"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, source,
+              |    CAST(len($WS) AS BIGINT) AS n_tokens,
+              |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              |  FROM documents),
+              |r AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off,
+              |    CAST(('0x' || substr(md5('budget:' || source), 1, 15))::BIGINT % 800
+              |         + 200 AS BIGINT) AS budget
+              |  FROM b)
+              |SELECT doc_id, source, n_tokens, start_off, budget
+              |FROM r WHERE start_off < budget""".stripMargin)),
+
+    // Quality-priority dedup survivor selection: within each near-dup
+    // CLUSTER (t_dup_clusters' connected components) keep the HIGHEST-
+    // QUALITY member, not the min-id one — what a curation pipeline
+    // actually wants when duplicates differ in boilerplate/truncation.
+    // Ordering uses the 6-dp-ROUNDED quality (the oracle-exact image both
+    // engines agree on byte-for-byte) with the id as tiebreak, so survivor
+    // choice is deterministic and engine-independent. Both window
+    // functions share one (cluster_id) partitioning — a single shuffle,
+    // partition count = cluster count (clusters are near-dup groups,
+    // bounded small by construction). Full oracle: recursive-CTE cluster
+    // fixpoint + the t_quality scoring expression + the same window.
+    Q("t_best_of_cluster",
+      (s, dir) => {
+        val q = docs(s, dir).select(col("doc_id"),
+          graft.operators.RelationalOps.round6(qualityScore(col("text"))).as("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        clusteredDocs(s, dir).join(q, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+            col("quality"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $ClusterCtes,
+              |ql AS (
+              |  SELECT doc_id, $QualitySql AS quality
+              |  FROM (SELECT doc_id, text, $WS AS ws FROM documents)),
+              |jc AS (
+              |  SELECT c.cluster_id, c.doc_id, ql.quality
+              |  FROM clustered c JOIN ql USING (doc_id))
+              |SELECT cluster_id, doc_id AS keep_doc_id, quality, n_members FROM (
+              |  SELECT cluster_id, doc_id, quality,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |                       ORDER BY quality DESC, doc_id) AS rn,
+              |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+              |  FROM jc) WHERE rn = 1""".stripMargin))
   )
 }

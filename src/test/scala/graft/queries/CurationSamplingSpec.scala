@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.GraftTestSpark
+
+/** Semantic pins for the shard-shuffle / mixture-sampling / best-of-cluster
+  * curation operators (their byte-for-byte values are pinned by the DuckDB
+  * oracle gate; these assert the INVARIANTS a training pipeline relies on).
+  */
+class CurationSamplingSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val dir = GraftTestSpark.sfDir
+
+  private def run(name: String) =
+    Registry.byName(name).build(spark, dir)
+
+  test("t_shard_shuffle is a permutation: every doc once, positions contiguous per shard") {
+    val df = run("t_shard_shuffle").cache()
+    try {
+      val docs = graft.Tables.load(spark, dir, "documents")
+      assert(df.count() == docs.count())
+      assert(df.select("doc_id").distinct().count() == docs.count())
+      // Per shard: pos is exactly 1..n (max == count and distinct == count).
+      val bad = df.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+          countDistinct("pos").as("nd"))
+        .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+        .count()
+      assert(bad == 0L)
+      // The salted hash spreads docs: every shard is populated at sf0.001
+      // (~100+ docs over 16 shards) and no shard holds the majority.
+      val sizes = df.groupBy("shard").count().collect().map(_.getLong(1))
+      assert(sizes.length == 16)
+      assert(sizes.max < df.count() / 2)
+    } finally df.unpersist()
+  }
+
+  test("t_shard_shuffle is deterministic across runs") {
+    val a = run("t_shard_shuffle").collect().toSet
+    val b = run("t_shard_shuffle").collect().toSet
+    assert(a == b)
+  }
+
+  test("t_mix_sample admits exactly the prefix of the per-source hash order within budget") {
+    val df = run("t_mix_sample").cache()
+    try {
+      // Every admitted doc starts inside its source's budget.
+      assert(df.filter(col("start_off") >= col("budget")).count() == 0L)
+      // Budgets are per-source constants in [200, 1000).
+      val budgets = df.select("source", "budget").distinct()
+      assert(budgets.groupBy("source").count().filter(col("count") > 1).count() == 0L)
+      assert(df.filter(col("budget") < 200L || col("budget") >= 1000L).count() == 0L)
+      // Prefix property: per source, the admitted set's token mass equals
+      // max(start_off) + its doc's tokens — no gaps in the running sum.
+      val agg = df.groupBy("source").agg(
+        sum("n_tokens").as("mass"),
+        max(struct(col("start_off"), col("n_tokens"))).as("last"))
+      val bad = agg.filter(
+        col("mass") =!= col("last.start_off") + col("last.n_tokens")).count()
+      assert(bad == 0L)
+    } finally df.unpersist()
+  }
+
+  test("t_mix_sample two-phase running sum equals the flat per-source prefix sum") {
+    // Recompute start_off the naive way (one window per source) and compare.
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tokens"),
+      portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = base
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("start_off"))
+    val twoPhase = run("t_mix_sample").select(col("doc_id"), col("start_off"))
+    // Compare on the admitted subset (flat restricted by join).
+    val diff = twoPhase.as("a").join(flat.as("b"), Seq("doc_id"))
+      .filter(col("a.start_off") =!= col("b.start_off")).count()
+    assert(diff == 0L)
+  }
+
+  test("t_best_of_cluster keeps exactly one max-quality survivor per cluster") {
+    val surv = run("t_best_of_cluster").cache()
+    try {
+      // One survivor per cluster id.
+      assert(surv.groupBy("cluster_id").count().filter(col("count") > 1).count() == 0L)
+      // Survivor quality is the cluster max (recompute independently).
+      val docs = graft.Tables.load(spark, dir, "documents")
+      val q = docs.select(col("doc_id"),
+        graft.operators.RelationalOps.round6(
+          graft.functions.TextFunctions.qualityScore(col("text"))).as("q"))
+      val clusters = Registry.byName("t_dup_clusters").build(spark, dir)
+      val maxQ = clusters.join(q, "doc_id")
+        .groupBy("cluster_id").agg(max("q").as("max_q"), count(lit(1)).as("n"))
+      val joined = surv.join(maxQ, "cluster_id")
+      assert(joined.filter(col("quality") =!= col("max_q")).count() == 0L)
+      assert(joined.filter(col("n_members") =!= col("n")).count() == 0L)
+      // Cluster coverage: one survivor per distinct cluster.
+      assert(surv.count() == clusters.select("cluster_id").distinct().count())
+    } finally surv.unpersist()
+  }
+}
