@@ -139,6 +139,11 @@ object Bench {
       catch { case e: Throwable => failed(s"extra:$name", e); -1.0 }
     val ccSec = timedExtra("t_dup_clusters")
     val passageSec = timedExtra("t_passage_dedup")
+    // r7 curation additions: shard-writer permutation, mixture sampling,
+    // best-of-cluster survivor selection (re-runs the CC fixpoint — heavy).
+    val shardSec = timedExtra("t_shard_shuffle")
+    val mixSec = timedExtra("t_mix_sample")
+    val bestOfSec = timedExtra("t_best_of_cluster")
 
     // Persisted-ANN lifecycle: one-time quantizer train + inverted-file
     // write (build), then the search-only latency a STANDING index gives —
@@ -192,6 +197,23 @@ object Bench {
         (build, once())
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
     } catch { case e: Throwable => failed("lsh_lifecycle", e); (-1.0, -1.0) }
+
+    // Sharded-corpus sink (r7): the terminal write of a curation pipeline —
+    // placement map + one repartition + in-task sort + atomic swap, with
+    // the manifest computed in-job. Warm then timed, like the lifecycles.
+    val shardWriteSec = try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-shardw").toString
+      try {
+        val docs = Tables.load(spark, sfDir, "documents")
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.sources.ShardWriter.write(docs, "doc_id", dir, 16)
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm (codegen + listing)
+        once()
+      } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+    } catch { case e: Throwable => failed("shard_write", e); -1.0 }
 
     // Curation lifecycle — the DEPLOYED shape of the LSH index (VERDICT r5
     // #2): one leased curateBatch against a standing index (wall +
@@ -287,8 +309,12 @@ object Bench {
       "streaming" -> (stream.batches <= 0 || stream.quietRuns <= 0 || stream.dupesRemoved <= 0),
       "extra:t_dup_clusters" -> (ccSec < 0),
       "extra:t_passage_dedup" -> (passageSec < 0),
+      "extra:t_shard_shuffle" -> (shardSec < 0),
+      "extra:t_mix_sample" -> (mixSec < 0),
+      "extra:t_best_of_cluster" -> (bestOfSec < 0),
       "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0),
       "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
+      "shard_write" -> (shardWriteSec < 0),
       "curation" -> (curateBatchSec < 0 || csBatches <= 0)
     ).collect { case (n, true) => n }
     val failedCount = failedQueries.size + failedSections.size
@@ -316,10 +342,14 @@ object Bench {
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
       s""""cc_clusters_sec":${f"$ccSec%.3f"},""" +
       s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
+      s""""shard_shuffle_sec":${f"$shardSec%.3f"},""" +
+      s""""mix_sample_sec":${f"$mixSec%.3f"},""" +
+      s""""best_of_cluster_sec":${f"$bestOfSec%.3f"},""" +
       s""""ivf_build_sec":${f"$ivfBuildSec%.3f"},""" +
       s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""" +
       s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""" +
       s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""" +
+      s""""shard_write_sec":${f"$shardWriteSec%.3f"},""" +
       s""""ivf_recall_est":${f"$ivfRecallEst%.3f"},""" +
       s""""curate_batch_sec":${f"$curateBatchSec%.3f"},""" +
       s""""curate_survivors_per_sec":${f"$curateSurvPerSec%.1f"},""" +
