@@ -178,6 +178,106 @@ object Multimodal {
   def featureTable(spark: SparkSession, docs: DataFrame): DataFrame =
     extractImageFeatures(toImageTable(docs, "doc_id")).toDF()
 
+  // ---- audio (PCM s16le) --------------------------------------------------
+
+  /** Windowed audio-frame features over decoded samples — all INTEGER
+    * (peak, energy as exact sum-of-squares, zero crossings), so the values
+    * are engine-portable with no float folding. */
+  final case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
+      peak: Long, sum_sq: Long, zero_crossings: Long)
+
+  /** Planted waveform: sample i of doc d is
+    * `((a·i + b) mod 65536) − 32768` with `a = 13 + d mod 7`,
+    * `b = (31·d) mod 65536` — a full-swing sawtooth whose slope/phase vary
+    * per doc. Pure integer arithmetic, so DuckDB replays it exactly and
+    * the whole byte pipeline (encode → parquet binary → decode → window
+    * stats) gets a FULL oracle: any endianness/sign/windowing bug in the
+    * codec breaks the match. Sample count varies per doc (256..512, a
+    * whole number of frames). */
+  def plantedSampleCount(id: Long): Int = 256 + (id % 5).toInt * 64
+
+  def plantedSample(id: Long, i: Int): Int = {
+    val a = 13 + (id % 7).toInt
+    val b = ((id * 31) % 65536).toInt
+    ((a * i + b) % 65536) - 32768
+  }
+
+  /** The audio codec kernel — 16-bit little-endian PCM, the rawest common
+    * interchange form (WAV body, ffmpeg s16le). Like [[encodeImage]], this
+    * is the one function a real-codec deployment swaps. */
+  def encodePcm16le(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decodePcm16le(payload: Array[Byte]): Array[Int] = {
+    require(payload.length % 2 == 0, "odd PCM16 payload length")
+    val out = new Array[Int](payload.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((payload(2 * i) & 0xff) | (payload(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Synthesize the audio-blob table: one planted PCM clip per doc id,
+    * encoded executor-side (same shape as [[toImageTable]]). */
+  def toAudioTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = plantedSampleCount(id)
+          val samples = Array.tabulate(n)(i => plantedSample(id, i))
+          val bytes = encodePcm16le(samples)
+          BlobRow(id, bytes, "audio/pcm16le", bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** Distributed windowed feature extraction over the DECODED samples:
+    * fixed `frameLen`-sample frames, per-frame peak / exact energy /
+    * zero-crossing count. One partition-preserving pass, no shuffle —
+    * the audio analog of [[extractImageFeatures]], and the stage a 100 TB
+    * speech pipeline runs before VAD/language filters. A real-codec
+    * deployment swaps [[decodePcm16le]] for the opus/flac decoder; the
+    * plan shape, batching and schema do not change. */
+  def audioFrameFeatures(blobs: DataFrame, frameLen: Int = 64): Dataset[AudioFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(frameLen > 0, "frameLen must be positive")
+    blobs.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val s = decodePcm16le(payload)
+          (0 until s.length / frameLen).iterator.map { f =>
+            val start = f * frameLen
+            var peak = 0L
+            var sumSq = 0L
+            var zc = 0L
+            var i = start
+            while (i < start + frameLen) {
+              val v = s(i)
+              if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+              sumSq += v.toLong * v
+              if (i > start && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+              i += 1
+            }
+            AudioFrame(id, f.toLong, frameLen.toLong, peak, sumSq, zc)
+          }
+        }
+      }
+  }
+
   // ---- perceptual hashing (image near-dup) ---------------------------------
 
   final case class ImageHash(id: Long, phash: Long)

@@ -67,6 +67,33 @@ object TextQueries {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Token-budget mixture sampling (t_mix_sample's engine), extracted so
+    * the spec can drive it over adversarial corpora (hot source). See the
+    * registry entry's comment for the two-phase design rationale. */
+  private[queries] def mixSample(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = d.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", (col("h") / lit(1L << 52)).cast("long"))
+    val sub = base.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = sub.withColumn("bucket_off", sum(col("bt")).over(wOff) - col("bt"))
+      .select(col("source"), col("bucket"), col("bucket_off"))
+    val wIn = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(off), Seq("source", "bucket"))
+      .withColumn("start_off",
+        col("bucket_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .withColumn("budget",
+        pmod(portableHash60(concat(lit("budget:"), col("source"))), lit(800L)) + 200L)
+      .filter(col("start_off") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_off"), col("budget"))
+  }
+
   /** Exact 3-gram-jaccard near-dup pairs (df-capped); shared by
     * t_jaccard_pairs (emits the pairs) and t_dup_clusters (uses them as the
     * edge list for connected components). */
@@ -575,6 +602,38 @@ object TextQueries {
              |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i)
              |  WHERE length(text) > 0)""".stripMargin)),
 
+    // Audio frame features, FULL ORACLE through real bytes: plant one
+    // PCM s16le clip per doc (integer sawtooth — SQL-replayable), encode
+    // to little-endian bytes executor-side, DECODE THE BYTES back, and
+    // window into 64-sample frames of integer features (peak, exact
+    // sum-of-squares energy, zero crossings). DuckDB recomputes the
+    // features from the waveform definition directly — so any endianness,
+    // sign-extension, or windowing bug in the byte codec breaks the
+    // match. The third modality: same blob-table shape as images, decode
+    // in a partition-preserving pass, zero shuffle before the (tiny)
+    // result.
+    Q("m_audio_features",
+      (s, dir) => graft.multimodal.Multimodal.audioFrameFeatures(
+        graft.multimodal.Multimodal.toAudioTable(docs(s, dir), "doc_id")).toDF(),
+      Some("""WITH d AS (
+             |  SELECT doc_id, 256 + (doc_id % 5) * 64 AS n,
+             |         13 + (doc_id % 7) AS a, (doc_id * 31) % 65536 AS b
+             |  FROM documents),
+             |smp AS (
+             |  SELECT doc_id, i, ((a * i + b) % 65536) - 32768 AS v, i // 64 AS frame_idx
+             |  FROM d, unnest(generate_series(0, n - 1)) AS u(i)),
+             |x AS (
+             |  SELECT doc_id, frame_idx, i, v,
+             |         lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS pv
+             |  FROM smp)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(max(abs(v)) AS BIGINT) AS peak,
+             |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+             |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             |FROM x GROUP BY doc_id, frame_idx""".stripMargin)),
+
     // Image near-dup pairs: real PNG decode → 64-bit average-hash →
     // 16-bit-banded Hamming join (the SimHash shuffle shape applied to
     // images). Rows-only for the driver (DuckDB cannot decode PNG); the
@@ -840,29 +899,7 @@ object TextQueries {
     // the same admission with ONE flat window per source — the two-phase
     // decomposition must be exactly invisible in the result.
     Q("t_mix_sample",
-      (s, dir) => {
-        val base = docs(s, dir).select(col("doc_id"), col("source"),
-            tokenCount(col("text")).as("n_tokens"),
-            portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
-          .withColumn("bucket", (col("h") / lit(1L << 52)).cast("long"))
-        val sub = base.groupBy(col("source"), col("bucket"))
-          .agg(sum(col("n_tokens")).as("bt"))
-        val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val off = sub.withColumn("bucket_off", sum(col("bt")).over(wOff) - col("bt"))
-          .select(col("source"), col("bucket"), col("bucket_off"))
-        val wIn = Window.partitionBy(col("source"), col("bucket"))
-          .orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.join(broadcast(off), Seq("source", "bucket"))
-          .withColumn("start_off",
-            col("bucket_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
-          .withColumn("budget",
-            pmod(portableHash60(concat(lit("budget:"), col("source"))), lit(800L)) + 200L)
-          .filter(col("start_off") < col("budget"))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            col("start_off"), col("budget"))
-      },
+      (s, dir) => mixSample(docs(s, dir)),
       Some(s"""WITH b AS (
               |  SELECT doc_id, source,
               |    CAST(len($WS) AS BIGINT) AS n_tokens,

@@ -130,4 +130,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exp.nonEmpty, "planted corpus must yield near-dup image pairs")
     assert(got === exp)
   }
+
+  test("PCM16LE codec: exact round-trip, little-endian layout, sign extension") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 255, -256)
+    val bytes = Multimodal.encodePcm16le(samples)
+    assert(bytes.length == samples.length * 2)
+    // Little-endian: low byte first (sample 1 = 0x0001 -> bytes 01 00).
+    assert(bytes(2) == 0x01.toByte && bytes(3) == 0x00.toByte)
+    // Sign extension: -1 = 0xFFFF.
+    assert(bytes(4) == 0xff.toByte && bytes(5) == 0xff.toByte)
+    assert(Multimodal.decodePcm16le(bytes).toSeq == samples.toSeq)
+  }
+
+  test("audio frame features: distributed kernel equals driver-side waveform math") {
+    val docs = Tables.load(spark, GraftTestSpark.sfDir, "documents").limit(40)
+    val got = Multimodal.audioFrameFeatures(Multimodal.toAudioTable(docs, "doc_id"))
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    val ids = docs.select(col("doc_id")).as[Long].collect()
+    assert(got.nonEmpty)
+    ids.foreach { id =>
+      val n = Multimodal.plantedSampleCount(id)
+      val s = Array.tabulate(n)(i => Multimodal.plantedSample(id, i))
+      (0 until n / 64).foreach { f =>
+        val fr = s.slice(f * 64, f * 64 + 64)
+        val exp = (
+          fr.map(v => math.abs(v.toLong)).max,
+          fr.map(v => v.toLong * v).sum,
+          fr.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong)
+        val g = got((id, f.toLong))
+        assert((g.peak, g.sum_sq, g.zero_crossings) == exp, s"doc $id frame $f")
+        assert(g.n_samples == 64L)
+      }
+    }
+    // Frame counts: exactly n/64 frames per doc, nothing extra.
+    assert(got.size == ids.map(id => Multimodal.plantedSampleCount(id) / 64).sum)
+  }
 }

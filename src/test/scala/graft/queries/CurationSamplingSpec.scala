@@ -82,6 +82,39 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("mixSample under a hot source (99% of docs): two-phase still equals the flat window") {
+    // The decomposition exists FOR this shape — one source dominating the
+    // corpus. 5000 hot + 50 cold docs; budgets force a cut inside the hot
+    // source's hash order.
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val synth = ((1 to 5000).map(i => (i.toLong, "hot", s"tok a b c d e f g $i")) ++
+      (1 to 50).map(i => ((100000 + i).toLong, s"cold${i % 5}", s"x y z $i")))
+      .toDF("doc_id", "source", "text")
+    val twoPhase = TextQueries.mixSample(synth)
+      .select(col("doc_id"), col("start_off")).cache()
+    try {
+      val base = synth.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budget = pmod(portableHash60(concat(lit("budget:"), col("source"))), lit(800L)) + 200L
+      val flat = base
+        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("budget", budget)
+        .filter(col("start_off") < col("budget"))
+        .select(col("doc_id"), col("start_off"))
+      assert(twoPhase.count() == flat.count())
+      assert(twoPhase.as("a").join(flat.as("b"), Seq("doc_id"))
+        .filter(col("a.start_off") =!= col("b.start_off")).count() == 0L)
+      // Non-vacuous: the hot source actually got cut (admitted < offered).
+      assert(twoPhase.count() < 5050L)
+      assert(twoPhase.count() > 0L)
+    } finally twoPhase.unpersist()
+  }
+
   test("t_best_of_cluster keeps exactly one max-quality survivor per cluster") {
     val surv = run("t_best_of_cluster").cache()
     try {
