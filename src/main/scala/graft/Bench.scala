@@ -144,6 +144,7 @@ object Bench {
     val shardSec = timedExtra("t_shard_shuffle")
     val mixSec = timedExtra("t_mix_sample")
     val bestOfSec = timedExtra("t_best_of_cluster")
+    val trigramSec = timedExtra("t_trigram_lm")
 
     // Persisted-ANN lifecycle: one-time quantizer train + inverted-file
     // write (build), then the search-only latency a STANDING index gives —
@@ -312,6 +313,7 @@ object Bench {
       "extra:t_shard_shuffle" -> (shardSec < 0),
       "extra:t_mix_sample" -> (mixSec < 0),
       "extra:t_best_of_cluster" -> (bestOfSec < 0),
+      "extra:t_trigram_lm" -> (trigramSec < 0),
       "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0),
       "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
       "shard_write" -> (shardWriteSec < 0),
@@ -345,6 +347,7 @@ object Bench {
       s""""shard_shuffle_sec":${f"$shardSec%.3f"},""" +
       s""""mix_sample_sec":${f"$mixSec%.3f"},""" +
       s""""best_of_cluster_sec":${f"$bestOfSec%.3f"},""" +
+      s""""trigram_lm_sec":${f"$trigramSec%.3f"},""" +
       s""""ivf_build_sec":${f"$ivfBuildSec%.3f"},""" +
       s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""" +
       s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""" +

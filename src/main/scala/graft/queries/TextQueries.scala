@@ -915,6 +915,50 @@ object TextQueries {
               |SELECT doc_id, source, n_tokens, start_off, budget
               |FROM r WHERE start_off < budget""".stripMargin)),
 
+    // Character-trigram LM familiarity — the statistical-LM quality signal
+    // (the integer-exact core of a KenLM-style char-model filter): score
+    // each doc by how common its character trigrams are in the corpus.
+    // familiarity = Σ over the doc's trigram OCCURRENCES of the corpus-wide
+    // occurrence count of that trigram (gibberish/mojibake scores low,
+    // fluent text high). All counts are BIGINTs — no log/float fold, so
+    // the oracle is byte-exact. The scale story is the deploy story of
+    // every char-n-gram scorer: the "model" (distinct-trigram count table)
+    // is BOUNDED BY THE ALPHABET (≤ |Σ|³ rows regardless of corpus size),
+    // so it BROADCASTS and the scoring join never shuffles the corpus —
+    // one partial-aggregated count shuffle builds the model, a map-side
+    // join + per-doc partial agg scores 100 TB.
+    Q("t_trigram_lm",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 3)
+        // Deliberately TWO explode passes and ZERO corpus-sized shuffles:
+        // the model build partial-aggregates the exploded stream straight
+        // to ≤ |Σ|³ rows per partition (the g-keyed shuffle is
+        // alphabet-bounded, not corpus-bounded), and the scoring pass
+        // re-explodes, map-joins the broadcast model, and partial-aggs per
+        // doc before its (small) final shuffle. Re-exploding is pure
+        // embarrassingly-parallel CPU; the alternative — materializing one
+        // (doc_id, g) frame and shuffling it — carries the whole corpus
+        // through the network, the wrong trade at 100 TB (measured at
+        // 500 k docs: within noise of each other; at cluster scale the
+        // shuffle-free shape wins on the network).
+        val tri = d.select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+        val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        tri.join(broadcast(counts), Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trigrams"), sum(col("c")).as("familiarity"))
+      },
+      Some("""WITH tri AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS g
+             |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+             |  WHERE length(t) >= 3),
+             |c AS (SELECT g, count(*) AS c FROM tri GROUP BY g)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             |  CAST(sum(c.c) AS BIGINT) AS familiarity
+             |FROM tri JOIN c USING (g) GROUP BY doc_id""".stripMargin)),
+
     // Quality-priority dedup survivor selection: within each near-dup
     // CLUSTER (t_dup_clusters' connected components) keep the HIGHEST-
     // QUALITY member, not the min-id one — what a curation pipeline

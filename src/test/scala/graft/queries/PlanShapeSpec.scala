@@ -60,7 +60,8 @@ class PlanShapeSpec extends AnyFunSuite {
         // rounds are id-keyed equi-joins by construction
         // (ConnectedComponentsSpec covers semantics).
         (if (dir == sf1Dir)
-           Set("t_dup_clusters", "t_split_leakfree", "t_minhash_dedup")
+           Set("t_dup_clusters", "t_split_leakfree", "t_minhash_dedup",
+             "t_best_of_cluster")
          else Set.empty[String])
       Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
         val p = plan(dir, q.name)
@@ -71,6 +72,16 @@ class PlanShapeSpec extends AnyFunSuite {
     test(s"dimension joins broadcast (q5 star chain, type decode)$tag") {
       assert(plan(dir, "q5_region_rev").contains("BroadcastHashJoin"))
       assert(plan(dir, "h_type_decode").contains("BroadcastHashJoin"))
+    }
+
+    test(s"bounded side tables broadcast (mix bucket offsets, trigram model)$tag") {
+      // t_mix_sample's bucket-offset frame is sources×256 rows; the
+      // trigram "model" is alphabet-bounded (≤ |Σ|³) — at ANY corpus size
+      // these joins must stay map-side, never shuffle the corpus.
+      assert(plan(dir, "t_mix_sample").contains("BroadcastHashJoin"),
+        "t_mix_sample: bucket offsets must broadcast")
+      assert(plan(dir, "t_trigram_lm").contains("BroadcastHashJoin"),
+        "t_trigram_lm: the trigram count table must broadcast")
     }
 
     test(s"top-N queries avoid a global sort (TakeOrderedAndProject)$tag") {
