@@ -151,7 +151,7 @@ object Bench {
     // the operating number the transient registry query can't show. Plus
     // the recall estimate the retrain-on-drift trigger acts on (measured
     // every run so drift of the MONITOR itself would also be visible).
-    val (ivfBuildSec, ivfSearchSec, ivfRecallEst) = try {
+    val (ivfBuildSec, ivfSearchSec, ivfRecallEst, vecCurateSec) = try {
       import org.apache.spark.sql.functions.col
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
       try {
@@ -169,9 +169,22 @@ object Bench {
         once() // warm: listing + codegen
         val search = once()
         val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
-        (build, search, recall)
+        // continuous vector curation (r7): one batch of arriving vectors —
+        // half exact re-crawls of indexed content, half novel — through
+        // the full collapse/index-dedup/append cycle.
+        val outDir = java.nio.file.Files.createTempDirectory("graft-ivf-out").toString
+        val vecCurate = try {
+          val batch = emb.filter(col("vec_id") < 500)
+            .withColumn("vec_id", col("vec_id") + 20000000L)
+          val t0 = System.nanoTime()
+          graft.similarity.IvfIndex.curateBatch(batch, dir, outDir,
+            "vec_id", "embedding",
+            graft.similarity.SimilaritySearch.LshConfig(dim = 64))
+          (System.nanoTime() - t0) / 1e9
+        } finally BenchUtil.deleteRecursively(new java.io.File(outDir))
+        (build, search, recall, vecCurate)
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
-    } catch { case e: Throwable => failed("ivf_lifecycle", e); (-1.0, -1.0, -1.0) }
+    } catch { case e: Throwable => failed("ivf_lifecycle", e); (-1.0, -1.0, -1.0, -1.0) }
 
     // Persisted text-dedup (MinHash-LSH) lifecycle: index the documents
     // corpus once, then the incremental dedupe-new-against-corpus search —
@@ -314,7 +327,7 @@ object Bench {
       "extra:t_mix_sample" -> (mixSec < 0),
       "extra:t_best_of_cluster" -> (bestOfSec < 0),
       "extra:t_trigram_lm" -> (trigramSec < 0),
-      "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0),
+      "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0 || vecCurateSec < 0),
       "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
       "shard_write" -> (shardWriteSec < 0),
       "curation" -> (curateBatchSec < 0 || csBatches <= 0)
@@ -354,6 +367,7 @@ object Bench {
       s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""" +
       s""""shard_write_sec":${f"$shardWriteSec%.3f"},""" +
       s""""ivf_recall_est":${f"$ivfRecallEst%.3f"},""" +
+      s""""vec_curate_batch_sec":${f"$vecCurateSec%.3f"},""" +
       s""""curate_batch_sec":${f"$curateBatchSec%.3f"},""" +
       s""""curate_survivors_per_sec":${f"$curateSurvPerSec%.1f"},""" +
       s""""curate_stream_batches":$csBatches,""" +

@@ -239,13 +239,21 @@ object IvfIndex {
     val spark = newDocs.sparkSession
     val (f, _) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
-      val centroids = readCentroids(spark, dir)
-      assignCells(newDocs, idCol, vecCol, centroids)
-        .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-        .sortWithinPartitions(col("cell"))
-        .write.mode("append").parquet(s"$dir/cells")
-      compactUnlocked(spark, dir, maxIndexFiles(spark))
+      appendVectorsUnlocked(newDocs, idCol, vecCol, dir)
     }
+  }
+
+  /** The append body, for callers that already hold the lease
+    * ([[curateBatch]] — the lease is not reentrant). */
+  private def appendVectorsUnlocked(newDocs: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val centroids = readCentroids(spark, dir)
+    assignCells(newDocs, idCol, vecCol, centroids)
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$dir/cells")
+    compactUnlocked(spark, dir, maxIndexFiles(spark))
   }
 
   /** Compact `cells/` when its data-file count exceeds `maxFiles` (0 → the
@@ -283,6 +291,78 @@ object IvfIndex {
     val centroids = readCentroids(spark, dir)
     probe(queries, readCells(spark, dir), idCol, vecCol, centroids, k, nProbe)
   }
+
+  // ---- continuous vector curation -----------------------------------------
+  //
+  // The embedding-side twin of TextDedupIndex.curateBatch/curateStream:
+  // arriving vectors are collapsed within the batch (banded LSH + exact
+  // cosine + connected components, min-id survivor), deduped against the
+  // STANDING index (stored-centroid probe + exact cosine), and the
+  // survivors land in the curated output and the inverted file — one
+  // read-decide-append cycle per batch under the writer lease.
+  //
+  // Unlike the text path, NO crash ledger is needed: the inverted file
+  // itself is the processed-id record. Every batch opens with an EXACT id
+  // anti-join against `cells/` (an id-only, column-pruned scan), so a
+  // replayed batch — foreachBatch redelivery, re-crawl, a second feed of
+  // the same ids — drops its already-appended survivors before any sketch
+  // work. Ordering inside the batch is output-append THEN index-append
+  // (the never-drop bias): a crash between the two replays the batch and
+  // re-appends the same survivor rows to the output — duplicate-output
+  // residue with exactly-once INDEX state, the same documented trade as
+  // the text ledger's degraded path. Downstream consumers dedup the
+  // curated output by id (exact, cheap) when exactly-once output matters.
+
+  /** One vector-curation step. Returns the survivor ids (batch-bounded).
+    * `lsh` drives the intra-batch banding (`dim` must match the vectors);
+    * `simThreshold` is the rounded-cosine near-dup cut for BOTH the
+    * intra-batch pairs and the standing-index match. */
+  def curateBatch(batch: DataFrame, dir: String, outDir: String,
+      idCol: String, vecCol: String, lsh: SimilaritySearch.LshConfig,
+      simThreshold: Double = 0.95, nProbe: Int = Config().nProbe): Array[Long] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      val indexedIds = readCells(spark, dir).select(col("cand_id").as(idCol)).distinct()
+      // replay/re-crawl guard: exact id membership in the inverted file
+      val fresh = batch.select(col(idCol), col(vecCol))
+        .join(indexedIds, Seq(idCol), "left_anti")
+        .localCheckpoint() // one consistent view for pairs + probe + append
+      // intra-batch collapse: near-dup components keep their min id
+      val pairs = SimilaritySearch.embeddingDupPairs(
+        fresh, idCol, vecCol, simThreshold, lsh)
+      val cc = graft.dedup.ConnectedComponents.components(pairs, "a_id", "b_id")
+      val intra = fresh.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .filter(coalesce(col("component"), col(idCol)) === col(idCol))
+        .select(col(idCol), col(vecCol))
+      // standing-corpus near-dup drop (stored centroids, exact cosine)
+      val matched = searchIndex(intra, dir, idCol, vecCol, 1, nProbe)
+        .filter(col("score") >= simThreshold)
+        .select(col("query_id").as(idCol)).distinct()
+      val survivors = intra.join(matched, Seq(idCol), "left_anti").localCheckpoint()
+      survivors.write.mode("append").parquet(outDir) // output first: never drop
+      appendVectorsUnlocked(survivors, idCol, vecCol, dir)
+      survivors.select(col(idCol).cast("long")).as[Long].collect()
+    }
+  }
+
+  /** Continuous curation: [[curateBatch]] per micro-batch. Idempotency
+    * rides the inverted file's id set (see the section comment), so the
+    * checkpoint carries only source offsets. */
+  def curateStream(input: DataFrame, dir: String, outDir: String,
+      checkpointDir: String, idCol: String, vecCol: String,
+      lsh: SimilaritySearch.LshConfig, simThreshold: Double = 0.95,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, dir, outDir, idCol, vecCol, lsh, simThreshold): Unit
+      }
+      .start()
 
   // ---- recall drift --------------------------------------------------------
   //
