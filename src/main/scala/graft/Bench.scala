@@ -170,17 +170,29 @@ object Bench {
         val search = once()
         val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
         // continuous vector curation (r7): one batch of arriving vectors —
-        // half exact re-crawls of indexed content, half novel — through
-        // the full collapse/index-dedup/append cycle.
+        // half exact re-crawls of indexed content (dropped by the
+        // standing-index match), half genuinely novel (negated vectors,
+        // cosine −1 to everything indexed — they SURVIVE and exercise the
+        // output + index append path).
         val outDir = java.nio.file.Files.createTempDirectory("graft-ivf-out").toString
         val vecCurate = try {
-          val batch = emb.filter(col("vec_id") < 500)
+          val recrawl = emb.filter(col("vec_id") < 250)
             .withColumn("vec_id", col("vec_id") + 20000000L)
+          val novel = emb.filter(col("vec_id") >= 250 && col("vec_id") < 500)
+            .withColumn("vec_id", col("vec_id") + 30000000L)
+            .withColumn("embedding",
+              org.apache.spark.sql.functions.expr(
+                "transform(embedding, x -> -x)").cast("array<float>"))
+          val batch = recrawl.unionByName(novel)
           val t0 = System.nanoTime()
-          graft.similarity.IvfIndex.curateBatch(batch, dir, outDir,
+          val survivors = graft.similarity.IvfIndex.curateBatch(batch, dir, outDir,
             "vec_id", "embedding",
             graft.similarity.SimilaritySearch.LshConfig(dim = 64))
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (survivors.isEmpty)
+            throw new IllegalStateException(
+              "vec curation batch produced no survivors — append path not exercised")
+          sec
         } finally BenchUtil.deleteRecursively(new java.io.File(outDir))
         (build, search, recall, vecCurate)
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))

@@ -259,20 +259,26 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           val s = decodePcm16le(payload)
-          (0 until s.length / frameLen).iterator.map { f =>
+          // frame f covers samples [f·frameLen, min((f+1)·frameLen, n)) —
+          // the TRAILING PARTIAL FRAME IS EMITTED (n_samples < frameLen),
+          // matching the oracle's `i // frameLen` grouping exactly; a
+          // clip whose length is not a frame multiple loses no audio.
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
             val start = f * frameLen
+            val end = math.min(start + frameLen, s.length)
             var peak = 0L
             var sumSq = 0L
             var zc = 0L
             var i = start
-            while (i < start + frameLen) {
+            while (i < end) {
               val v = s(i)
               if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
               sumSq += v.toLong * v
               if (i > start && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
               i += 1
             }
-            AudioFrame(id, f.toLong, frameLen.toLong, peak, sumSq, zc)
+            AudioFrame(id, f.toLong, (end - start).toLong, peak, sumSq, zc)
           }
         }
       }

@@ -972,8 +972,9 @@ object TextQueries {
     // fixpoint + the t_quality scoring expression + the same window.
     Q("t_best_of_cluster",
       (s, dir) => {
+        // qualityScore already returns the 6-dp-rounded (oracle-exact) value
         val q = docs(s, dir).select(col("doc_id"),
-          graft.operators.RelationalOps.round6(qualityScore(col("text"))).as("quality"))
+          qualityScore(col("text")).as("quality"))
         val w = Window.partitionBy(col("cluster_id"))
           .orderBy(col("quality").desc, col("doc_id").asc)
         clusteredDocs(s, dir).join(q, "doc_id")

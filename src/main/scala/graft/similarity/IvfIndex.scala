@@ -325,8 +325,14 @@ object IvfIndex {
     val (f, _) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
       val indexedIds = readCells(spark, dir).select(col("cand_id").as(idCol)).distinct()
-      // replay/re-crawl guard: exact id membership in the inverted file
+      // Replay/re-crawl guard: exact id membership in the inverted file.
+      // dropDuplicates FIRST: the same id arriving twice IN one batch (a
+      // double-read feed file, an item crawled twice before the batch
+      // boundary) would otherwise slip all three guards — equal ids form
+      // no a_id < b_id pair and a novel vector matches nothing — and land
+      // twice in the index, breaking the exactly-once invariant.
       val fresh = batch.select(col(idCol), col(vecCol))
+        .dropDuplicates(idCol)
         .join(indexedIds, Seq(idCol), "left_anti")
         .localCheckpoint() // one consistent view for pairs + probe + append
       // intra-batch collapse: near-dup components keep their min id

@@ -94,24 +94,40 @@ object SchemaEvolution {
         df.select(projected ++ extras: _*)
     }
 
+  /** Per-column rules that go beyond generic widening — declared NEXT TO
+    * the canonical schema they belong to, not as special cases inside the
+    * shared cast engine. A new ns-long event-time column (another table,
+    * a second timestamp) gets its own one-line entry here.
+    *
+    * events.ts: the generator has shipped the event time as TIMESTAMP
+    * NANOS (read as a ns long via nanosAsLong), TIMESTAMP MICROS, and
+    * TIMESTAMP NTZ across regenerations; all normalize to the canonical
+    * ns long. The NTZ→LTZ hop is epoch-exact under the pinned-UTC
+    * session. */
+  private val columnRules: Map[(String, String), PartialFunction[DataType, Column => Column]] =
+    Map(
+      ("events", "ts") -> {
+        case TimestampNTZType => c => unix_micros(c.cast(TimestampType)) * 1000L
+        case TimestampType => c => unix_micros(c) * 1000L
+      })
+
   /** Lossless-or-loud cast from the physical `have` to canonical `want`. */
   private def coerce(table: String, name: String, c: Column,
-      have: DataType, want: DataType): Column = (have, want) match {
-    case (h, w) if h == w => c
-    // events.ts timestamp physical forms → the canonical ns long. The
-    // NTZ→LTZ hop is epoch-exact under the pinned-UTC session.
-    case (TimestampNTZType, LongType) if table == "events" && name == "ts" =>
-      unix_micros(c.cast(TimestampType)) * 1000L
-    case (TimestampType, LongType) if table == "events" && name == "ts" =>
-      unix_micros(c) * 1000L
-    // Scalar widenings (provably lossless — see losslessWiden).
-    case (h, w) if losslessWiden(h, w) => c.cast(w)
-    // Array element drift: same widening policy elementwise (the nullable
-    // flag alone never rejects — parquet writers disagree on it freely).
-    case (ArrayType(he, _), ArrayType(we, _))
-        if he == we || losslessWiden(he, we) => c.cast(ArrayType(we))
-    case _ => fail(table, name, have.simpleString, want)
-  }
+      have: DataType, want: DataType): Column =
+    if (have == want) c
+    else columnRules.get((table, name)).flatMap(_.lift(have)) match {
+      case Some(rule) => rule(c)
+      case None => (have, want) match {
+        // Scalar widenings (provably lossless — see losslessWiden).
+        case (h, w) if losslessWiden(h, w) => c.cast(w)
+        // Array element drift: same widening policy elementwise (the
+        // nullable flag alone never rejects — parquet writers disagree
+        // on it freely).
+        case (ArrayType(he, _), ArrayType(we, _))
+            if he == we || losslessWiden(he, we) => c.cast(ArrayType(we))
+        case _ => fail(table, name, have.simpleString, want)
+      }
+    }
 
   /** Widening casts whose value preservation is provable: integral
     * size-up, float32→float64, ≤32-bit integral→float64 (double holds all

@@ -55,10 +55,16 @@ object ShardWriter {
   def write(df: DataFrame, idCol: String, dir: String, nShards: Int,
       salt: String = "shard"): Manifest = {
     require(nShards > 0, "nShards must be positive")
+    // The salt is embedded verbatim in the manifest JSON and in hash
+    // preimages — restrict it to a charset that needs no escaping in
+    // either (a freeform salt with a quote would corrupt the manifest's
+    // one reproducibility-critical field).
+    require(salt.nonEmpty && salt.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"salt must be [A-Za-z0-9._-]+, got '$salt'")
     val spark = df.sparkSession
     val sharded = df
       .withColumn("__h", portableHash60(concat(lit(s"$salt:"), col(idCol).cast("string"))))
-      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
     val f = fs(spark, dir)
     val live = shardsPath(dir)
     var manifest: Manifest = null
@@ -70,10 +76,19 @@ object ShardWriter {
           .drop("__h")
           .write.partitionBy("shard").parquet(tmp)
         // Counts from the STAGED data (same version as the files), written
-        // inside tmp so the swap publishes files + manifest together.
-        val rows = spark.read.parquet(tmp)
+        // inside tmp so the swap publishes files + manifest together. The
+        // explicit schema also covers the EMPTY corpus (no part files to
+        // infer from).
+        val schema = sharded.drop("__h").schema
+        val rows = spark.read.schema(schema).parquet(tmp)
           .groupBy(col("shard")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (rows.isEmpty)
+          // A filtered-to-nothing corpus is still a VALID corpus: replace
+          // the fileless partition layout with one empty in-file-schema
+          // parquet so schema-less readers (readAll) keep working.
+          sharded.drop("__h").limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
         manifest = Manifest(nShards, salt, rows.values.sum, rows)
         val out = f.create(new Path(tmp, "_manifest.json"), true)
         try out.write(renderJson(manifest).getBytes("UTF-8")) finally out.close()

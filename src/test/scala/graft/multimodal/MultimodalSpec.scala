@@ -142,6 +142,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePcm16le(bytes).toSeq == samples.toSeq)
   }
 
+  test("audio framing emits the trailing partial frame (no silent sample loss)") {
+    // doc 7 plants 384 samples; frameLen 100 -> frames of 100,100,100,84.
+    val blobs = Multimodal.toAudioTable(Seq(7L).toDF("doc_id"), "doc_id")
+    val frames = Multimodal.audioFrameFeatures(blobs, frameLen = 100)
+      .collect().sortBy(_.frame_idx)
+    assert(Multimodal.plantedSampleCount(7L) == 384)
+    assert(frames.map(_.n_samples).toSeq == Seq(100L, 100L, 100L, 84L))
+    assert(frames.map(_.n_samples).sum == 384L)
+  }
+
   test("audio frame features: distributed kernel equals driver-side waveform math") {
     val docs = Tables.load(spark, GraftTestSpark.sfDir, "documents").limit(40)
     val got = Multimodal.audioFrameFeatures(Multimodal.toAudioTable(docs, "doc_id"))

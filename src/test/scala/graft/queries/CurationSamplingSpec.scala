@@ -123,8 +123,7 @@ class CurationSamplingSpec extends AnyFunSuite {
       // Survivor quality is the cluster max (recompute independently).
       val docs = graft.Tables.load(spark, dir, "documents")
       val q = docs.select(col("doc_id"),
-        graft.operators.RelationalOps.round6(
-          graft.functions.TextFunctions.qualityScore(col("text"))).as("q"))
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
       val clusters = Registry.byName("t_dup_clusters").build(spark, dir)
       val maxQ = clusters.join(q, "doc_id")
         .groupBy("cluster_id").agg(max("q").as("max_q"), count(lit(1)).as("n"))

@@ -55,6 +55,23 @@ class IvfCurationSpec extends AnyFunSuite {
     assert(hit.toSeq == Seq(102L))
   }
 
+  test("a duplicate id WITHIN one batch appends once (exactly-once index)") {
+    val dir = GraftTestSpark.tmpDir("ivf-cur3")
+    val out = GraftTestSpark.tmpDir("ivf-cur3-out")
+    buildBase(dir)
+    // Same id twice in one batch (double-read feed file): equal ids form
+    // no a_id < b_id pair and the vector is novel — only the entry
+    // dropDuplicates guards this.
+    val batch = vecs(102L -> 40, 102L -> 40, 104L -> 50)
+    val survivors = IvfIndex.curateBatch(batch, dir, out, "vec_id", "embedding", lsh)
+    assert(survivors.toSet == Set(102L, 104L))
+    assert(survivors.length == 2, "survivor list must not repeat an id")
+    val indexed = spark.read.parquet(s"$dir/cells")
+      .filter(col("cand_id") === 102L).count()
+    assert(indexed == 1L, "in-batch duplicate id must append exactly once")
+    assert(spark.read.parquet(out).filter(col("vec_id") === 102L).count() == 1L)
+  }
+
   test("curateBatch replay is a no-op: the inverted file is the processed-id record") {
     val dir = GraftTestSpark.tmpDir("ivf-cur2")
     val out = GraftTestSpark.tmpDir("ivf-cur2-out")

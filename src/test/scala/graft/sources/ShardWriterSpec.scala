@@ -54,6 +54,21 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("an empty corpus publishes as a valid empty shard set") {
+    val dir = GraftTestSpark.tmpDir("shardempty")
+    val m = ShardWriter.write(docs.filter(col("doc_id") < 0), "doc_id", dir, 4)
+    assert(m.totalRows == 0L && m.shardRows.isEmpty)
+    assert(ShardWriter.readAll(spark, dir).count() == 0L)
+    assert(ShardWriter.readManifest(spark, dir) == m)
+    assert(ShardWriter.verify(spark, dir))
+  }
+
+  test("a salt needing JSON escaping is rejected up front") {
+    val dir = GraftTestSpark.tmpDir("shardsalt")
+    intercept[IllegalArgumentException](
+      ShardWriter.write(docs, "doc_id", dir, 4, salt = "v\"2"))
+  }
+
   test("manifest round-trips through its JSON") {
     val dir = GraftTestSpark.tmpDir("shardm")
     val written = ShardWriter.write(docs.limit(50), "doc_id", dir, 4, salt = "v2")
