@@ -229,6 +229,46 @@ object VectorQueries {
              |      FROM (SELECT label, unnest(embedding) AS v,
              |              generate_subscripts(embedding, 1) AS idx
              |            FROM embeddings)
-             |      GROUP BY 1, 2)""".stripMargin))
+             |      GROUP BY 1, 2)""".stripMargin)),
+
+    // Cross-modal pair construction — the CLIP-style step that turns an
+    // id-aligned (document, embedding) warehouse into contrastive training
+    // pairs: the POSITIVE is the doc's own embedding (id equi-join), the
+    // NEGATIVE is a deterministic hash-derived OTHER embedding
+    // (offset 1 + h mod (n−1) guarantees neg ≠ self — a derangement by
+    // construction, no RNG, reproducible on any engine/partitioning/run).
+    // Scale shape: two id equi-joins (co-partitionable, AQE-handled) + one
+    // 1-row scalar count broadcast + a pure per-row hash for the negative
+    // id — neither modality table is ever broadcast or rescanned.
+    Q("x_pair_contrastive",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash60
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val e = emb(s, dir)
+        val nDf = e.agg(count(lit(1)).as("n"))
+        d.join(e.select(col("vec_id").as("doc_id"), col("label").as("pos_label")), "doc_id")
+          .crossJoin(broadcast(nDf))
+          .withColumn("neg_vec_id",
+            pmod(col("doc_id") + 1L +
+              pmod(portableHash60(concat(lit("neg:"), col("doc_id").cast("string"))),
+                col("n") - 1L), col("n")))
+          .join(e.select(col("vec_id").as("neg_vec_id"), col("label").as("neg_label")),
+            "neg_vec_id")
+          .select(col("doc_id"), col("lang"), col("pos_label"),
+            col("neg_vec_id"), col("neg_label"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+             |pos AS (
+             |  SELECT d.doc_id, d.lang, e.label AS pos_label
+             |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+             |neg AS (
+             |  SELECT p.doc_id, p.lang, p.pos_label,
+             |    (p.doc_id + 1 +
+             |     (('0x' || substr(md5('neg:' || CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % (n.n - 1))) % n.n AS neg_vec_id
+             |  FROM pos p, n)
+             |SELECT neg.doc_id, neg.lang, neg.pos_label, neg.neg_vec_id,
+             |  ne.label AS neg_label
+             |FROM neg JOIN embeddings ne ON ne.vec_id = neg.neg_vec_id""".stripMargin))
   )
 }

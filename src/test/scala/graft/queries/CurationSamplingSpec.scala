@@ -115,6 +115,16 @@ class CurationSamplingSpec extends AnyFunSuite {
     } finally twoPhase.unpersist()
   }
 
+  test("x_pair_contrastive: one pair per doc, negative never the positive, deterministic") {
+    val df = run("x_pair_contrastive").cache()
+    try {
+      assert(df.count() == graft.Tables.load(spark, dir, "documents").count())
+      assert(df.filter(col("neg_vec_id") === col("doc_id")).count() == 0L)
+      assert(df.groupBy("doc_id").count().filter(col("count") > 1).count() == 0L)
+      assert(run("x_pair_contrastive").collect().toSet == df.collect().toSet)
+    } finally df.unpersist()
+  }
+
   test("t_best_of_cluster keeps exactly one max-quality survivor per cluster") {
     val surv = run("t_best_of_cluster").cache()
     try {
