@@ -76,6 +76,24 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(read == written)
   }
 
+  test("two concurrent writers serialize on the lease: the final state is one complete version") {
+    val dir = GraftTestSpark.tmpDir("shardrace")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(n: Int): Thread = new Thread(() =>
+      try (1 to 3).foreach { _ => ShardWriter.write(docs.limit(40 * n), "doc_id", dir, 4) }
+      catch { case t: Throwable => errors.add(t) })
+    val (a, b) = (writer(1), writer(2))
+    a.start(); b.start(); a.join(120000); b.join(120000)
+    assert(errors.isEmpty, s"concurrent writers must queue, not fail: ${errors.peek()}")
+    // Whichever write landed last, the published state is self-consistent:
+    // manifest matches files, and the row count is one of the two versions.
+    assert(ShardWriter.verify(spark, dir))
+    val rows = ShardWriter.readAll(spark, dir).count()
+    assert(rows == 40L || rows == 80L)
+    assert(!new java.io.File(dir, "shards.tmp").exists(),
+      "no orphaned staging after both writers finish")
+  }
+
   test("a republish is atomic: readers resolve a complete version mid-swap") {
     val dir = GraftTestSpark.tmpDir("shardswap")
     ShardWriter.write(docs.limit(100), "doc_id", dir, 4)
