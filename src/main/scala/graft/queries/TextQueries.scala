@@ -67,6 +67,23 @@ object TextQueries {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Single-hash Bloom prefilter for the contamination join (see
+    * t_decontaminate_bloom): drop train grams whose 16-bit xxhash64 bucket
+    * holds no eval gram. The bucket set is a broadcast left-semi join —
+    * bounded at 2^16 rows regardless of eval size, so it broadcasts even
+    * when the eval dictionary itself cannot. Exact-preserving by
+    * construction: equal grams share a bucket (no false negatives); bucket
+    * collisions survive only until the exact gram join downstream. */
+  private[queries] def bloomPrefilter(trainG: org.apache.spark.sql.DataFrame,
+      evalG: org.apache.spark.sql.DataFrame,
+      bits: Int = 16): org.apache.spark.sql.DataFrame = {
+    val m = 1L << bits
+    val buckets = evalG.select(pmod(xxhash64(col("g")), lit(m)).as("gb")).distinct()
+    trainG.withColumn("gb", pmod(xxhash64(col("g")), lit(m)))
+      .join(broadcast(buckets), Seq("gb"), "left_semi")
+      .drop("gb")
+  }
+
   /** Token-budget mixture sampling (t_mix_sample's engine), extracted so
     * the spec can drive it over adversarial corpora (hot source). See the
     * registry entry's comment for the two-phase design rationale. */
@@ -677,6 +694,44 @@ object TextQueries {
         val trainG = d.filter(col("doc_id") % 20 =!= 0)
           .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 4))).as("g"))
         contaminationCounts(trainG, evalG)
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT DISTINCT unnest(list_distinct($Shingles4)) AS g
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 20 = 0),
+              |tr AS (
+              |  SELECT doc_id, unnest(list_distinct($Shingles4)) AS g
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents) WHERE doc_id % 20 <> 0)
+              |SELECT doc_id, count(*) AS n_contaminated
+              |FROM tr JOIN ev USING (g) GROUP BY doc_id""".stripMargin)),
+
+    // Bloom-prefiltered decontamination — identical OUTPUT to
+    // t_decontaminate (the oracle is literally the same SQL), different
+    // LARGE-EVAL-regime plan. When the eval suite outgrows the broadcast
+    // guard, contaminationCounts falls back to a shuffled hash join that
+    // moves EVERY train n-gram; but almost all train n-grams match nothing
+    // — shuffling them is the waste. The fix is a Bloom filter expressed
+    // natively: hash every eval gram into a 2^16-bucket space
+    // (`pmod(xxhash64(g), 65536)`), broadcast the DISTINCT bucket set (hard
+    // bound: 64 Ki longs — broadcastable no matter how large the eval suite
+    // grows), and LEFT-SEMI the train grams against it BEFORE the exact
+    // join. One hash function: membership is one broadcast lookup; false
+    // positives (bucket collisions, ~|eval-grams|/2^16) pass through and
+    // are eliminated by the exact gram join that follows, false negatives
+    // are impossible (equal grams hash equal), so the result is exactly the
+    // plain join's — engine-internal xxhash64 never leaks into the output,
+    // which is why the full DuckDB oracle holds despite the non-portable
+    // hash. At 100 TB the shuffle after the prefilter carries only true
+    // matches + the collision sliver instead of the whole corpus' grams.
+    // DecontaminationBloomSpec pins prefiltered ≡ plain on both guard paths
+    // and asserts the prune actually bites (>50% of grams dropped pre-join).
+    Q("t_decontaminate_bloom",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val evalG = d.filter(col("doc_id") % 20 === 0)
+          .select(explode(array_distinct(shingles(col("text"), 4))).as("g")).distinct()
+        val trainG = d.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 4))).as("g"))
+        contaminationCounts(bloomPrefilter(trainG, evalG), evalG)
       },
       Some(s"""WITH ev AS (
               |  SELECT DISTINCT unnest(list_distinct($Shingles4)) AS g

@@ -231,6 +231,59 @@ object VectorQueries {
              |            FROM embeddings)
              |      GROUP BY 1, 2)""".stripMargin)),
 
+    // SemDeDup — semantic dedup via cell-bounded cosine pruning (Abbas et
+    // al. 2023): assign every vector to its nearest of 16 deterministic
+    // hash-chosen seed vectors, then within each cell drop vectors with a
+    // cosine-≥-0.4 lower-id neighbor. The cells exist to bound the
+    // quadratic stage (all-pairs is unrunnable at corpus scale; per-cell
+    // pairs shrink as nCells grows). Fully oracle-checked — unusual for a
+    // clustering operator — because every choice is deterministic and
+    // portable: hash-ordered seeds (no RNG, no k-means iterations),
+    // argmax-cosine assignment on the 6-dp-rounded score with seed-id
+    // tiebreak, rounded pair scores. SemDedupSpec asserts the quality
+    // contract the oracle can't see: every dropped vector really has a
+    // global cosine-≥-threshold lower-id near-dup (precision 1.0), and
+    // recall vs the exact all-pairs baseline (e_dup_pairs_exact) is
+    // reported; partitioning invariance pins determinism under shuffle.
+    Q("e_semdedup",
+      (s, dir) => graft.similarity.SemDedup.semDedup(
+        emb(s, dir), "vec_id", "embedding",
+        graft.similarity.SemDedup.Config(nCells = 16, threshold = 0.4)),
+      Some {
+        val dotES = duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
+        val normS = s"sqrt(${duckFoldSum("sv", "CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")})"
+        val dotAB = duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")
+        val normA = s"sqrt(${duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")})"
+        val normB = s"sqrt(${duckFoldSum("eb", "CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")})"
+        s"""WITH seeds AS (
+           |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+           |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           |           vec_id
+           |  LIMIT 16),
+           |sc AS (
+           |  SELECT vec_id, seed_id, embedding,
+           |    floor((CASE WHEN na * ns = 0 THEN 0.0 ELSE d / (na * ns) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM (SELECT e.vec_id, s.seed_id, e.embedding,
+           |          $dotES AS d, $NormE AS na, $normS AS ns
+           |        FROM embeddings e, seeds s)),
+           |asg AS (
+           |  SELECT vec_id, seed_id, embedding FROM (
+           |    SELECT vec_id, seed_id, embedding,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, seed_id) AS rn
+           |    FROM sc)
+           |  WHERE rn = 1),
+           |ps AS (
+           |  SELECT b_id, $dotAB AS d, $normA AS na, $normB AS nb FROM (
+           |    SELECT b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb
+           |    FROM asg a JOIN asg b ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id)),
+           |drp AS (
+           |  SELECT DISTINCT b_id AS vec_id FROM ps
+           |  WHERE floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 >= 0.4)
+           |SELECT g.vec_id, CAST(g.seed_id AS BIGINT) AS cell_id,
+           |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM asg g LEFT JOIN drp d ON d.vec_id = g.vec_id""".stripMargin
+      }),
+
     // Cross-modal pair construction — the CLIP-style step that turns an
     // id-aligned (document, embedding) warehouse into contrastive training
     // pairs: the POSITIVE is the doc's own embedding (id equi-join), the
