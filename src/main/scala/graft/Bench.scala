@@ -145,6 +145,11 @@ object Bench {
     val mixSec = timedExtra("t_mix_sample")
     val bestOfSec = timedExtra("t_best_of_cluster")
     val trigramSec = timedExtra("t_trigram_lm")
+    // r7 vector-curation additions: SemDeDup cell dedup and cell-bounded
+    // hard-negative mining (both run the within-cell pair stage — the cost
+    // that scales with cell size, which is why they're standalone fields).
+    val semdedupSec = timedExtra("e_semdedup")
+    val hardnegSec = timedExtra("x_pair_hardneg")
 
     // Persisted-ANN lifecycle: one-time quantizer train + inverted-file
     // write (build), then the search-only latency a STANDING index gives —
@@ -339,6 +344,8 @@ object Bench {
       "extra:t_mix_sample" -> (mixSec < 0),
       "extra:t_best_of_cluster" -> (bestOfSec < 0),
       "extra:t_trigram_lm" -> (trigramSec < 0),
+      "extra:e_semdedup" -> (semdedupSec < 0),
+      "extra:x_pair_hardneg" -> (hardnegSec < 0),
       "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0 || vecCurateSec < 0),
       "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
       "shard_write" -> (shardWriteSec < 0),
@@ -373,6 +380,8 @@ object Bench {
       s""""mix_sample_sec":${f"$mixSec%.3f"},""" +
       s""""best_of_cluster_sec":${f"$bestOfSec%.3f"},""" +
       s""""trigram_lm_sec":${f"$trigramSec%.3f"},""" +
+      s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +
+      s""""hardneg_sec":${f"$hardnegSec%.3f"},""" +
       s""""ivf_build_sec":${f"$ivfBuildSec%.3f"},""" +
       s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""" +
       s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""" +

@@ -28,6 +28,38 @@ object VectorQueries {
   private val NormE = s"sqrt(${duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)")})"
   private val NormQ = s"sqrt(${duckFoldSum("qv", "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")})"
 
+  // Pairwise-cosine fold fragments over aliased embeddings (ea, eb).
+  private val DotAB = duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")
+  private val NormA = s"sqrt(${duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")})"
+  private val NormB = s"sqrt(${duckFoldSum("eb", "CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")})"
+
+  /** The DuckDB image of [[graft.similarity.SemDedup.assignCells]] —
+    * hash-ordered seed selection and rounded argmax-cosine assignment —
+    * shared by e_semdedup and x_pair_hardneg so both oracles replay the
+    * exact same cell structure. Yields CTEs `seeds`, `sc`, `asg`
+    * (asg: vec_id, seed_id, embedding). */
+  private val SemCellCtes: String = {
+    val dotES = duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
+    val normS = s"sqrt(${duckFoldSum("sv", "CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")})"
+    s"""seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |           vec_id
+       |  LIMIT 16),
+       |sc AS (
+       |  SELECT vec_id, seed_id, embedding,
+       |    floor((CASE WHEN na * ns = 0 THEN 0.0 ELSE d / (na * ns) END) * 1000000 + 0.5) / 1000000 AS score
+       |  FROM (SELECT e.vec_id, s.seed_id, e.embedding,
+       |          $dotES AS d, $NormE AS na, $normS AS ns
+       |        FROM embeddings e, seeds s)),
+       |asg AS (
+       |  SELECT vec_id, seed_id, embedding FROM (
+       |    SELECT vec_id, seed_id, embedding,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, seed_id) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Vector stats: dimension + L2 norm.
@@ -249,31 +281,10 @@ object VectorQueries {
       (s, dir) => graft.similarity.SemDedup.semDedup(
         emb(s, dir), "vec_id", "embedding",
         graft.similarity.SemDedup.Config(nCells = 16, threshold = 0.4)),
-      Some {
-        val dotES = duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
-        val normS = s"sqrt(${duckFoldSum("sv", "CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")})"
-        val dotAB = duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")
-        val normA = s"sqrt(${duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")})"
-        val normB = s"sqrt(${duckFoldSum("eb", "CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")})"
-        s"""WITH seeds AS (
-           |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
-           |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-           |           vec_id
-           |  LIMIT 16),
-           |sc AS (
-           |  SELECT vec_id, seed_id, embedding,
-           |    floor((CASE WHEN na * ns = 0 THEN 0.0 ELSE d / (na * ns) END) * 1000000 + 0.5) / 1000000 AS score
-           |  FROM (SELECT e.vec_id, s.seed_id, e.embedding,
-           |          $dotES AS d, $NormE AS na, $normS AS ns
-           |        FROM embeddings e, seeds s)),
-           |asg AS (
-           |  SELECT vec_id, seed_id, embedding FROM (
-           |    SELECT vec_id, seed_id, embedding,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, seed_id) AS rn
-           |    FROM sc)
-           |  WHERE rn = 1),
+      Some(
+        s"""WITH $SemCellCtes,
            |ps AS (
-           |  SELECT b_id, $dotAB AS d, $normA AS na, $normB AS nb FROM (
+           |  SELECT b_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM (
            |    SELECT b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb
            |    FROM asg a JOIN asg b ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id)),
            |drp AS (
@@ -281,8 +292,46 @@ object VectorQueries {
            |  WHERE floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 >= 0.4)
            |SELECT g.vec_id, CAST(g.seed_id AS BIGINT) AS cell_id,
            |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-           |FROM asg g LEFT JOIN drp d ON d.vec_id = g.vec_id""".stripMargin
-      }),
+           |FROM asg g LEFT JOIN drp d ON d.vec_id = g.vec_id""".stripMargin)),
+
+    // Cell-bounded hard-negative mining — the contrastive-batch upgrade
+    // over x_pair_contrastive's random negatives: for each vector, the
+    // most-similar SAME-CELL vector with a DIFFERENT label ("looks alike,
+    // isn't"). Exact mining is an all-pairs argmax; the SemDeDup cell
+    // structure (shared CTE — both oracles replay the identical
+    // assignment) bounds it, and near vectors co-locate by construction so
+    // the in-cell argmax is the hard-candidate set. The per-vector argmax
+    // is an AGGREGATE (max of a (score, -neg_id, label) struct — partial
+    // aggregation collapses each map side to one candidate per vector
+    // before the shuffle), not a window sort over all pairs. Deterministic:
+    // 6-dp-rounded scores, smaller neg id on ties; vectors with no
+    // other-label cellmate yield no row (both engines agree). SemDedupSpec
+    // pins label-correctness, the argmax against an independent window
+    // formulation, and partitioning invariance.
+    Q("x_pair_hardneg",
+      (s, dir) => graft.similarity.SemDedup.hardNegatives(
+        emb(s, dir), "vec_id", "embedding", "label", nCells = 16),
+      Some(
+        s"""WITH $SemCellCtes,
+           |al AS (
+           |  SELECT a.vec_id, a.seed_id, a.embedding, e.label
+           |  FROM asg a JOIN embeddings e USING (vec_id)),
+           |p AS (
+           |  SELECT a.vec_id AS a_id, a.seed_id AS cell_id, b.vec_id AS b_id,
+           |         b.label AS neg_label, a.embedding AS ea, b.embedding AS eb
+           |  FROM al a JOIN al b ON a.seed_id = b.seed_id AND a.label <> b.label),
+           |psc AS (
+           |  SELECT a_id, cell_id, b_id, neg_label,
+           |    $DotAB AS d, $NormA AS na, $NormB AS nb FROM p),
+           |rs AS (
+           |  SELECT a_id, cell_id, b_id, neg_label,
+           |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM psc)
+           |SELECT a_id AS vec_id, CAST(cell_id AS BIGINT) AS cell_id,
+           |  b_id AS neg_vec_id, neg_label, score
+           |FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+           |        ORDER BY score DESC, b_id) AS rn FROM rs)
+           |WHERE rn = 1""".stripMargin)),
 
     // Cross-modal pair construction — the CLIP-style step that turns an
     // id-aligned (document, embedding) warehouse into contrastive training

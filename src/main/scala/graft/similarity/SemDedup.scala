@@ -70,18 +70,82 @@ object SemDedup {
         col(vecCol))
   }
 
+  /** Cell-bounded hard-negative mining for contrastive training: for each
+    * vector, the most cosine-similar SAME-CELL vector carrying a DIFFERENT
+    * label — the "looks alike, isn't" example that makes a contrastive
+    * batch informative (random negatives, cf. x_pair_contrastive, are
+    * mostly trivially far). Exact hard-negative mining is an all-pairs
+    * argmax; the cell restriction bounds it the same way semDedup bounds
+    * the dup scan, and near vectors co-locate by construction, so the
+    * in-cell argmax IS the plausible-hard candidate set. The per-vector
+    * argmax is an aggregate (`max` of a (score, -negId, payload) struct —
+    * partial aggregation shrinks each map side to one candidate per vector
+    * before the shuffle), not a window sort. Vectors whose cell has no
+    * other-label member yield no row. Output: (id, cell_id, neg_<id>,
+    * neg_label, score), deterministic: 6-dp-rounded score, smaller neg id
+    * on ties. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nCells: Int): DataFrame = {
+    val asg = assignCells(emb, idCol, vecCol, nCells)
+      .join(emb.select(col(idCol).cast("long").as(idCol), col(labelCol)), Seq(idCol))
+    val a = asg.select(col("cell_id"), col(idCol).as("a_id"),
+      col(vecCol).as("va"), col(labelCol).as("la"))
+    val b = asg.select(col("cell_id"), col(idCol).as("b_id"),
+      col(vecCol).as("vb"), col(labelCol).as("lb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("score", round6(cosine(col("va"), col("vb"))))
+      .groupBy(col("a_id"), col("cell_id"))
+      .agg(max(struct(col("score"), (-col("b_id")).as("negb"),
+        col("lb").as("neg_label"))).as("m"))
+      .select(col("a_id").as(idCol), col("cell_id"),
+        (-col("m.negb")).as(s"neg_$idCol"), col("m.neg_label").as("neg_label"),
+        col("m.score").as("score"))
+  }
+
+  /** Cell-size census: (cell_id, n) — the observability half of the
+    * hot-cell guard. Same role as `TextDedup.lshBucketStats` on the LSH
+    * path: before paying the quadratic pair stage, LOOK at the cell sizes;
+    * a cell holding a disproportionate share of the corpus is the signal to
+    * raise nCells (or re-seed) rather than discover the blowup mid-job. */
+  def cellStats(emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    assignCells(emb, idCol, vecCol, nCells)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+
   /** Per-vector verdict: (id, cell_id, keep 1|0). keep = 0 iff some
     * same-cell vector with a smaller id is cosine-similar past the
-    * threshold. */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String, cfg: Config): DataFrame = {
-    val asg = assignCells(emb, idCol, vecCol, cfg.nCells)
+    * threshold.
+    *
+    * `maxCellSize` is the enforcement half of the hot-cell guard — the same
+    * cap-and-census discipline as the LSH bucket path: cells larger than
+    * the cap are EXCLUDED from the pair stage (their members all keep),
+    * bounding the worst case at cap² per cell instead of hot-cell². The
+    * exclusion is observable (cellStats names the skipped cells and their
+    * sizes) and is a recall trade, never a precision one — exactly the
+    * contract `TextDedup.candidatePairs` documents for oversized buckets.
+    * The registry entry runs uncapped so the oracle sees the full
+    * semantics; production at corpus scale runs capped. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, cfg: Config,
+      maxCellSize: Option[Int] = None): DataFrame = {
+    val asgAll = assignCells(emb, idCol, vecCol, cfg.nCells)
+    val asg = maxCellSize match {
+      case None => asgAll
+      case Some(cap) =>
+        // nCells-row census — broadcast semi-join, never a shuffle of asg
+        val small = asgAll.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap).select(col("cell_id"))
+        asgAll.join(broadcast(small), Seq("cell_id"), "left_semi")
+    }
     val a = asg.select(col("cell_id"), col(idCol).as("a_id"), col(vecCol).as("va"))
     val b = asg.select(col("cell_id"), col(idCol).as("b_id"), col(vecCol).as("vb"))
     val dropped = a.join(b, Seq("cell_id"))
       .filter(col("a_id") < col("b_id"))
       .filter(round6(cosine(col("va"), col("vb"))) >= cfg.threshold)
       .select(col("b_id").as(idCol)).distinct()
-    asg.select(col(idCol), col("cell_id"))
+    // verdicts over asgAll, not asg: members of an over-cap cell were never
+    // examined, so they keep — excluding them from the OUTPUT would instead
+    // silently shrink the corpus
+    asgAll.select(col(idCol), col("cell_id"))
       .join(dropped.withColumn("is_dup", lit(1L)), Seq(idCol), "left")
       .select(col(idCol), col("cell_id"),
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))

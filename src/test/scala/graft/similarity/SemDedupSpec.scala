@@ -89,6 +89,64 @@ class SemDedupSpec extends AnyFunSuite {
     assert(run(emb) === run(emb.repartition(7)))
   }
 
+  test("hot-cell cap: skips are observable and never shrink the corpus") {
+    val stats = SemDedup.cellStats(emb, "vec_id", "embedding", cfg.nCells)
+      .as[(Long, Long)].collect().toMap
+    val n = emb.count()
+    assert(stats.values.sum === n, "census must total the corpus")
+    def run(cap: Option[Int]) =
+      SemDedup.semDedup(emb, "vec_id", "embedding", cfg, cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val uncapped = run(None)
+    // cap at the largest cell → nothing skipped, identical verdicts
+    assert(run(Some(stats.values.max.toInt)) === uncapped)
+    // cap below every cell → the pair stage never runs; every vector still
+    // in the output, all keep (a skipped cell is a recall trade, not a
+    // corpus shrink)
+    val allSkipped = run(Some(stats.values.min.toInt - 1))
+    assert(allSkipped.size === n)
+    assert(allSkipped.forall(_._3 == 1L))
+    // intermediate cap: capped drops ⊆ uncapped drops (precision preserved)
+    val median = stats.values.toSeq.sorted.apply(stats.size / 2).toInt
+    val capped = run(Some(median))
+    def drops(s: Set[(Long, Long, Long)]) = s.filter(_._3 == 0L).map(_._1)
+    assert(drops(capped).subsetOf(drops(uncapped)))
+  }
+
+  test("hard negatives: different label, true in-cell argmax, deterministic") {
+    val mined = SemDedup.hardNegatives(emb, "vec_id", "embedding", "label", cfg.nCells)
+    val rows = mined.as[(Long, Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    rows.foreach { case (id, _, negId, negLabel, _) =>
+      assert(labels(negId) === negLabel, "neg_label must be the negative's own label")
+      assert(labels(id) !== negLabel, s"vector $id mined a same-label negative")
+      assert(id !== negId)
+    }
+    // independent formulation: window row_number over the same candidate
+    // pairs must pick the identical (neg, score) per vector — pins the
+    // aggregate argmax (max-of-struct) against a second implementation
+    val asg = SemDedup.assignCells(emb, "vec_id", "embedding", cfg.nCells)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val a = asg.select(col("cell_id"), col("vec_id").as("a_id"),
+      col("embedding").as("va"), col("label").as("la"))
+    val b = asg.select(col("cell_id"), col("vec_id").as("b_id"),
+      col("embedding").as("vb"), col("label").as("lb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))
+      .orderBy(col("score").desc, col("b_id"))
+    val viaWindow = a.join(b, Seq("cell_id")).filter(col("la") =!= col("lb"))
+      .withColumn("score", round6(cosine(col("va"), col("vb"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a_id"), col("cell_id"), col("b_id"), col("lb"), col("score"))
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    assert(rows.toSet === viaWindow)
+    // partitioning invariance
+    val again = SemDedup.hardNegatives(
+      emb.repartition(7), "vec_id", "embedding", "label", cfg.nCells)
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    assert(again === rows.toSet)
+  }
+
   test("assignment covers every vector with at most nCells cells") {
     val asg = SemDedup.assignCells(emb, "vec_id", "embedding", cfg.nCells)
     assert(asg.count() === emb.count())
