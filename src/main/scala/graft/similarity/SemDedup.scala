@@ -3,8 +3,11 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.portableHash60
-import graft.functions.VectorFunctions.cosine
 import graft.operators.RelationalOps.round6
+import graft.similarity.SimilaritySearch.cosine // the fused codegen'd
+// kernel, bit-for-bit ≡ VectorFunctions.cosine (property-tested) — the
+// pair stages evaluate it O(cell²) times, where the interpreted
+// higher-order-function form was measured 40× slower (BASELINE.md r7)
 
 /** SemDeDup-style semantic deduplication over an embedding column: partition
   * the corpus into cells around a handful of seed vectors, then mark as
