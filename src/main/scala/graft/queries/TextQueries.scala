@@ -678,6 +678,43 @@ object TextQueries {
              |WHERE lang <> 'en'
              |   OR substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""".stripMargin)),
 
+    // Fixed-k per-stratum sampling ("exactly 20 docs per language") — the
+    // complement of t_stratified_sample's RATE-based thinning. Uniformity
+    // comes from ordering by a salted portable hash (bounded to 2^50 so the
+    // long→double conversion inside the aggregate is EXACT — a raw 60-bit
+    // hash would lose low bits in the double and could diverge from the
+    // oracle's integer ordering); exactness-of-k comes from bottom-k
+    // selection. The standard formulation (row_number over a per-stratum
+    // window, filter rn<=k) shuffles and SORTS every row; this runs the
+    // shared TopKByScore AGGREGATE instead (score = −hash, so top-k =
+    // k smallest hashes; ties → smaller id on both engines), which
+    // partial-aggregates each map side to k candidates per stratum before
+    // the shuffle — the exchange carries O(strata·k), the answer, not the
+    // corpus. Same kernel as q_group_topk, second family (sampling): at
+    // 100 TB, "give me 10k uniform docs per language" is THE reporting/eval
+    // primitive, and a full sort per language is the wrong plan for it.
+    Q("t_sample_k_per_group",
+      (s, dir) => {
+        val h = pmod(portableHash60(concat(lit("samplek:"), col("doc_id").cast("string"))),
+          lit(1L << 50))
+        val topk = docs(s, dir)
+          .select(col("lang"), col("doc_id"), (-h.cast("double")).as("negh"))
+          .groupBy(col("lang"))
+          .agg(graft.expressions.TopKByScore(col("negh"), col("doc_id"), 20).as("picks"))
+        topk.select(col("lang"), posexplode(col("picks")).as(Seq("pos", "e")))
+          .select(col("lang"), col("e.id").as("doc_id"), (col("pos") + 1L).as("rnk"))
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, doc_id,
+             |    ('0x' || substr(md5('samplek:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % (1::BIGINT << 50) AS hv
+             |  FROM documents)
+             |SELECT lang, doc_id, rnk FROM (
+             |  SELECT lang, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS rnk
+             |  FROM h)
+             |WHERE rnk <= 20""".stripMargin)),
+
     // Benchmark decontamination: flag training docs sharing any 4-gram with
     // the held-out eval slice (doc_id % 20 = 0 stands in for the benchmark
     // set; real pipelines use 13-grams on much longer docs — 4 on this

@@ -333,6 +333,18 @@ object VectorQueries {
            |        ORDER BY score DESC, b_id) AS rn FROM rs)
            |WHERE rn = 1""".stripMargin)),
 
+    // The SemDeDup cell census as a first-class (oracle-checked) query —
+    // the observability half of the hot-cell guard: run the census, read
+    // the sizes, THEN decide nCells / maxCellSize before paying the
+    // quadratic pair stage. Same cap-and-census discipline as
+    // lshBucketStats, but here even the census itself is byte-checked.
+    Q("e_cell_census",
+      (s, dir) => graft.similarity.SemDedup.cellStats(
+        emb(s, dir), "vec_id", "embedding", nCells = 16),
+      Some(
+        s"""WITH $SemCellCtes
+           |SELECT seed_id AS cell_id, count(*) AS n FROM asg GROUP BY seed_id""".stripMargin)),
+
     // Cross-modal pair construction — the CLIP-style step that turns an
     // id-aligned (document, embedding) warehouse into contrastive training
     // pairs: the POSITIVE is the doc's own embedding (id equi-join), the

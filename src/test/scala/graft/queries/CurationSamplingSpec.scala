@@ -125,6 +125,33 @@ class CurationSamplingSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("t_sample_k_per_group: exactly min(k, stratum size) distinct docs per lang, deterministic") {
+    import spark.implicits._
+    val sample = run("t_sample_k_per_group")
+      .select(col("lang"), col("doc_id")).as[(String, Long)].collect()
+    val strata = graft.Tables.load(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val byLang = sample.groupBy(_._1)
+    assert(byLang.keySet === strata.keySet, "every stratum must be represented")
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length === math.min(20L, strata(lang)), s"stratum $lang")
+      assert(rows.map(_._2).distinct.length === rows.length, s"duplicate picks in $lang")
+    }
+    // partial-aggregation merge order must not matter: the same pick over a
+    // 7-way repartitioned input (different per-partition top-k merges) must
+    // select the identical sample
+    val h = pmod(graft.functions.TextFunctions.portableHash60(
+      concat(lit("samplek:"), col("doc_id").cast("string"))), lit(1L << 50))
+    val again = graft.Tables.load(spark, dir, "documents").repartition(7)
+      .select(col("lang"), col("doc_id"), (-h.cast("double")).as("negh"))
+      .groupBy(col("lang"))
+      .agg(graft.expressions.TopKByScore(col("negh"), col("doc_id"), 20).as("picks"))
+      .select(col("lang"), explode(col("picks.id")).as("doc_id"))
+      .as[(String, Long)].collect()
+    assert(again.toSet === sample.toSet)
+  }
+
   test("t_best_of_cluster keeps exactly one max-quality survivor per cluster") {
     val surv = run("t_best_of_cluster").cache()
     try {
