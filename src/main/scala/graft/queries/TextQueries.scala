@@ -67,6 +67,42 @@ object TextQueries {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Guarded trigram-LM scoring engine (t_trigram_lm's body, extracted so
+    * the spec can force the fallback). Input: (doc_id, t) with t lowered
+    * and length ≥ 3. The "model ≤ |Σ|³ rows" bound is real for ASCII but
+    * NOT an invariant — a multilingual/CJK corpus reaches 10⁸⁺ distinct
+    * char-trigrams and an unconditional broadcast OOMs the driver. Same
+    * guard discipline as [[contaminationCounts]]: a BOUNDED
+    * `limit(cap+1).count()` probe of the model (partial aggregation
+    * short-circuits it — never a full corpus pass beyond the model build
+    * the query pays anyway), then broadcast while provably small,
+    * `shuffle_hash` past the cap — the model still the per-partition build
+    * side, AQE absorbing hot trigrams. Results identical on both paths
+    * (TrigramLmGuardSpec). */
+  private[queries] def trigramFamiliarity(d: org.apache.spark.sql.DataFrame,
+      maxBroadcastRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    // Deliberately TWO explode passes and ZERO corpus-sized shuffles: the
+    // model build partial-aggregates the exploded stream straight to the
+    // distinct-trigram set per partition (the g-keyed shuffle is
+    // alphabet-bounded, not corpus-bounded), and the scoring pass
+    // re-explodes, map-joins the model, and partial-aggs per doc before
+    // its (small) final shuffle. Re-exploding is pure embarrassingly-
+    // parallel CPU; materializing one (doc_id, g) frame instead would
+    // carry the whole corpus through the network — the wrong trade at
+    // 100 TB.
+    val tri = d.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+    val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val oversized =
+      if (maxBroadcastRows < Int.MaxValue - 1)
+        counts.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
+      else counts.count() > maxBroadcastRows
+    val model = if (oversized) counts.hint("shuffle_hash") else broadcast(counts)
+    tri.join(model, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("c")).as("familiarity"))
+  }
+
   /** Single-hash Bloom prefilter for the contamination join (see
     * t_decontaminate_bloom): drop train grams whose 16-bit xxhash64 bucket
     * holds no eval gram. The bucket set is a broadcast left-semi join —
@@ -1015,31 +1051,16 @@ object TextQueries {
     // fluent text high). All counts are BIGINTs — no log/float fold, so
     // the oracle is byte-exact. The scale story is the deploy story of
     // every char-n-gram scorer: the "model" (distinct-trigram count table)
-    // is BOUNDED BY THE ALPHABET (≤ |Σ|³ rows regardless of corpus size),
-    // so it BROADCASTS and the scoring join never shuffles the corpus —
-    // one partial-aggregated count shuffle builds the model, a map-side
-    // join + per-doc partial agg scores 100 TB.
+    // is alphabet-bounded (≤ |Σ|³ rows for ASCII), so it broadcasts and
+    // the scoring join never shuffles the corpus — but the bound is an
+    // ASSUMPTION (CJK corpora blow it), so the broadcast rides the same
+    // size-probe guard as decontamination, with a shuffle_hash fallback
+    // past the cap (see trigramFamiliarity).
     Q("t_trigram_lm",
       (s, dir) => {
         val d = docs(s, dir).select(col("doc_id"), lower(col("text")).as("t"))
           .filter(length(col("t")) >= 3)
-        // Deliberately TWO explode passes and ZERO corpus-sized shuffles:
-        // the model build partial-aggregates the exploded stream straight
-        // to ≤ |Σ|³ rows per partition (the g-keyed shuffle is
-        // alphabet-bounded, not corpus-bounded), and the scoring pass
-        // re-explodes, map-joins the broadcast model, and partial-aggs per
-        // doc before its (small) final shuffle. Re-exploding is pure
-        // embarrassingly-parallel CPU; the alternative — materializing one
-        // (doc_id, g) frame and shuffling it — carries the whole corpus
-        // through the network, the wrong trade at 100 TB (measured at
-        // 500 k docs: within noise of each other; at cluster scale the
-        // shuffle-free shape wins on the network).
-        val tri = d.select(col("doc_id"),
-          explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
-        val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        tri.join(broadcast(counts), Seq("g"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_trigrams"), sum(col("c")).as("familiarity"))
+        trigramFamiliarity(d)
       },
       Some("""WITH tri AS (
              |  SELECT doc_id,

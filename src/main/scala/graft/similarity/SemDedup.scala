@@ -7,7 +7,7 @@ import graft.operators.RelationalOps.round6
 import graft.similarity.SimilaritySearch.cosine // the fused codegen'd
 // kernel, bit-for-bit ≡ VectorFunctions.cosine (property-tested) — the
 // pair stages evaluate it O(cell²) times, where the interpreted
-// higher-order-function form was measured 40× slower (BASELINE.md r7)
+// higher-order-function form was measured ~18-22× slower (BASELINE.md r7)
 
 /** SemDeDup-style semantic deduplication over an embedding column: partition
   * the corpus into cells around a handful of seed vectors, then mark as
@@ -86,11 +86,32 @@ object SemDedup {
     * before the shuffle), not a window sort. Vectors whose cell has no
     * other-label member yield no row. Output: (id, cell_id, neg_<id>,
     * neg_label, score), deterministic: 6-dp-rounded score, smaller neg id
-    * on ties. */
+    * on ties.
+    *
+    * `maxCellSize` is the same hot-cell enforcement as [[semDedup]]'s —
+    * and it matters MORE here: different-label pairs do not halve via the
+    * `a_id < b_id` triangle, so a hot cell costs a full cell² (the sf1
+    * bench showed 17× at 10× data uncapped). Cells past the cap are
+    * excluded from the pair stage entirely; their members simply yield no
+    * row (a hard negative is an optional training extra, not corpus
+    * membership — skipping is a coverage trade, observable via
+    * [[cellStats]], never a wrong answer). The registry entry runs
+    * uncapped so `x_pair_hardneg` keeps its full oracle. */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, nCells: Int): DataFrame = {
-    val asg = assignCells(emb, idCol, vecCol, nCells)
+      labelCol: String, nCells: Int,
+      maxCellSize: Option[Int] = None): DataFrame = {
+    val asgAll = assignCells(emb, idCol, vecCol, nCells)
       .join(emb.select(col(idCol).cast("long").as(idCol), col(labelCol)), Seq(idCol))
+    val asg = maxCellSize match {
+      case None => asgAll
+      case Some(cap) =>
+        // nCells-row census (partial aggregation keeps the exchange at
+        // nCells rows per task) → broadcast left-semi exclusion, the exact
+        // guard shape semDedup uses below
+        val small = asgAll.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap).select(col("cell_id"))
+        asgAll.join(broadcast(small), Seq("cell_id"), "left_semi")
+    }
     val a = asg.select(col("cell_id"), col(idCol).as("a_id"),
       col(vecCol).as("va"), col(labelCol).as("la"))
     val b = asg.select(col("cell_id"), col(idCol).as("b_id"),
@@ -134,7 +155,8 @@ object SemDedup {
     val asg = maxCellSize match {
       case None => asgAll
       case Some(cap) =>
-        // nCells-row census — broadcast semi-join, never a shuffle of asg
+        // nCells-row census — partial aggregation keeps the exchange at
+        // nCells rows per task — then a broadcast semi-join
         val small = asgAll.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
           .filter(col("n") <= cap).select(col("cell_id"))
         asgAll.join(broadcast(small), Seq("cell_id"), "left_semi")

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.expressions.CountByKey
 import graft.functions.TextFunctions.portableHash60
 import graft.util.{FileLease, SwapDir}
 
@@ -70,19 +71,32 @@ object ShardWriter {
     var manifest: Manifest = null
     new FileLease(dir).withLease(f) {
       SwapDir.swapIn(f, live) { tmp =>
+        // Per-shard counts ride the write job itself as an observe()
+        // metric (CountByKey: one map<shard,count> row, O(nShards) driver
+        // state) — the previous shape re-read the ENTIRE staged corpus to
+        // count it, an O(corpus) second scan at the terminal sink. The
+        // CollectMetrics node sits BELOW the repartition, so the exchange
+        // + in-task sort above it still pin the written row order; counts
+        // and files come from the same job, hence the same version.
+        val obs = Observation()
         sharded
+          .observe(obs, CountByKey(col("shard")).as("shard_rows"))
           .repartition(nShards, col("shard"))
           .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
           .drop("__h")
           .write.partitionBy("shard").parquet(tmp)
-        // Counts from the STAGED data (same version as the files), written
-        // inside tmp so the swap publishes files + manifest together. The
-        // explicit schema also covers the EMPTY corpus (no part files to
-        // infer from).
-        val schema = sharded.drop("__h").schema
-        val rows = spark.read.schema(schema).parquet(tmp)
-          .groupBy(col("shard")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val rows: Map[Int, Long] = obs.get.get("shard_rows") match {
+          case Some(m) => m.asInstanceOf[scala.collection.Map[Int, Long]].toMap
+          case None =>
+            // AQE propagates an empty relation straight through
+            // CollectMetrics, so a zero-row write delivers NO metric. The
+            // only legal absent-metric case is empty input — verify that
+            // (the source scan, pruned to nothing — never the staged dir)
+            // instead of silently manifesting an empty corpus for a
+            // non-empty one.
+            require(sharded.isEmpty, "observe metric missing for a non-empty write")
+            Map.empty
+        }
         if (rows.isEmpty)
           // A filtered-to-nothing corpus is still a VALID corpus: replace
           // the fileless partition layout with one empty in-file-schema

@@ -147,6 +147,61 @@ class SemDedupSpec extends AnyFunSuite {
     assert(again === rows.toSet)
   }
 
+  test("hard-negative cap: skipped cells yield no rows, small cells unchanged") {
+    val stats = SemDedup.cellStats(emb, "vec_id", "embedding", cfg.nCells)
+      .as[(Long, Long)].collect().toMap
+    def run(cap: Option[Int]) =
+      SemDedup.hardNegatives(emb, "vec_id", "embedding", "label", cfg.nCells, cap)
+        .as[(Long, Long, Long, Int, Double)].collect().toSet
+    val uncapped = run(None)
+    // cap at the largest cell → nothing skipped, identical rows
+    assert(run(Some(stats.values.max.toInt)) === uncapped)
+    // cap below every cell → the pair stage never runs; zero rows (a hard
+    // negative is optional training data — skipping yields no row, unlike
+    // semDedup where membership must survive)
+    assert(run(Some(stats.values.min.toInt - 1)).isEmpty)
+    // intermediate cap: exactly the rows of the surviving (≤ cap) cells —
+    // a skipped cell removes its rows and changes nothing anywhere else
+    val median = stats.values.toSeq.sorted.apply(stats.size / 2).toInt
+    val capped = run(Some(median))
+    val keptCells = stats.filter(_._2 <= median).keySet
+    assert(capped === uncapped.filter(r => keptCells.contains(r._2)))
+  }
+
+  test("hard-negative hot cell: one cell holding half the corpus is skippable") {
+    // Adversarial corpus: ~half the vectors are tiny tilts of one base
+    // direction (they all land in the same cell — the hot cell the VERDICT
+    // names as the 100 TB job-killer), the rest are one-hot singletons.
+    // The tilt is far below round6 resolution, so every hot member scores a
+    // rounded 1.0 against every hot seed and the tiebreak funnels ALL of
+    // them into the min-id hot seed's cell — one genuinely hot cell.
+    val dim = 32
+    val hot = (0 until 40).map { m =>
+      val base = Array.tabulate(dim)(i => math.sin(1.0 + i).toFloat)
+      base(m % dim) = base(m % dim) + 1e-5f * (m + 1)
+      (m.toLong, base.toSeq, m % 3)
+    }
+    val cold = (0 until 40).map { i =>
+      (100L + i, Array.tabulate(dim)(j => if (j == i % dim) 1.0f else 0.0f).toSeq, i % 3)
+    }
+    val df = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    val nCells = 8
+    val stats = SemDedup.cellStats(df, "vec_id", "embedding", nCells)
+      .as[(Long, Long)].collect().toMap
+    val hotCellSize = stats.values.max
+    assert(hotCellSize >= 40L, s"corpus must actually produce a hot cell: $stats")
+    val capped = SemDedup.hardNegatives(df, "vec_id", "embedding", "label",
+      nCells, Some(hotCellSize.toInt - 1))
+      .as[(Long, Long, Long, Int, Double)].collect()
+    // the hot cell is excluded; every surviving row is from a small cell,
+    // so the pair stage examined at most Σ small² pairs — bounded by cap²
+    val hotCell = stats.maxBy(_._2)._1
+    assert(capped.forall(_._2 != hotCell))
+    val uncapped = SemDedup.hardNegatives(df, "vec_id", "embedding", "label", nCells)
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    assert(capped.toSet === uncapped.filter(_._2 != hotCell))
+  }
+
   test("assignment covers every vector with at most nCells cells") {
     val asg = SemDedup.assignCells(emb, "vec_id", "embedding", cfg.nCells)
     assert(asg.count() === emb.count())

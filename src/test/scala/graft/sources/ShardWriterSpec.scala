@@ -54,6 +54,46 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("manifest counts ride the write job: the staged data is never re-read") {
+    // Capture every query executed during write() and assert none of them
+    // SCANS the staging dir — the manifest's per-shard counts must come
+    // from the write job's own observe() metric, not an O(corpus) re-read
+    // of what was just written.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val dir = GraftTestSpark.tmpDir("shardobs")
+    try {
+      val m = ShardWriter.write(docs, "doc_id", dir, nShards)
+      assert(ShardWriter.verify(spark, dir), "observed counts must match the files")
+      assert(m.totalRows == docs.count())
+      // listener bus is async — wait (bounded) until the captured set
+      // stabilizes: no new plan for 1 s, or 15 s total
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      var stableSince = System.currentTimeMillis()
+      while (System.currentTimeMillis() < deadline &&
+          (plans.size() != last || System.currentTimeMillis() - stableSince < 1000)) {
+        if (plans.size() != last) { last = plans.size(); stableSince = System.currentTimeMillis() }
+        Thread.sleep(50)
+      }
+      // A scan of the staging dir would surface as a FileScan whose
+      // Location includes shards.tmp; the write job's own plan mentions
+      // shards.tmp only in its InsertIntoHadoopFsRelationCommand line.
+      val offenders = plans.toArray(Array.empty[String])
+        .filter(_.linesIterator.exists(l =>
+          l.contains("FileScan") && l.contains("shards.tmp")))
+      assert(offenders.isEmpty,
+        s"write() re-read its own staging dir:\n${offenders.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("an empty corpus publishes as a valid empty shard set") {
     val dir = GraftTestSpark.tmpDir("shardempty")
     val m = ShardWriter.write(docs.filter(col("doc_id") < 0), "doc_id", dir, 4)
