@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expressions.RademacherBands
 import graft.functions.VectorFunctions._
 import graft.similarity.SimilaritySearch
 
@@ -32,6 +33,39 @@ object VectorQueries {
   private val DotAB = duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")
   private val NormA = s"sqrt(${duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")})"
   private val NormB = s"sqrt(${duckFoldSum("eb", "CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")})"
+
+  /** Geometry of the portable-LSH twins — shared by the Spark builders and
+    * the SQL replay below so they can never drift. */
+  private val PortableLsh = SimilaritySearch.PortableLshConfig(
+    dim = 64, bands = 16, bitsPerBand = 8, maxBucket = 2048)
+
+  /** The DuckDB image of [[graft.expressions.RademacherBands]] over the
+    * embeddings table + the bucket-cap census: CTEs `planes` (±1 signs from
+    * the shared md5 derivation — the SQL body lives next to the Scala
+    * derivation in RademacherBands.planesSql), `qv` (round6-quantized
+    * integer vectors), `comp` (per-bit ±long sums — exact in any engine,
+    * any order), `keys` (packed band keys, one per (vec, band)), `capped`
+    * (keys in buckets ≤ maxBucket, the capBuckets image). */
+  private val PortableKeyCtes: String =
+    s"""planes AS (
+       |  ${RademacherBands.planesSql(PortableLsh.dim, PortableLsh.bands, PortableLsh.bitsPerBand)}),
+       |pqv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT v.vec_id, p.b, p.j, sum(v.q[p.i + 1] * p.sgn) AS dot
+       |  FROM pqv v CROSS JOIN planes p
+       |  GROUP BY v.vec_id, p.b, p.j),
+       |keys AS (
+       |  SELECT vec_id,
+       |    (CAST(b AS BIGINT) << 48) +
+       |    sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS band_key
+       |  FROM comp GROUP BY vec_id, b),
+       |capped AS (
+       |  SELECT band_key, vec_id FROM keys
+       |  WHERE band_key IN (SELECT band_key FROM keys
+       |                     GROUP BY band_key HAVING count(*) <= ${PortableLsh.maxBucket}))""".stripMargin
 
   /** The DuckDB image of [[graft.similarity.SemDedup.assignCells]] —
     * hash-ordered seed selection and rounded argmax-cosine assignment —
@@ -233,6 +267,63 @@ object VectorQueries {
            |  FROM sc)
            |WHERE score >= 0.4""".stripMargin
       }),
+
+    // PORTABLE-oracle twins of the hyperplane-LSH family (e_dup_pairs /
+    // e_knn_lsh): the identical banding pipelines with RademacherBands —
+    // md5-derived ±1 planes over the integer-quantized vector, so every
+    // band key is a ±sum of LONGS that DuckDB replays exactly (see
+    // RademacherBands' scaladoc; same pattern as t_simhash_portable for
+    // the simhash family). The production entries keep the tuned Gaussian
+    // geometry and stay rows-only with in-JVM recall specs; these two give
+    // the ENTIRE band→cap→join→verify→top-k pipeline a byte-for-byte
+    // oracle, including the bucket-cap census and the bounded-heap top-k.
+    Q("e_dup_pairs_portable",
+      (s, dir) => SimilaritySearch.embeddingDupPairsPortable(
+        emb(s, dir), "vec_id", "embedding", threshold = 0.4, PortableLsh),
+      Some(
+        s"""WITH $PortableKeyCtes,
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM capped a JOIN capped b USING (band_key)
+           |  WHERE a.vec_id < b.vec_id),
+           |p AS (
+           |  SELECT c.a_id, c.b_id, ea.embedding AS ea, eb.embedding AS eb
+           |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+           |              JOIN embeddings eb ON eb.vec_id = c.b_id),
+           |sc AS (SELECT a_id, b_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM p)
+           |SELECT a_id, b_id, score FROM (
+           |  SELECT a_id, b_id,
+           |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM sc)
+           |WHERE score >= 0.4""".stripMargin)),
+
+    Q("e_knn_lsh_portable",
+      (s, dir) => {
+        val e = emb(s, dir)
+        SimilaritySearch.knnJoinLSHPortable(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 5, PortableLsh)
+      },
+      Some(
+        s"""WITH $PortableKeyCtes,
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+           |  FROM keys q JOIN capped c USING (band_key)
+           |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+           |p AS (
+           |  SELECT c.query_id, c.cand_id, eq.embedding AS ea, ec.embedding AS eb
+           |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+           |              JOIN embeddings ec ON ec.vec_id = c.cand_id),
+           |sc AS (SELECT query_id, cand_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM p),
+           |r AS (
+           |  SELECT query_id, cand_id,
+           |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM sc)
+           |SELECT query_id, cand_id, score, rnk FROM (
+           |  SELECT query_id, cand_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+           |  FROM r)
+           |WHERE rnk <= 5""".stripMargin)),
 
     // Per-label centroids (cluster means / label prototypes), one row per
     // (label, dimension). Cross-row float sums are order-dependent in IEEE

@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.expressions.{CosineSimilarity, HyperplaneBands, TopKByScore}
+import graft.expressions.{CosineSimilarity, HyperplaneBands, RademacherBands, TopKByScore}
 import graft.functions.VectorFunctions
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -132,5 +132,65 @@ object SimilaritySearch {
       .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("va"), col("vb"))))
       .filter(col("score") >= threshold)
       .select(col("a_id"), col("b_id"), col("score"))
+  }
+
+  // ---- portable (oracle-carrying) twins -----------------------------------
+  //
+  // Same pipelines as above with ONE substitution: HyperplaneBands →
+  // RademacherBands (md5-derived ±1 planes over the integer-quantized
+  // vector — exact in any engine, see RademacherBands' scaladoc). The
+  // production entries keep the tuned Gaussian planes and stay rows-only;
+  // these twins give the banding pipeline a full byte-for-byte DuckDB
+  // oracle, exactly as t_simhash_portable does for the simhash family.
+
+  /** Geometry of the portable twin. Defaults chosen so the sf-scale DuckDB
+    * replay (n_vec · bands · bits · dim rows) stays cheap while the band
+    * join still produces a non-vacuous candidate set. */
+  final case class PortableLshConfig(
+      dim: Int,
+      bands: Int = 16,
+      bitsPerBand: Int = 8,
+      maxBucket: Int = 2048)
+
+  private def portableBandRows(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, cfg: PortableLshConfig): DataFrame =
+    df.select(col(idCol).as(outId),
+      explode(RademacherBands(col(vecCol), cfg.dim, cfg.bands, cfg.bitsPerBand))
+        .as("band_key"))
+
+  /** [[embeddingDupPairs]] on portable bands — full-oracle twin. */
+  def embeddingDupPairsPortable(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cfg: PortableLshConfig): DataFrame = {
+    val va = corpus.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    val banded = capBuckets(
+      portableBandRows(corpus, idCol, vecCol, "a_id", cfg), cfg.maxBucket)
+    banded.join(banded.withColumnRenamed("a_id", "b_id"), Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .join(va, Seq("a_id")).join(vb, Seq("b_id"))
+      .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("va"), col("vb"))))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
+  /** [[knnJoinLSH]] on portable bands — full-oracle twin. */
+  def knnJoinLSHPortable(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, cfg: PortableLshConfig): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val cands = portableBandRows(queries, idCol, vecCol, "query_id", cfg)
+      .join(capBuckets(portableBandRows(corpus, idCol, vecCol, "cand_id", cfg),
+          cfg.maxBucket),
+        Seq("band_key"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val scored = cands.join(c, Seq("cand_id")).join(q, Seq("query_id"))
+      .withColumn("score", graft.operators.RelationalOps.round6(cosine(col("qv"), col("cv"))))
+      .select(col("query_id"), col("cand_id"), col("score"))
+    topKPerKey(scored, "query_id", "score", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
   }
 }

@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftTestSpark, Tables}
+import graft.expressions.RademacherBands
+
+/** Quality + portability contract of the Rademacher-band LSH twins
+  * (e_dup_pairs_portable / e_knn_lsh_portable). The registry oracle proves
+  * Spark and DuckDB compute the same thing; these tests pin (a) the plane
+  * derivation against DuckDB-computed anchor constants — the cross-engine
+  * hinge the whole family turns on — and (b) the quality semantics: the
+  * exact-cosine verify stage makes precision 1.0 by construction, recall
+  * against the exact all-pairs baseline is measured, and keys are
+  * partitioning-invariant. */
+class PortableLshSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val cfg = SimilaritySearch.PortableLshConfig(dim = 64, bands = 16, bitsPerBand = 8)
+  private def emb = Tables.load(spark, GraftTestSpark.sfDir, "embeddings")
+
+  test("plane-sign hash matches DuckDB's hex-prefix parse on anchor preimages") {
+    // DuckDB 1.0: SELECT ('0x'||substr(md5(s),1,15))::BIGINT — the SQL side
+    // of RademacherBands.planesSql. The JVM side must derive the identical
+    // 60-bit value (and hence the identical ±1 sign) for every preimage.
+    val duckAnchors = Seq(
+      "plane:0:0:0" -> 186427764323345608L,
+      "plane:0:0:1" -> 343756250755784785L,
+      "plane:3:5:17" -> 370010232449686871L,
+      "plane:15:7:63" -> 490345073354895786L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    duckAnchors.foreach { case (s, duck) =>
+      val d = md.digest(s.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      assert((h >>> 4) === duck, s"JVM 60-bit md5 prefix disagrees with DuckDB on '$s'")
+      md.reset()
+    }
+  }
+
+  test("band keys are well-formed, deterministic, partitioning-invariant") {
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        RademacherBands(col("embedding"), cfg.dim, cfg.bands, cfg.bitsPerBand).as("ks"))
+      .select(col("vec_id"), explode(col("ks")).as("k"))
+      .as[(Long, Long)].collect().toSet
+    val k1 = keys(emb)
+    assert(k1.size === emb.count() * cfg.bands, "one key per (vector, band)")
+    // band tag in the high bits, sign bits below 2^bitsPerBand
+    assert(k1.forall { case (_, k) =>
+      val band = k >>> 48
+      val bits = k & ((1L << 48) - 1)
+      band >= 0 && band < cfg.bands && bits >= 0 && bits < (1L << cfg.bitsPerBand)
+    })
+    assert(keys(emb.repartition(7)) === k1)
+  }
+
+  test("portable dup pairs: precision 1.0 vs exact, recall measured") {
+    val exact = {
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(graft.operators.RelationalOps.round6(
+          SimilaritySearch.cosine(col("va"), col("vb"))) >= 0.4)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    }
+    val portable = SimilaritySearch.embeddingDupPairsPortable(
+        emb, "vec_id", "embedding", 0.4, cfg)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(portable.nonEmpty, "twin must not be vacuous on the test corpus")
+    assert(portable.subsetOf(exact), "exact verify stage ⇒ precision 1.0")
+    val recall = portable.size.toDouble / exact.size
+    // weak-near-dup corpus (neighbor cosine ≈ 0.4-0.5) at 16 bands — the
+    // measured operating point; a production ≥0.9 threshold needs fewer
+    assert(recall >= 0.3, s"portable-band recall collapsed: $recall")
+  }
+
+  test("portable knn agrees with brute force on its candidate set") {
+    val res = SimilaritySearch.knnJoinLSHPortable(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5, cfg)
+    val rows = res.as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      val sorted = rs.sortBy(_._4)
+      // rnk is dense from 1 and follows (score desc, cand_id asc)
+      assert(sorted.map(_._4).toSeq === (1L to rs.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x._3 > y._3 || (x._3 == y._3 && x._2 < y._2), s"order broken for query $q")
+        case _ =>
+      }
+    }
+  }
+}
