@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, Observation, functions => F}
 import org.apache.spark.sql.functions.{coalesce, col, least, min}
 
 /** Distributed connected components over an undirected edge list — the
@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions.{coalesce, col, least, min}
   * when executors are stable — or, when `checkpointDir` is given, a
   * reliable filesystem `checkpoint`, which survives executor loss and is
   * the right mode on a cluster with dynamic allocation or spot instances.
-  * The convergence probe is a `limit(1).count()` over the changed rows: it
-  * short-circuits as soon as one change is seen, and scans only
-  * checkpointed per-vertex state.
+  * The convergence signal is an `observe()` metric (count of labels that
+  * strictly improved) riding the round's own checkpoint job — detecting
+  * convergence costs zero extra jobs or scans.
   */
 object ConnectedComponents {
 
@@ -114,9 +114,14 @@ object ConnectedComponents {
     // endpoints) derive from it, and upstream `edges` is often an expensive
     // pipeline (the near-dup candidate join) that must not run twice.
     val (e, eCk) = persistRound(edges.select(col(aCol).as("u"), col(bCol).as("v")))
+    // Pre-partitioned BY THE ROUND-JOIN KEY: the checkpoint preserves the
+    // hash partitioning (LogicalRDD keeps outputPartitioning), so every
+    // round's neighbor join exchanges only the vertex-sized label frame —
+    // the 2|E| edge frame is shuffled ONCE here, not once per round.
     val (bidir, bidirCk) = persistRound(
       e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct())
+        .filter(col("u") =!= col("v")).distinct()
+        .repartition(col("v")))
 
     var (labels, prevCk) = persistRound(
       e.select(col("u").as("id")).union(e.select(col("v").as("id")))
@@ -130,23 +135,33 @@ object ConnectedComponents {
       val nbrMin = bidir
         .join(labels.select(col("id").as("v"), col("component").as("nc")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nc")).as("nbr_min"))
-      // Persisted: the doubling self-join below reads `stepped` on BOTH
-      // sides — un-persisted, the neighbor-min join would replan and run
-      // twice per round.
-      val (stepped, steppedCk) = persistRound(labels
+      // NOT checkpointed: the doubling self-join reads `stepped` on both
+      // sides, but the two subtrees are canonically identical (same child
+      // exchange, same shuffle key c1/pid), so ReusedExchange computes the
+      // neighbor-min join once within the round's single job — one
+      // materialization per round instead of the former two.
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1")))
-      // Pointer doubling: also adopt the label OF my label.
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("c1"))
+      // Pointer doubling: also adopt the label OF my label. The
+      // convergence signal rides the SAME job as the checkpoint
+      // materialization via observe() (count of strictly-improved labels)
+      // — the former separate limit(1) probe job per round is gone.
+      val obs = Observation()
       val (doubled, doubledCk) = persistRound(stepped
         .join(stepped.select(col("id").as("pid"), col("c1").as("pc")),
           stepped("c1") === F.col("pid"), "left")
         .select(col("id"), col("prev"),
-          least(col("c1"), coalesce(col("pc"), col("c1"))).as("component")))
-      converged = doubled.filter(col("component") < col("prev")).limit(1).isEmpty
-      labels = doubled.select(col("id"), col("component"))
-      dropCk(steppedCk) // doubled is materialized; this round's midpoint is garbage
+          least(col("c1"), coalesce(col("pc"), col("c1"))).as("component"))
+        .observe(obs,
+          F.count(F.when(col("component") < col("prev"), 1L)).as("changed"))
+        .select(col("id"), col("component")))
+      // labels is nonempty here (checked before the loop), so the metric
+      // row always arrives — AQE's empty-relation collapse cannot eat it.
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = doubled
       dropCk(prevCk)    // the previous round's labels are superseded
       prevCk = doubledCk
       iter += 1

@@ -93,6 +93,57 @@ class IvfCurationSpec extends AnyFunSuite {
     assert(near.isEmpty)
   }
 
+  test("two concurrent curators serialize on the writer lease (no double-keep)") {
+    val dir = GraftTestSpark.tmpDir("ivf-hammer")
+    val outA = GraftTestSpark.tmpDir("ivf-cur-a")
+    val outB = GraftTestSpark.tmpDir("ivf-cur-b")
+    buildBase(dir)
+    // Two "sessions" race curateBatch with IDENTICAL novel vectors under
+    // different ids (axes 40-45, none indexed): whichever batch appends
+    // first must make the other's vectors all match the standing index
+    // (cos = 1.0) and drop. Interleaving — both probing the index before
+    // either appends — would keep both copies; the lease makes the whole
+    // read-decide-append cycle atomic per curator (the adversarial twin of
+    // TextDedupIndexSpec's case, on the vector path).
+    val axes = 40 until 46
+    val batchA = vecs(axes.map(ax => (9100000L + ax, ax)): _*)
+    val batchB = vecs(axes.map(ax => (9200000L + ax, ax)): _*)
+    @volatile var keptA: Set[Long] = null
+    @volatile var keptB: Set[Long] = null
+    @volatile var err: Throwable = null
+    def curator(batch: org.apache.spark.sql.DataFrame, out: String,
+        sink: Set[Long] => Unit) = new Thread(() =>
+      try sink(IvfIndex.curateBatch(batch, dir, out,
+        "vec_id", "embedding", lsh, 0.95, cfg.nProbe).toSet)
+      catch { case t: Throwable => err = t })
+    val ta = curator(batchA, outA, keptA = _)
+    val tb = curator(batchB, outB, keptB = _)
+    ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+    assert(err == null, s"curator failed: $err")
+    assert(keptA != null && keptB != null, "a curator timed out")
+    assert(keptA.size + keptB.size === axes.size,
+      s"exactly one copy of each vector must survive across the two curators " +
+        s"(A kept ${keptA.size}, B kept ${keptB.size})")
+    // Exactly-once index state after the race: per contested axis, exactly
+    // ONE of the two rival ids is in the inverted file, and the total grew
+    // by exactly the survivor count (serialized appends, no partial batch).
+    val indexed = spark.read.parquet(s"$dir/cells")
+      .select("cand_id").as[Long].collect().toSet
+    axes.foreach { ax =>
+      val rivals = Set(9100000L + ax, 9200000L + ax) & indexed
+      assert(rivals.size === 1, s"axis $ax indexed under $rivals")
+    }
+    assert(indexed.size === 20 + axes.size)
+    assert(indexed == (1L to 20L).toSet ++ (keptA ++ keptB))
+    // The search surface agrees: probing a contested axis returns the one
+    // surviving id with an exact-match score.
+    val hit = IvfIndex.searchIndex(vecs(999L -> 40), dir, "vec_id", "embedding",
+        1, cfg.nProbe).select("cand_id").as[Long].collect().toSeq
+    assert(hit.size == 1 && (keptA ++ keptB).contains(hit.head))
+    assert(!new java.io.File(s"$dir/.graft-writer-lease").exists(),
+      "lease must be released")
+  }
+
   test("curateStream: survivors across batches, exactly-once index under forced replay") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = GraftTestSpark.tmpDir("ivf-cs")
