@@ -844,6 +844,45 @@ object TextQueries {
               |  FROM tf JOIN df USING (term))
               |WHERE rnk <= 3""".stripMargin)),
 
+    // TF-IDF document-term matrix — the classic inverse-document-frequency
+    // weighting (smooth variant: tf/|d| · (ln((N+1)/(df+1)) + 1)) that
+    // feeds BM25-ish retrieval, keyword extraction, and sparse doc
+    // vectors. Pure group-by/join relational shape, no windows: term
+    // frequencies and document frequencies are partial-aggregated from the
+    // exploded token stream (the df shuffle is vocabulary-bounded, the tf
+    // shuffle carries one row per distinct (doc, term)); doc lengths
+    // derive from the tf frame (never a second corpus scan); the corpus
+    // count is a 1-row broadcast. The vocabulary join is deliberately NOT
+    // broadcast — vocab is corpus-unbounded at 100 TB (same reasoning as
+    // the guarded trigram model); AQE sizes it. ln() is the one
+    // transcendental — both engines feed it the identical double and the
+    // 6-dp rounding absorbs last-ulp libm drift.
+    Q("t_tfidf",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d"))
+        val dft = tok.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(dlen, "doc_id").join(dft, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf", graft.operators.RelationalOps.round6(
+            (col("tf").cast("double") / col("n_d").cast("double")) *
+              (log((col("n_docs").cast("double") + 1.0) /
+                (col("df").cast("double") + 1.0)) + 1.0)))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
+              |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents)
+              |SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+              |  floor(((CAST(tf.tf AS DOUBLE) / CAST(dlen.n_d AS DOUBLE)) *
+              |         (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dft.df AS DOUBLE) + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
+              |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (term), n""".stripMargin)),
+
     // Exact distributed percentiles per stratum — the quality-threshold
     // derivation step of a filtering pipeline ("drop docs below the
     // per-language p25"). Spark's exact `percentile` aggregate and DuckDB's

@@ -174,6 +174,46 @@ object VectorQueries {
       },
       None),
 
+    // PORTABLE-oracle twin of e_knn_ivf: identical IVF search semantics
+    // (one cell per corpus vector, nProbe probed cells per query, exact
+    // top-k within), with SemDeDup's deterministic hash-chosen seeds as
+    // the quantizer — every stage SQL-replayable (the ANN analog of the
+    // Rademacher LSH twins). The shared SemCellCtes means this oracle and
+    // e_semdedup's replay the exact same cell structure.
+    Q("e_knn_ivf_portable",
+      (s, dir) => {
+        val e = emb(s, dir)
+        graft.similarity.IvfIndex.knnJoinIVFPortable(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+      },
+      Some(
+        s"""WITH $SemCellCtes,
+           |probe AS (
+           |  SELECT vec_id AS query_id, seed_id AS cell_id FROM (
+           |    SELECT vec_id, seed_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, seed_id) AS rn
+           |    FROM sc WHERE vec_id < 20)
+           |  WHERE rn <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id AS cand_id
+           |  FROM probe p JOIN asg a ON a.seed_id = p.cell_id
+           |  WHERE a.vec_id <> p.query_id),
+           |cp AS (
+           |  SELECT c.query_id, c.cand_id, eq.embedding AS ea, ec.embedding AS eb
+           |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+           |              JOIN embeddings ec ON ec.vec_id = c.cand_id),
+           |cs AS (SELECT query_id, cand_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM cp),
+           |r AS (
+           |  SELECT query_id, cand_id,
+           |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM cs)
+           |SELECT query_id, cand_id, score, rnk FROM (
+           |  SELECT query_id, cand_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+           |  FROM r)
+           |WHERE rnk <= 5""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (dedup family, embedding space),
     // LSH-bucketed — the 10⁹-row scale path. Threshold 0.4 is tuned to the
     // synthetic near-orthogonal test corpus (max pairwise cosine ≈ 0.51;

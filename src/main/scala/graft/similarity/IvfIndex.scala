@@ -143,6 +143,43 @@ object IvfIndex {
       idCol, vecCol, centroids, k, cfg.nProbe)
   }
 
+  /** PORTABLE-oracle twin of [[knnJoinIVF]] — the same search semantics
+    * (one cell per corpus vector, nProbe cells per query, exact-cosine
+    * top-k within the probed cells) with the k-means quantizer replaced by
+    * [[SemDedup]]'s deterministic hash-chosen seed cells, so every stage is
+    * SQL-replayable and the registry entry carries a full DuckDB oracle
+    * (the ANN-family analog of the Rademacher LSH twins; the production
+    * entry keeps the trained quantizer and its recall spec). Cell
+    * assignment and probe ranking both use the 6-dp-rounded cosine with
+    * seed-id tiebreaks — no float divergence can flip a cell or a probe.
+    *
+    * Scale shape is the production path's: the seed set is O(nCells·dim)
+    * broadcast, assignment a per-row map, the probe an equi-join on cell
+    * id, top-k the bounded-heap aggregate. The probe ranking window runs
+    * over nCells rows per query (tiny by construction). */
+  def knnJoinIVFPortable(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.operators.RelationalOps.round6
+    val asg = SemDedup.assignCells(corpus, idCol, vecCol, nCells)
+      .select(col("cell_id"), col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val seeds = SemDedup.seeds(corpus, idCol, vecCol, nCells)
+    val qs = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val probed = qs.crossJoin(broadcast(seeds))
+      .withColumn("ps", round6(SimilaritySearch.cosine(col("qv"), col("sv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ps").desc, col("seed_id"))
+    val queryCells = probed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("seed_id").as("cell_id"))
+    val scored = queryCells.join(asg, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round6(SimilaritySearch.cosine(col("qv"), col("cv"))))
+      .select(col("query_id"), col("cand_id"), col("score"))
+    SimilaritySearch.topKPerKey(scored, "query_id", "score", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
+  }
+
   /** Every corpus vector assigned to its single nearest cell — the inverted
     * file. */
   private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
