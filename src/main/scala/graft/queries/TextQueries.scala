@@ -445,6 +445,69 @@ object TextQueries {
       (s, dir) => jaccardPairs(s, dir),
       Some(s"WITH $PairCtes\nSELECT a_id, b_id, inter, jaccard FROM jp")),
 
+    // Query-time TEXT similarity search — "find the documents most like
+    // this one" (near-dup triage, attribution, retrieval-ish grouping):
+    // per query doc, the top-3 corpus docs by exact 3-shingle jaccard, NO
+    // threshold (unlike the pair-mining entries, a knn always answers).
+    // Same df-capped shingle universe as t_jaccard_pairs (the shared skew
+    // guard — a stop-shingle joins nothing), candidates from the shingle
+    // equi-join with intersection counts partial-aggregated per (query,
+    // cand), and the per-query top-3 via the TopKByScore bounded-heap
+    // AGGREGATE — the exchange carries O(queries·k), never the candidate
+    // set (the window form would shuffle and sort every candidate row).
+    // At 100 TB the query side is a handful of docs: the heavy side
+    // shuffles once on the shingle key and AQE sizes the rest.
+    Q("t_text_knn",
+      (s, dir) => {
+        val maxDf = 100
+        val sh = docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), 3))).as("s"))
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        val shc = sh.join(broadcast(hot), Seq("s"), "left_anti")
+        val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = shc.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("s"))
+          .join(shc.select(col("doc_id").as("cand_id"), col("s")), Seq("s"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .groupBy(col("query_id"), col("cand_id")).agg(count(lit(1)).as("inter"))
+        val scored = inter
+          .join(cnt.select(col("doc_id").as("query_id"), col("n").as("nq")), "query_id")
+          .join(cnt.select(col("doc_id").as("cand_id"), col("n").as("nc")), "cand_id")
+          .withColumn("jaccard", graft.operators.RelationalOps.round6(
+            col("inter").cast("double") /
+              (col("nq") + col("nc") - col("inter")).cast("double")))
+          .select(col("query_id"), col("cand_id"), col("jaccard"))
+        graft.similarity.SimilaritySearch
+          .topKPerKey(scored, "query_id", "jaccard", "cand_id", 3)
+          .select(col("query_id"), col("cand_id"), col("jaccard"), col("rnk"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
+              |shc AS (
+              |  SELECT * FROM sh
+              |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)),
+              |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+              |inter AS (
+              |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS inter
+              |  FROM shc q JOIN shc c USING (s)
+              |  WHERE q.doc_id < 10 AND q.doc_id <> c.doc_id
+              |  GROUP BY 1, 2),
+              |r AS (
+              |  SELECT i.query_id, i.cand_id,
+              |    floor((CAST(i.inter AS DOUBLE) /
+              |           CAST(nq.n + nc.n - i.inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+              |  FROM inter i
+              |  JOIN cnt nq ON nq.doc_id = i.query_id
+              |  JOIN cnt nc ON nc.doc_id = i.cand_id)
+              |SELECT query_id, cand_id, jaccard, rnk FROM (
+              |  SELECT query_id, cand_id, jaccard,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY jaccard DESC, cand_id) AS rnk
+              |  FROM r)
+              |WHERE rnk <= 3""".stripMargin)),
+
     // Duplicate CLUSTERS: connected components over the exact-jaccard
     // near-dup pairs — every doc labeled with the min doc_id reachable
     // through the near-dup graph (singletons label themselves). This is the
