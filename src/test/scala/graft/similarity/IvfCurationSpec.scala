@@ -118,7 +118,7 @@ class IvfCurationSpec extends AnyFunSuite {
       catch { case t: Throwable => err = t })
     val ta = curator(batchA, outA, keptA = _)
     val tb = curator(batchB, outB, keptB = _)
-    ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+    ta.start(); tb.start(); ta.join(600000); tb.join(600000)
     assert(err == null, s"curator failed: $err")
     assert(keptA != null && keptB != null, "a curator timed out")
     assert(keptA.size + keptB.size === axes.size,
