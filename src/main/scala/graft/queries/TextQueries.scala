@@ -71,11 +71,14 @@ object TextQueries {
     * the spec can force the fallback). Input: (doc_id, t) with t lowered
     * and length ≥ 3. The "model ≤ |Σ|³ rows" bound is real for ASCII but
     * NOT an invariant — a multilingual/CJK corpus reaches 10⁸⁺ distinct
-    * char-trigrams and an unconditional broadcast OOMs the driver. Same
-    * guard discipline as [[contaminationCounts]]: a BOUNDED
-    * `limit(cap+1).count()` probe of the model (partial aggregation
-    * short-circuits it — never a full corpus pass beyond the model build
-    * the query pays anyway), then broadcast while provably small,
+    * char-trigrams and an unconditional broadcast OOMs the driver. Guard
+    * discipline: the model is MATERIALIZED once (eager localCheckpoint —
+    * it is the data the scoring join ships anyway, and the blocks are
+    * ContextCleaner-collected when the frame goes out of scope, unlike a
+    * CacheManager entry), so the size probe is a near-free count over
+    * materialized blocks instead of a second model build (the naive
+    * `limit(cap+1).count()` probe re-ran the whole explode+aggregate —
+    * measured 2× the query). Broadcast while provably small,
     * `shuffle_hash` past the cap — the model still the per-partition build
     * side, AQE absorbing hot trigrams. Results identical on both paths
     * (TrigramLmGuardSpec). */
@@ -92,11 +95,8 @@ object TextQueries {
     // 100 TB.
     val tri = d.select(col("doc_id"),
       explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
-    val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val oversized =
-      if (maxBroadcastRows < Int.MaxValue - 1)
-        counts.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
-      else counts.count() > maxBroadcastRows
+    val counts = tri.groupBy(col("g")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val oversized = counts.count() > maxBroadcastRows
     val model = if (oversized) counts.hint("shuffle_hash") else broadcast(counts)
     tri.join(model, Seq("g"))
       .groupBy(col("doc_id"))
