@@ -946,6 +946,69 @@ object TextQueries {
               |         (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dft.df AS DOUBLE) + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
               |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (term), n""".stripMargin)),
 
+    // BM25 retrieval scoring (Robertson k1=1.2, b=0.75, +1-smoothed idf) —
+    // the ranking function a sparse-retrieval pipeline runs over the
+    // t_tfidf statistics. Self-contained and data-driven: the "query" is
+    // the corpus's 3 globally most-frequent terms (deterministic: total-tf
+    // desc, term asc — any engine derives the same set), so the check is
+    // non-vacuous at every scale factor. All statistics are the tfidf
+    // building blocks; the query-term set is a 3-row broadcast; avgdl a
+    // 1-row broadcast. Per-doc scores partial-aggregate over the ≤3
+    // matched terms — the shuffle carries O(matched docs), the corpus is
+    // scanned once per explode pass as in t_tfidf.
+    Q("t_bm25",
+      (s, dir) => {
+        val k1 = 1.2
+        val b = 0.75
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d"))
+        val dft = tok.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+          .crossJoin(dlen.agg(sum(col("n_d")).as("tot_tokens")))
+        val qterms = tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
+          .orderBy(col("ttf").desc, col("term").asc).limit(3)
+          .select(col("term"))
+        tf.join(broadcast(qterms), Seq("term"))
+          .join(dlen, "doc_id").join(dft, "term").crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5) + 1.0))
+          .withColumn("avgdl",
+            col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+          .withColumn("contrib",
+            col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+              (col("tf").cast("double") +
+                lit(k1) * (lit(1.0 - b) + lit(b) * col("n_d").cast("double") / col("avgdl"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_query_terms"),
+            graft.operators.RelationalOps.round6(sum(col("contrib"))).as("bm25"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
+              |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              |              (SELECT CAST(sum(n_d) AS BIGINT) FROM dlen) AS tot_tokens),
+              |qt AS (SELECT term FROM (
+              |         SELECT term, sum(tf) AS ttf FROM tf GROUP BY term
+              |         ORDER BY ttf DESC, term ASC LIMIT 3)),
+              |c AS (
+              |  SELECT tf.doc_id,
+              |    ln((CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+              |       (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+              |    (CAST(tf.tf AS DOUBLE) * 2.2) /
+              |    (CAST(tf.tf AS DOUBLE) +
+              |     1.2 * (0.25 + 0.75 * CAST(dlen.n_d AS DOUBLE) /
+              |            (CAST(st.tot_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS contrib
+              |  FROM tf JOIN qt USING (term) JOIN dlen USING (doc_id)
+              |       JOIN dft USING (term), st)
+              |SELECT doc_id, count(*) AS n_query_terms,
+              |  floor(sum(contrib) * 1000000 + 0.5) / 1000000 AS bm25
+              |FROM c GROUP BY doc_id""".stripMargin)),
+
     // Exact distributed percentiles per stratum — the quality-threshold
     // derivation step of a filtering pipeline ("drop docs below the
     // per-language p25"). Spark's exact `percentile` aggregate and DuckDB's

@@ -105,6 +105,28 @@ class PlanShapeSpec extends AnyFunSuite {
         "LSH knn must stay an equi-join on band keys")
     }
 
+    test(s"retrieval family: aggregate shapes, no window sorts$tag") {
+      // t_tfidf / t_bm25 are pure partial-agg group-by/join pipelines; a
+      // window creeping in would shuffle-and-sort the whole doc-term
+      // relation. t_text_knn's and the portable ANN twins' per-query top-k
+      // must stay the TopKByScore bounded-heap aggregate
+      // (ObjectHashAggregate with a partial phase), never a window sort.
+      Seq("t_tfidf", "t_bm25").foreach { q =>
+        val p = plan(dir, q)
+        assert(!p.contains("Window"), s"$q must not use a window")
+        assert(p.contains("HashAggregate"), s"$q should partial-aggregate")
+      }
+      Seq("t_text_knn", "e_knn_lsh_portable").foreach { q =>
+        val p = plan(dir, q)
+        assert(p.contains("ObjectHashAggregate"),
+          s"$q top-k should be the bounded-heap aggregate:\n$p")
+        assert(!p.contains("Window"), s"$q must not fall back to a window sort")
+      }
+      // t_bm25's 3-row query-term set must ride a broadcast join
+      assert(plan(dir, "t_bm25").contains("BroadcastHashJoin"),
+        "t_bm25: the query-term set must broadcast")
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       val p = plan(dir, "q_group_topk")
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
