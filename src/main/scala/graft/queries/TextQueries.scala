@@ -1237,6 +1237,45 @@ object TextQueries {
              |  CAST(sum(c.c) AS BIGINT) AS familiarity
              |FROM tri JOIN c USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // Corpus snapshot diff — the dataset-versioning primitive between
+    // crawls/releases: content-addressed (portable md5-prefix fingerprint,
+    // not timestamps) added/removed/changed per id; unchanged ids emit
+    // nothing, so the output is delta-sized. The two "snapshots" here are
+    // deterministic views of the documents table (ids ≡3 mod 7 absent
+    // from prev → added; ids ≡4 mod 11 absent from cur → removed; ids ≡0
+    // mod 5 carry a stale suffix in prev → changed) so both engines
+    // replay identical snapshots and every status is exercised at every
+    // scale factor. Scale shape: snapshots collapse to (id, hash) before
+    // the full-outer id join — two longs per doc cross the shuffle, never
+    // the text.
+    Q("t_corpus_diff",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val prev = d.filter(col("doc_id") % 7 =!= 3)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" [stale]"))).otherwise(col("text")))
+        val cur = d.filter(col("doc_id") % 11 =!= 4)
+        graft.operators.CorpusDiff.diff(prev, cur, "doc_id", "text")
+      },
+      Some("""WITH prev AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' [stale]' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 3),
+             |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 4),
+             |j AS (
+             |  SELECT doc_id, p.fp AS fp_prev, c.fp AS fp_cur
+             |  FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM prev) p
+             |  FULL OUTER JOIN
+             |       (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM cur) c
+             |  USING (doc_id))
+             |SELECT doc_id, status, fp_prev, fp_cur FROM (
+             |  SELECT doc_id, fp_prev, fp_cur,
+             |    CASE WHEN fp_prev IS NULL THEN 'added'
+             |         WHEN fp_cur IS NULL THEN 'removed'
+             |         WHEN fp_prev <> fp_cur THEN 'changed' END AS status
+             |  FROM j)
+             |WHERE status IS NOT NULL""".stripMargin)),
+
     // Quality-priority dedup survivor selection: within each near-dup
     // CLUSTER (t_dup_clusters' connected components) keep the HIGHEST-
     // QUALITY member, not the min-id one — what a curation pipeline
