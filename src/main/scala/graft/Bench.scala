@@ -145,6 +145,12 @@ object Bench {
     val mixSec = timedExtra("t_mix_sample")
     val bestOfSec = timedExtra("t_best_of_cluster")
     val trigramSec = timedExtra("t_trigram_lm")
+    // r8 retrieval + versioning additions: TF-IDF matrix, BM25 ranking,
+    // query-time text knn, content-addressed snapshot diff.
+    val tfidfSec = timedExtra("t_tfidf")
+    val bm25Sec = timedExtra("t_bm25")
+    val textKnnSec = timedExtra("t_text_knn")
+    val corpusDiffSec = timedExtra("t_corpus_diff")
     // r7 vector-curation additions: SemDeDup cell dedup and cell-bounded
     // hard-negative mining (both run the within-cell pair stage — the cost
     // that scales with cell size, which is why they're standalone fields).
@@ -371,6 +377,10 @@ object Bench {
       "extra:t_mix_sample" -> (mixSec < 0),
       "extra:t_best_of_cluster" -> (bestOfSec < 0),
       "extra:t_trigram_lm" -> (trigramSec < 0),
+      "extra:t_tfidf" -> (tfidfSec < 0),
+      "extra:t_bm25" -> (bm25Sec < 0),
+      "extra:t_text_knn" -> (textKnnSec < 0),
+      "extra:t_corpus_diff" -> (corpusDiffSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
       "extra:semdedup_prod" -> (semdedupProdSec < 0 || hardnegProdSec < 0),
@@ -408,6 +418,10 @@ object Bench {
       s""""mix_sample_sec":${f"$mixSec%.3f"},""" +
       s""""best_of_cluster_sec":${f"$bestOfSec%.3f"},""" +
       s""""trigram_lm_sec":${f"$trigramSec%.3f"},""" +
+      s""""tfidf_sec":${f"$tfidfSec%.3f"},""" +
+      s""""bm25_sec":${f"$bm25Sec%.3f"},""" +
+      s""""text_knn_sec":${f"$textKnnSec%.3f"},""" +
+      s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +
       s""""hardneg_sec":${f"$hardnegSec%.3f"},""" +
       s""""semdedup_prod_sec":${f"$semdedupProdSec%.3f"},""" +
