@@ -17,8 +17,11 @@ import graft.expressions._
   * - simhash64(array<string>) → bigint
   * - minhash_sig(array<bigint>, numPerm, seed) → array<bigint>
   * - hyperplane_bands(array<float>, dim, bands, bits, seed) → array<bigint>
+  * - rademacher_bands(array<float>, dim, bands, bits) → array<bigint>
+  *   (the engine-portable ±1-plane twin — replayable in any md5-capable engine)
   * - nfc_normalize(string) → string  (Unicode NFC, codegen'd)
   * - topk_by_score(score, id, k) → array<struct<score,id>>  (aggregate)
+  * - count_by_key(int) → map<int,bigint>  (aggregate; observe()-compatible)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -48,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneBands(args(0),
         intLit(args(1), "dim"), intLit(args(2), "bands"),
         intLit(args(3), "bitsPerBand"), longLit(args(4), "seed"))))
+    e.injectFunction((FunctionIdentifier("rademacher_bands"),
+      info("rademacher_bands",
+        "rademacher_bands(vec, dim, bands, bits) - portable (md5 ±1-plane) LSH band keys"),
+      (args: Seq[Expression]) => RademacherBands(args(0),
+        intLit(args(1), "dim"), intLit(args(2), "bands"),
+        intLit(args(3), "bitsPerBand"))))
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonicalization"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
@@ -55,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by_score",
         "topk_by_score(score, id, k) - top-k (score,id) pairs per group, score desc"),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1), intLit(args(2), "k"))))
+    e.injectFunction((FunctionIdentifier("count_by_key"),
+      info("count_by_key",
+        "count_by_key(key) - per-key row counts as one map<int,bigint> aggregate"),
+      (args: Seq[Expression]) => CountByKey(args.head)))
   }
 }
 
@@ -85,5 +98,10 @@ object GraftExtensions {
       args => NfcNormalize(args.head), "built-in")
     reg.createOrReplaceTempFunction("topk_by_score",
       args => TopKByScore(args(0), args(1), intLit(args(2), "k")), "built-in")
+    reg.createOrReplaceTempFunction("rademacher_bands",
+      args => RademacherBands(args(0), intLit(args(1), "dim"),
+        intLit(args(2), "bands"), intLit(args(3), "bitsPerBand")), "built-in")
+    reg.createOrReplaceTempFunction("count_by_key",
+      args => CountByKey(args.head), "built-in")
   }
 }

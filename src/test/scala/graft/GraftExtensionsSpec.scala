@@ -15,6 +15,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) !== 0L)
   }
 
+  test("r8 functions: rademacher_bands and count_by_key evaluate from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT size(rademacher_bands(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 2, 4, 8)) AS nb,
+        |       count_by_key(k) AS m
+        |FROM VALUES (1), (1), (2) AS t(k)""".stripMargin).first()
+    assert(row.getInt(0) === 4, "one key per band")
+    assert(row.getMap[Int, Long](1) === Map(1 -> 2L, 2 -> 1L))
+    // SQL path ≡ Column API path (both construct the same expression)
+    import org.apache.spark.sql.functions.{col, explode}
+    import spark.implicits._
+    val viaSql = spark.sql(
+      """SELECT explode(rademacher_bands(array(CAST(0.3 AS FLOAT), CAST(-0.7 AS FLOAT)), 2, 3, 5)) AS k"""
+    ).as[Long].collect().toSeq
+    val viaCol = Seq((0.3f, -0.7f)).toDF("a", "b")
+      .select(explode(graft.expressions.RademacherBands(
+        org.apache.spark.sql.functions.array(col("a"), col("b")), 2, 3, 5)).as("k"))
+      .as[Long].collect().toSeq
+    assert(viaSql === viaCol)
+  }
+
   test("extension injection wires without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
