@@ -10,14 +10,23 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
 
 /** Per-key row counts as ONE aggregate value (`map<int,bigint>`) — built for
-  * `observe()`: a job whose terminal action is a write can carry its own
-  * per-group counts as a CollectMetrics side-channel instead of re-scanning
-  * what it just wrote (the ShardWriter manifest case — the re-scan there was
-  * an O(corpus) extra read at the terminal sink). A `groupBy(key).count()`
-  * cannot ride `observe()` (metrics must be a single aggregate row), and a
-  * per-key `count_if` pivot needs the key domain up front and one expression
-  * per key — this is the same fold as a partial-aggregated group-count, with
-  * the merge happening in the metrics accumulator.
+  * `observe()`: a job can carry per-group counts as a CollectMetrics
+  * side-channel instead of running a second counting pass. A
+  * `groupBy(key).count()` cannot ride `observe()` (metrics must be a single
+  * aggregate row), and a per-key `count_if` pivot needs the key domain up
+  * front and one expression per key — this is the same fold as a
+  * partial-aggregated group-count, with the merge happening in the metrics
+  * accumulator.
+  *
+  * OBSERVABILITY, not bookkeeping: when the CollectMetrics node sits below
+  * an exchange it runs in a shuffle-map stage, and map-stage accumulator
+  * updates are re-applied when a fetch failure resubmits lost partitions —
+  * counts can OVER-report under retries (Spark guarantees once-only
+  * application for result stages only). Use it for monitoring/metrics
+  * (the ingest-pipeline pattern); anything that must be exact under every
+  * retry schedule — a manifest, a ledger — should count committed output
+  * instead (ShardWriter counts its staged parquet footers for exactly this
+  * reason).
   *
   * State is O(distinct keys) per task — by design for BOUNDED key domains
   * (shard numbers, cell ids, day partitions); do not point it at a

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * and embedding near-dedup.
   */
 case class HyperplaneBands(child: Expression, dim: Int, bands: Int, bitsPerBand: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  // Declared input type: analysis inserts the implicit element cast for an
+  // array<double> argument (or fails loudly) instead of getFloat silently
+  // misreading 8-byte slots into garbage keys.
+  override def inputTypes = Seq(ArrayType(FloatType))
   // In the case-class body so EVERY construction path is validated — the
   // SQL function registration builds the expression directly, bypassing the
   // companion apply (GraftExtensions); sign bits above 48 would silently

@@ -3,7 +3,7 @@ package graft.expressions
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
@@ -36,11 +36,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * sign bits below — different bands never collide in one join key.
   */
 case class RademacherBands(child: Expression, dim: Int, bands: Int, bitsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(bitsPerBand >= 1 && bitsPerBand <= 48,
     "bitsPerBand must be in [1,48]: the band index is packed into the high 16 bits")
   require(bands >= 1 && dim >= 1, "bands and dim must be positive")
 
+  // Declared input type so analysis inserts the implicit element cast for
+  // an array<double> argument (or fails loudly) — a blind getFloat walk
+  // over 8-byte slots would otherwise produce well-formed garbage keys.
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   // signs(b*bitsPerBand + j)(i) ∈ {+1, -1}, regenerated identically on every

@@ -27,12 +27,19 @@ object CorpusDiff {
 
   /** (id, status, fp_prev, fp_cur) for every id whose content differs
     * between the snapshots — `status ∈ {added, removed, changed}`;
-    * unchanged ids emit nothing. Fingerprints are null on the side where
-    * the id is absent. */
+    * unchanged ids emit nothing. Fingerprints are null ONLY on the side
+    * where the id is absent: a null text hashes through a tagged preimage
+    * ("0" prefix vs "1"+text), so null-in-both is unchanged, null-vs-text
+    * is changed, and a null fingerprint can never be mistaken for a
+    * missing row (which is what a raw hash(null)=null would do —
+    * reporting the same never-changing document as 'added' on every
+    * release). */
   def diff(prev: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame = {
     def fp(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).cast("long").as(idCol),
-        portableHash60(col(textCol)).as(as))
+        portableHash60(
+          when(col(textCol).isNull, lit("0"))
+            .otherwise(concat(lit("1"), col(textCol)))).as(as))
     val joined = fp(prev, "fp_prev")
       .join(fp(cur, "fp_cur"), Seq(idCol), "full_outer")
     val status: Column =

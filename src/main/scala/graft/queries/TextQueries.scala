@@ -81,7 +81,17 @@ object TextQueries {
     * measured 2× the query). Broadcast while provably small,
     * `shuffle_hash` past the cap — the model still the per-partition build
     * side, AQE absorbing hot trigrams. Results identical on both paths
-    * (TrigramLmGuardSpec). */
+    * (TrigramLmGuardSpec).
+    *
+    * Two consequences of the eager materialization, accepted knowingly:
+    * CALLING this function runs the model-build job (plan inspection of
+    * the returned frame is not free), and the checkpoint truncates
+    * lineage, so losing an executor holding model blocks fails the
+    * scoring query rather than recomputing — the caller retries the whole
+    * call (one model rebuild), the same recovery class as any localCheck-
+    * pointed iterative state here (cf. ConnectedComponents' default mode;
+    * use its reliable-checkpoint pattern if this ever runs on spot
+    * executors in practice). */
   private[queries] def trigramFamiliarity(d: org.apache.spark.sql.DataFrame,
       maxBroadcastRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     // Deliberately TWO explode passes and ZERO corpus-sized shuffles: the
@@ -982,9 +992,17 @@ object TextQueries {
             col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
               (col("tf").cast("double") +
                 lit(k1) * (lit(1.0 - b) + lit(b) * col("n_d").cast("double") / col("avgdl"))))
+          // FIXED-POINT cross-row sum (the e_centroids discipline): each
+          // per-row contrib — deterministic in both engines — quantizes to
+          // an exact 1e-9-grid long, so the per-doc sum is order-
+          // independent under any partial-aggregation merge order; a raw
+          // double sum(contrib) would differ by last-ulp with the merge
+          // schedule and flake the byte-exact oracle.
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_query_terms"),
-            graft.operators.RelationalOps.round6(sum(col("contrib"))).as("bm25"))
+            graft.operators.RelationalOps.round6(
+              sum(floor(col("contrib") * 1e9).cast("long")).cast("double") / 1e9)
+              .as("bm25"))
       },
       Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
               |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1006,7 +1024,7 @@ object TextQueries {
               |  FROM tf JOIN qt USING (term) JOIN dlen USING (doc_id)
               |       JOIN dft USING (term), st)
               |SELECT doc_id, count(*) AS n_query_terms,
-              |  floor(sum(contrib) * 1000000 + 0.5) / 1000000 AS bm25
+              |  floor((CAST(sum(CAST(floor(contrib * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS bm25
               |FROM c GROUP BY doc_id""".stripMargin)),
 
     // Exact distributed percentiles per stratum — the quality-threshold
@@ -1264,9 +1282,11 @@ object TextQueries {
              |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 4),
              |j AS (
              |  SELECT doc_id, p.fp AS fp_prev, c.fp AS fp_cur
-             |  FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM prev) p
+             |  FROM (SELECT doc_id, ('0x' || substr(md5(
+             |          CASE WHEN text IS NULL THEN '0' ELSE '1' || text END), 1, 15))::BIGINT AS fp FROM prev) p
              |  FULL OUTER JOIN
-             |       (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM cur) c
+             |       (SELECT doc_id, ('0x' || substr(md5(
+             |          CASE WHEN text IS NULL THEN '0' ELSE '1' || text END), 1, 15))::BIGINT AS fp FROM cur) c
              |  USING (doc_id))
              |SELECT doc_id, status, fp_prev, fp_cur FROM (
              |  SELECT doc_id, fp_prev, fp_cur,

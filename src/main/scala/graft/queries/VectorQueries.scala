@@ -54,7 +54,7 @@ object VectorQueries {
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |comp AS (
-       |  SELECT v.vec_id, p.b, p.j, sum(v.q[p.i + 1] * p.sgn) AS dot
+       |  SELECT v.vec_id, p.b, p.j, COALESCE(sum(v.q[p.i + 1] * p.sgn), 0) AS dot
        |  FROM pqv v CROSS JOIN planes p
        |  GROUP BY v.vec_id, p.b, p.j),
        |keys AS (

@@ -1,9 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.expressions.CountByKey
 import graft.functions.TextFunctions.portableHash60
 import graft.util.{FileLease, SwapDir}
 
@@ -71,32 +70,23 @@ object ShardWriter {
     var manifest: Manifest = null
     new FileLease(dir).withLease(f) {
       SwapDir.swapIn(f, live) { tmp =>
-        // Per-shard counts ride the write job itself as an observe()
-        // metric (CountByKey: one map<shard,count> row, O(nShards) driver
-        // state) — the previous shape re-read the ENTIRE staged corpus to
-        // count it, an O(corpus) second scan at the terminal sink. The
-        // CollectMetrics node sits BELOW the repartition, so the exchange
-        // + in-task sort above it still pin the written row order; counts
-        // and files come from the same job, hence the same version.
-        val obs = Observation()
         sharded
-          .observe(obs, CountByKey(col("shard")).as("shard_rows"))
           .repartition(nShards, col("shard"))
           .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
           .drop("__h")
           .write.partitionBy("shard").parquet(tmp)
-        val rows: Map[Int, Long] = obs.get.get("shard_rows") match {
-          case Some(m) => m.asInstanceOf[scala.collection.Map[Int, Long]].toMap
-          case None =>
-            // AQE propagates an empty relation straight through
-            // CollectMetrics, so a zero-row write delivers NO metric. The
-            // only legal absent-metric case is empty input — verify that
-            // (the source scan, pruned to nothing — never the staged dir)
-            // instead of silently manifesting an empty corpus for a
-            // non-empty one.
-            require(sharded.isEmpty, "observe metric missing for a non-empty write")
-            Map.empty
-        }
+        // Per-shard counts from the STAGED FILES' parquet footers —
+        // O(nShards) metadata reads, never a data scan (the original
+        // shape re-read the entire staged corpus; an observe() accumulator
+        // on the write job was tried and rejected: CollectMetrics below
+        // the exchange lives in the shuffle-map stage, and map-stage
+        // accumulator updates double-apply when a fetch failure resubmits
+        // lost partitions — the one writer path whose counts MUST be
+        // exact under any retry schedule is the reproducibility manifest).
+        // Footers are written by the committed task attempt only, so they
+        // are retry-proof by construction, and counts + files are the
+        // same version trivially — the counts ARE the files.
+        val rows: Map[Int, Long] = footerCounts(f, new Path(tmp))
         if (rows.isEmpty)
           // A filtered-to-nothing corpus is still a VALID corpus: replace
           // the fileless partition layout with one empty in-file-schema
@@ -109,6 +99,27 @@ object ShardWriter {
       }
     }
     manifest
+  }
+
+  /** Per-shard row counts from parquet FOOTER metadata under
+    * `root/shard=K/` — row-group counts summed per file, no data pages
+    * touched. Hidden/marker files excluded. */
+  private def footerCounts(f: org.apache.hadoop.fs.FileSystem, root: Path): Map[Int, Long] = {
+    val conf = f.getConf
+    val shardDirs = f.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("shard="))
+    shardDirs.map { d =>
+      val shard = d.getPath.getName.stripPrefix("shard=").toInt
+      val n = f.listStatus(d.getPath)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map { file =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(file, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      shard -> n
+    }.toMap
   }
 
   /** One shard, in its deterministic row order (partition pruning keeps

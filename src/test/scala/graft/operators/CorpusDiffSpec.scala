@@ -23,6 +23,17 @@ class CorpusDiffSpec extends AnyFunSuite {
     assert(stats === Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L))
   }
 
+  test("null texts: null-in-both is unchanged, null-vs-text is changed") {
+    val prev = Seq((1L, null: String), (2L, "b"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, null: String), (2L, null: String), (3L, "now set"))
+      .toDF("doc_id", "text")
+    val out = CorpusDiff.diff(prev, cur, "doc_id", "text")
+      .select(col("doc_id"), col("status")).as[(Long, String)].collect().toMap
+    assert(out === Map(2L -> "changed", 3L -> "changed"),
+      "id 1 (null in both snapshots) must emit nothing")
+  }
+
   test("identical snapshots diff to empty") {
     val d = Tables.load(spark, GraftTestSpark.sfDir, "documents")
     assert(CorpusDiff.diff(d, d, "doc_id", "text").isEmpty)

@@ -54,11 +54,11 @@ class ShardWriterSpec extends AnyFunSuite {
     assert(before == after)
   }
 
-  test("manifest counts ride the write job: the staged data is never re-read") {
+  test("manifest counts come from footers: the staged data is never re-read") {
     // Capture every query executed during write() and assert none of them
     // SCANS the staging dir — the manifest's per-shard counts must come
-    // from the write job's own observe() metric, not an O(corpus) re-read
-    // of what was just written.
+    // from the staged files' parquet FOOTER metadata (retry-exact, no data
+    // pages), not an O(corpus) re-read of what was just written.
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
