@@ -1255,6 +1255,41 @@ object TextQueries {
              |  CAST(sum(c.c) AS BIGINT) AS familiarity
              |FROM tri JOIN c USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // RAG-style document chunking: fixed-size character windows (400 chars,
+    // stride 300 → 100-char overlap) with stable chunk ids, per-chunk
+    // lengths and token counts, and a 16-char head that byte-pins the
+    // window alignment — the retrieval-prep sibling of SequencePack's
+    // training-side packing. Pure per-row explode + substring: zero
+    // shuffles, embarrassingly parallel at any corpus size; the output
+    // carries offsets, not text, so chunking 100 TB emits a slim index
+    // (chunk bodies re-derive from (doc_id, start) on demand).
+    Q("t_chunking",
+      (s, dir) => {
+        val sizeC = 400
+        val stride = 300
+        docs(s, dir).select(col("doc_id"), col("text"))
+          .withColumn("start",
+            explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(stride))))
+          .withColumn("chunk", col("text").substr(col("start") + 1, lit(sizeC)))
+          .select(col("doc_id"),
+            (col("start") / stride).cast("long").as("chunk_id"),
+            col("start").cast("long").as("start"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            tokenCount(col("chunk")).as("n_tokens"),
+            substring(col("chunk"), 1, 16).as("chunk_head"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(start / 300 AS BIGINT) AS chunk_id,
+             |  CAST(start AS BIGINT) AS start,
+             |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+             |  CAST(len(string_split_regex(trim(chunk), '\s+')) AS BIGINT) AS n_tokens,
+             |  substr(chunk, 1, 16) AS chunk_head
+             |FROM (
+             |  SELECT doc_id, start, substr(text, start + 1, 400) AS chunk
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(0, greatest(length(text) - 1, 0), 300)) AS start
+             |        FROM documents))""".stripMargin)),
+
     // Corpus snapshot diff — the dataset-versioning primitive between
     // crawls/releases: content-addressed (portable md5-prefix fingerprint,
     // not timestamps) added/removed/changed per id; unchanged ids emit

@@ -394,6 +394,65 @@ object VectorQueries {
              |            FROM embeddings)
              |      GROUP BY 1, 2)""".stripMargin)),
 
+    // Per-dimension z-score standardization — the feature-normalization
+    // pass before distance-based ops on heterogeneous embeddings (a
+    // dimension with 10× the variance silently dominates cosine/L2).
+    // Cross-row moment sums ride the e_centroids FIXED-POINT discipline:
+    // each component and its square quantize to exact 1e-9-grid longs, so
+    // the per-dim mean/std are order-independent under any merge schedule
+    // and identical in any engine; only the final per-row (x−μ)/σ is
+    // float, mirrored by the oracle. Partial aggregation shrinks the
+    // shuffle to O(dim) rows; the dim-sized stats frame broadcasts back.
+    // Output bounded to the first 10 vectors (the stats cover the corpus).
+    Q("e_standardize",
+      (s, dir) => {
+        val comp = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("v").cast("double").as("v"))
+        val stats = comp.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v") * 1e9).cast("long")).as("s1"),
+            sum(floor(col("v") * col("v") * 1e9).cast("long")).as("s2"))
+          .withColumn("mu", col("s1").cast("double") / (col("n").cast("double") * 1e9))
+          .withColumn("sigma", sqrt(greatest(
+            col("s2").cast("double") / (col("n").cast("double") * 1e9) -
+              col("mu") * col("mu"), lit(0.0))))
+          .select(col("pos"), col("mu"), col("sigma"))
+        comp.filter(col("vec_id") < 10).join(broadcast(stats), "pos")
+          .select(col("vec_id"), col("pos"),
+            graft.operators.RelationalOps.round6(
+              when(col("sigma") === 0.0, 0.0)
+                .otherwise((col("v") - col("mu")) / col("sigma"))).as("z"),
+            graft.operators.RelationalOps.round6(col("mu")).as("mu"),
+            graft.operators.RelationalOps.round6(col("sigma")).as("sigma"))
+      },
+      Some("""WITH comp AS (
+             |  SELECT vec_id, CAST(idx - 1 AS BIGINT) AS pos, CAST(v AS DOUBLE) AS v
+             |  FROM (SELECT vec_id, unnest(embedding) AS v,
+             |          generate_subscripts(embedding, 1) AS idx
+             |        FROM embeddings)),
+             |st AS (
+             |  SELECT pos, count(*) AS n,
+             |    sum(CAST(floor(v * 1e9) AS BIGINT)) AS s1,
+             |    sum(CAST(floor(v * v * 1e9) AS BIGINT)) AS s2
+             |  FROM comp GROUP BY pos),
+             |m AS (
+             |  SELECT pos,
+             |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mu,
+             |    sqrt(greatest(
+             |      CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) -
+             |        (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) *
+             |        (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)), 0.0)) AS sigma
+             |  FROM st)
+             |SELECT c.vec_id, c.pos,
+             |  floor((CASE WHEN m.sigma = 0 THEN 0.0
+             |              ELSE (c.v - m.mu) / m.sigma END) * 1000000 + 0.5) / 1000000 AS z,
+             |  floor(m.mu * 1000000 + 0.5) / 1000000 AS mu,
+             |  floor(m.sigma * 1000000 + 0.5) / 1000000 AS sigma
+             |FROM comp c JOIN m USING (pos)
+             |WHERE c.vec_id < 10""".stripMargin)),
+
     // SemDeDup — semantic dedup via cell-bounded cosine pruning (Abbas et
     // al. 2023): assign every vector to its nearest of 16 deterministic
     // hash-chosen seed vectors, then within each cell drop vectors with a
