@@ -535,6 +535,30 @@ object VectorQueries {
         s"""WITH $SemCellCtes
            |SELECT seed_id AS cell_id, count(*) AS n FROM asg GROUP BY seed_id""".stripMargin)),
 
+    // Cross-modal COVERAGE audit — the data-quality gate before any
+    // id-aligned multimodal training run: how many documents have an
+    // embedding, how many are text-only, how many embeddings are orphaned
+    // (their document was filtered/dropped upstream). One id-keyed
+    // full-outer join collapsed to three counts — the per-row frame never
+    // leaves the executors and the shuffle carries ids only.
+    Q("x_modality_coverage",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val e = emb(s, dir).select(col("vec_id"))
+        d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+          .select(
+            when(col("doc_id").isNotNull && col("vec_id").isNotNull, lit("paired"))
+              .when(col("vec_id").isNull, lit("doc_only"))
+              .otherwise(lit("embedding_only")).as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT status, count(*) AS n FROM (
+             |  SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'paired'
+             |              WHEN e.vec_id IS NULL THEN 'doc_only'
+             |              ELSE 'embedding_only' END AS status
+             |  FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id)
+             |GROUP BY status""".stripMargin)),
+
     // Cross-modal pair construction — the CLIP-style step that turns an
     // id-aligned (document, embedding) warehouse into contrastive training
     // pairs: the POSITIVE is the doc's own embedding (id equi-join), the

@@ -9,16 +9,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ([[graft.dedup.TextDedupIndex]], [[graft.similarity.IvfIndex]] callers)
   * can reuse it instead of documenting a single-curator caveat.
   *
-  * Mechanism: an atomic-`create(overwrite=false)` lock file under `dirPath`,
+  * Mechanism: a per-path IN-PROCESS gate (same-JVM holders serialize
+  * perfectly — Hadoop's LOCAL `create(overwrite=false)` is check-then-act,
+  * not O_EXCL, so without the gate two threads of one process could both
+  * slip the exists check, the second create truncating the first holder's
+  * file), then a `create(overwrite=false)` lock file under `dirPath`
+  * (atomic server-side on HDFS-like stores — the cross-process boundary),
   * heartbeat-renewed (mtime touch) every `leaseMs / 4` while held, taken
   * over by a rival only when its mtime is at least `leaseMs` stale — so a
   * live holder (however long its write job runs) is never usurped, while a
   * crashed holder delays rivals by at most one lease period. Takeover is
   * delete-then-recreate with a re-check of the mtime immediately before the
-  * delete and a read-back of the holder id after the create; the residual
-  * stat→delete window is the plain-filesystem bound (a deployment that
-  * needs it airtight layers a transactional table format / lock service on
-  * the same layout — this lease is what plain parquet-on-a-filesystem can
+  * delete and a read-back of the holder id after the create; on a plain
+  * local/NFS mount the residual cross-PROCESS stat→create and stat→delete
+  * windows are the plain-filesystem bound (a deployment that needs them
+  * airtight layers a transactional table format / lock service on the
+  * same layout — this lease is what plain parquet-on-a-filesystem can
   * give).
   *
   * NOT reentrant: a holder that calls [[withLease]] again from the same
@@ -85,17 +91,34 @@ final class FileLease(dirPath: String, leaseMs: Long = 60000L,
     * the release scope, so a failure there can never strand the acquired
     * lease file. */
   def withLease[T](f: FileSystem)(body: => T): T = {
-    acquire(f)
+    // IN-PROCESS gate first: Hadoop's local create(overwrite=false) is
+    // check-then-act (exists → create), so two threads of ONE process can
+    // both slip past the exists check and the second create TRUNCATES the
+    // first holder's file — both read back their own id and both proceed
+    // (observed as a double-keep in the curator hammer under a saturated
+    // host). The JVM gate makes same-process holders — EtlApp runs ingest,
+    // the dedupe scheduler and curators in one process — serialize
+    // perfectly at zero added latency. ACROSS processes the file create is
+    // the boundary: atomic on HDFS-like stores (server-side O_EXCL); on a
+    // plain local/NFS mount the residual stat→create window joins the
+    // documented stat→delete takeover window as the plain-filesystem
+    // bound (layer a lock service if that must be airtight).
+    val gate = FileLease.gates.computeIfAbsent(leasePath.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    gate.lock()
     try {
-      val beat = new java.util.TimerTask {
-        override def run(): Unit =
-          try f.setTimes(leasePath, System.currentTimeMillis(), -1)
-          catch { case scala.util.control.NonFatal(_) => () }
-      }
-      FileLease.beat.schedule(beat, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
-      try body
-      finally beat.cancel()
-    } finally release(f)
+      acquire(f)
+      try {
+        val beat = new java.util.TimerTask {
+          override def run(): Unit =
+            try f.setTimes(leasePath, System.currentTimeMillis(), -1)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+        FileLease.beat.schedule(beat, math.max(1, leaseMs / 4), math.max(1, leaseMs / 4))
+        try body
+        finally beat.cancel()
+      } finally release(f)
+    } finally gate.unlock()
   }
 }
 
@@ -105,6 +128,12 @@ object FileLease {
     * fresh Timer thread per hold would churn a thread per batch for the
     * life of a stream). */
   private[util] lazy val beat = new java.util.Timer("graft-lease-heartbeat", true)
+
+  /** Per-lease-path in-process gates (see [[FileLease.withLease]]): one
+    * entry per distinct lease file ever held by this JVM — bounded by the
+    * number of managed directories, never by hold count. */
+  private[util] val gates =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 }
 
 /** Whole-directory stage-then-swap for small derived tables (an index's
