@@ -138,6 +138,25 @@ object Bench {
       try { runOnce(name); runOnce(name) }
       catch { case e: Throwable => failed(s"extra:$name", e); -1.0 }
     val ccSec = timedExtra("t_dup_clusters")
+    // The same clusters fixpoint with RELIABLE per-round checkpointing
+    // (ConnectedComponents' spot-executor mode): quantifies the
+    // localCheckpoint-vs-filesystem trade the scaladoc recommends — the
+    // delta is the per-round write+read of vertex-sized label state to
+    // the checkpoint filesystem (here local disk; on HDFS/object stores
+    // expect the gap to widen with round count, not data size).
+    val ccReliableSec = try {
+      val ck = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.queries.TextQueries
+            .clusteredDocsWithCheckpoint(spark, sfDir, Some(ck))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once(); once() // warm + timed, like timedExtra
+      } finally BenchUtil.deleteRecursively(new java.io.File(ck))
+    } catch { case e: Throwable => failed("extra:cc_reliable", e); -1.0 }
     val passageSec = timedExtra("t_passage_dedup")
     // r7 curation additions: shard-writer permutation, mixture sampling,
     // best-of-cluster survivor selection (re-runs the CC fixpoint — heavy).
@@ -262,6 +281,31 @@ object Bench {
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
     } catch { case e: Throwable => failed("lsh_lifecycle", e); (-1.0, -1.0) }
 
+    // Persisted retrieval-statistics lifecycle (r9): one-time index build
+    // (the single corpus tokenize), then the score-only latency a STANDING
+    // corpus gives — BM25 against delta-summed df/N/avgdl with zero text
+    // re-tokenization (compare bm25_sec above, which pays the full
+    // recompute every run; at 100 TB that recompute is the dominant
+    // retrieval cost the index removes).
+    val (retrievalBuildSec, retrievalScoreSec) = try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-rindex-bench").toString
+      try {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val tb = System.nanoTime()
+        graft.retrieval.RetrievalIndex.build(docs, "doc_id", "text", dir)
+        val build = (System.nanoTime() - tb) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.retrieval.RetrievalIndex.scoreBm25(spark, dir,
+              graft.retrieval.RetrievalIndex.topTerms(spark, dir, 3))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm: listing + codegen
+        (build, once())
+      } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+    } catch { case e: Throwable => failed("retrieval_lifecycle", e); (-1.0, -1.0) }
+
     // Sharded-corpus sink (r7): the terminal write of a curation pipeline —
     // placement map + one repartition + in-task sort + atomic swap, with
     // the manifest computed in-job. Warm then timed, like the lifecycles.
@@ -372,6 +416,8 @@ object Bench {
       // executed and rows/s is not comparable to a healthy round (r6 lesson).
       "streaming" -> (stream.batches <= 0 || stream.quietRuns <= 0 || stream.dupesRemoved <= 0),
       "extra:t_dup_clusters" -> (ccSec < 0),
+      "extra:cc_reliable" -> (ccReliableSec < 0),
+      "retrieval_lifecycle" -> (retrievalBuildSec < 0 || retrievalScoreSec < 0),
       "extra:t_passage_dedup" -> (passageSec < 0),
       "extra:t_shard_shuffle" -> (shardSec < 0),
       "extra:t_mix_sample" -> (mixSec < 0),
@@ -413,6 +459,9 @@ object Bench {
       s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""" +
       s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
       s""""cc_clusters_sec":${f"$ccSec%.3f"},""" +
+      s""""cc_clusters_reliable_sec":${f"$ccReliableSec%.3f"},""" +
+      s""""retrieval_index_build_sec":${f"$retrievalBuildSec%.3f"},""" +
+      s""""retrieval_score_sec":${f"$retrievalScoreSec%.3f"},""" +
       s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
       s""""shard_shuffle_sec":${f"$shardSec%.3f"},""" +
       s""""mix_sample_sec":${f"$mixSec%.3f"},""" +

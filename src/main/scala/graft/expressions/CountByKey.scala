@@ -26,7 +26,9 @@ import org.apache.spark.sql.types._
   * (the ingest-pipeline pattern); anything that must be exact under every
   * retry schedule — a manifest, a ledger — should count committed output
   * instead (ShardWriter counts its staged parquet footers for exactly this
-  * reason).
+  * reason). Production consumer: the ingest pipeline's per-day row
+  * counters (IngestPipeline.writeBatch → Metrics.ingestRowsDay) ride this
+  * aggregate on the write pass's observe() node.
   *
   * State is O(distinct keys) per task — by design for BOUNDED key domains
   * (shard numbers, cell ids, day partitions); do not point it at a

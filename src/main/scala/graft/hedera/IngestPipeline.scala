@@ -62,7 +62,15 @@ final class IngestPipeline(
     val typed = TransactionTransform.typedRows(parsed)
       .observe(obs,
         count(lit(1)).as("ok_rows"),
-        max(col("consensusTimestamp")).as("max_ts_ns"))
+        max(col("consensusTimestamp")).as("max_ts_ns"),
+        // Per-day ingested-row counts as ONE map-typed metric
+        // (graft.expressions.CountByKey) — monitoring, where its
+        // documented over-count-under-retry semantics are acceptable;
+        // exact manifests count committed output instead (ShardWriter).
+        // The key domain is bounded (days touched by the batch).
+        graft.expressions.CountByKey(
+          expr("consensusTimestamp div 86400000000000").cast("int"))
+          .as("rows_by_day"))
     val out = if (preDedupe) typed.dropDuplicates("consensusTimestamp") else typed
     if (prePartitioned) table.appendPrePartitioned(out) else table.append(out)
     val m = obs.get
@@ -70,6 +78,11 @@ final class IngestPipeline(
     m.get("max_ts_ns").collect { case ts: Long =>
       reg.set(Metrics.LatestConsensusTimestamp, ts)
       reg.set(Metrics.IngestionDelay, System.currentTimeMillis() - ts / 1000000)
+    }
+    m.get("rows_by_day").collect { case byDay: scala.collection.Map[_, _] =>
+      byDay.foreach { case (day: Int, n: Long) =>
+        reg.inc(Metrics.ingestRowsDay(java.time.LocalDate.ofEpochDay(day.toLong)), n)
+      }
     }
     val nBad = obsAll.get("n_lines").asInstanceOf[Long] - ok
     // The dead-letter branch must classify rows with the SAME full-schema

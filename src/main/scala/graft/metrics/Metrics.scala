@@ -44,6 +44,13 @@ object Metrics {
   val DedupeDelay = "dedupe.delay"
   val DuplicatesCount = "dedupe.duplicates.count"
 
+  /** Per-day ingested-row counter name (extension metric, not a reference
+    * name): fed by the ingest `observe()` pass's map-typed
+    * [[graft.expressions.CountByKey]] aggregate — one counter per event
+    * day touched, monitoring-grade (may over-count under shuffle-map
+    * retries; see CountByKey's scaladoc). */
+  def ingestRowsDay(day: java.time.LocalDate): String = s"ingest.rows.day.$day"
+
   val global = new MetricsRegistry
 
   /** Streaming ingest progress → metric registry (rows/sec, batch rows). */

@@ -14,8 +14,10 @@ import graft.functions.TextFunctions.portableHash60
   * BEFORE the comparison — the full-outer join carries two longs per
   * document, never the text (at 100 TB the diff shuffles ~GBs). The join
   * is id-keyed equi (co-partitionable, AQE-handled); `unchanged` rows —
-  * the overwhelming majority between adjacent snapshots — are filtered
-  * pre-shuffle-free on the joined frame, so the OUTPUT is delta-sized.
+  * the overwhelming majority between adjacent snapshots — are dropped
+  * IN the post-join stage (a row's status needs both sides, so the
+  * filter necessarily sits above the join's shuffle — but that shuffle
+  * carries only the two-long fingerprints), so the OUTPUT is delta-sized.
   * The fingerprint is the portable md5-prefix hash, so the whole diff is
   * engine-replayable (full DuckDB oracle on the registry entry).
   *

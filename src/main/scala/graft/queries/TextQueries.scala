@@ -31,6 +31,54 @@ object TextQueries {
   private val Shingles4 =
     "list_transform(generate_series(1, len(ws) - 3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
 
+  /** Deterministic per-(entry, sf) work dir for the persisted-index
+    * registry twins — rebuilt (overwritten) on every call, so repeated
+    * verify/bench passes reuse one path instead of leaking a dir per
+    * run. */
+  private def rindexDir(tag: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-rindex-$tag-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+
+  /** The TF-IDF oracle — shared verbatim by t_tfidf (transient recompute)
+    * and t_tfidf_indexed (incrementally built RetrievalIndex): one SQL
+    * image, two engine paths that must both match it byte-for-byte. */
+  private val TfidfSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
+       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       |  floor(((CAST(tf.tf AS DOUBLE) / CAST(dlen.n_d AS DOUBLE)) *
+       |         (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dft.df AS DOUBLE) + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
+       |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (term), n""".stripMargin
+
+  /** The BM25 oracle — shared verbatim by t_bm25 and t_bm25_indexed (same
+    * one-image/two-paths discipline as TfidfSql). */
+  private val Bm25Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
+       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |              (SELECT CAST(sum(n_d) AS BIGINT) FROM dlen) AS tot_tokens),
+       |qt AS (SELECT term FROM (
+       |         SELECT term, sum(tf) AS ttf FROM tf GROUP BY term
+       |         ORDER BY ttf DESC, term ASC LIMIT 3)),
+       |c AS (
+       |  SELECT tf.doc_id,
+       |    ln((CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+       |       (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+       |    (CAST(tf.tf AS DOUBLE) * 2.2) /
+       |    (CAST(tf.tf AS DOUBLE) +
+       |     1.2 * (0.25 + 0.75 * CAST(dlen.n_d AS DOUBLE) /
+       |            (CAST(st.tot_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS contrib
+       |  FROM tf JOIN qt USING (term) JOIN dlen USING (doc_id)
+       |       JOIN dft USING (term), st)
+       |SELECT doc_id, count(*) AS n_query_terms,
+       |  floor((CAST(sum(CAST(floor(contrib * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS bm25
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** The [[graft.functions.TextFunctions.qualityScore]] formula's 6-dp
     * DuckDB image over a bound token list `ws` — shared by t_quality and
     * t_best_of_cluster (which ORDERS by it, so survivor choice rides the
@@ -91,7 +139,21 @@ object TextQueries {
     * call (one model rebuild), the same recovery class as any localCheck-
     * pointed iterative state here (cf. ConnectedComponents' default mode;
     * use its reliable-checkpoint pattern if this ever runs on spot
-    * executors in practice). */
+    * executors in practice).
+    *
+    * Why no LAZY variant (adjudicated, r9): restoring `Q.build`'s lazy
+    * contract would mean deciding broadcast-vs-shuffle AFTER plan
+    * construction, and the only engine mechanism for that is AQE's
+    * runtime join re-planning — which can only upgrade a shuffle join to
+    * broadcast after BOTH sides' map stages have written their shuffle
+    * output. The big side here is the re-exploded per-document trigram
+    * stream: corpus-sized by construction, and the whole point of the
+    * broadcast path is that this stream is NEVER shuffled. A lazy/AQE
+    * guard would sink that corpus-sized shuffle write on every run just
+    * to learn the model was small; the eager probe pays one
+    * alphabet-bounded job instead. Pre-planning size discovery requires
+    * an action — the non-lazy build is the price of the zero-corpus-
+    * shuffle plan, not an oversight. */
   private[queries] def trigramFamiliarity(d: org.apache.spark.sql.DataFrame,
       maxBroadcastRows: Long = 2000000L): org.apache.spark.sql.DataFrame = {
     // Deliberately TWO explode passes and ZERO corpus-sized shuffles: the
@@ -185,9 +247,17 @@ object TextQueries {
     * near-dup graph (singletons label themselves) — shared by
     * t_dup_clusters (emits it) and t_split_leakfree (keys the split by
     * it). */
-  private def clusteredDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def clusteredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    clusteredDocsWithCheckpoint(s, dir, None)
+
+  /** [[clusteredDocs]] with the CC lineage-truncation mode exposed —
+    * `checkpointDir = Some(dir)` selects ConnectedComponents' reliable
+    * filesystem checkpointing (the spot-executor mode); the bench measures
+    * both so the localCheckpoint-vs-reliable trade carries a number. */
+  private[graft] def clusteredDocsWithCheckpoint(s: org.apache.spark.sql.SparkSession,
+      dir: String, checkpointDir: Option[String]) = {
     val cc = graft.dedup.ConnectedComponents.components(
-      jaccardPairs(s, dir), "a_id", "b_id")
+      jaccardPairs(s, dir), "a_id", "b_id", checkpointDir = checkpointDir)
     docs(s, dir).select(col("doc_id"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -467,30 +537,19 @@ object TextQueries {
     // set (the window form would shuffle and sort every candidate row).
     // At 100 TB the query side is a handful of docs: the heavy side
     // shuffles once on the shingle key and AQE sizes the rest.
+    // Registry slice of the public graft.retrieval.TextSearch.knn API
+    // (r9: the operator was extracted from this entry): the pinned
+    // `doc_id < 10` query set keeps the oracle deterministic; arbitrary
+    // query frames ride the API (TextSearchSpec). The builder is eager at
+    // one point — the API's guarded-broadcast probe (bounded
+    // limit(cap+1).count(), the contaminationCounts discipline).
     Q("t_text_knn",
       (s, dir) => {
-        val maxDf = 100
-        val sh = docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(shingles(col("text"), 3))).as("s"))
-        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("s"))
-        val shc = sh.join(broadcast(hot), Seq("s"), "left_anti")
-        val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = shc.filter(col("doc_id") < 10)
-          .select(col("doc_id").as("query_id"), col("s"))
-          .join(shc.select(col("doc_id").as("cand_id"), col("s")), Seq("s"))
-          .filter(col("query_id") =!= col("cand_id"))
-          .groupBy(col("query_id"), col("cand_id")).agg(count(lit(1)).as("inter"))
-        val scored = inter
-          .join(cnt.select(col("doc_id").as("query_id"), col("n").as("nq")), "query_id")
-          .join(cnt.select(col("doc_id").as("cand_id"), col("n").as("nc")), "cand_id")
-          .withColumn("jaccard", graft.operators.RelationalOps.round6(
-            col("inter").cast("double") /
-              (col("nq") + col("nc") - col("inter")).cast("double")))
-          .select(col("query_id"), col("cand_id"), col("jaccard"))
-        graft.similarity.SimilaritySearch
-          .topKPerKey(scored, "query_id", "jaccard", "cand_id", 3)
-          .select(col("query_id"), col("cand_id"), col("jaccard"), col("rnk"))
+        val d = docs(s, dir)
+        graft.retrieval.TextSearch.knn(
+          d.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("query_id"), col("text")),
+          d, k = 3, excludeSelf = true)
       },
       Some(s"""WITH sh AS (
               |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
@@ -946,15 +1005,7 @@ object TextQueries {
                 (col("df").cast("double") + 1.0)) + 1.0)))
           .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
       },
-      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
-              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-              |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
-              |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-              |n AS (SELECT count(*) AS n_docs FROM documents)
-              |SELECT tf.doc_id, tf.term, tf.tf, dft.df,
-              |  floor(((CAST(tf.tf AS DOUBLE) / CAST(dlen.n_d AS DOUBLE)) *
-              |         (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dft.df AS DOUBLE) + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
-              |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (term), n""".stripMargin)),
+      Some(TfidfSql)),
 
     // BM25 retrieval scoring (Robertson k1=1.2, b=0.75, +1-smoothed idf) —
     // the ranking function a sparse-retrieval pipeline runs over the
@@ -1004,28 +1055,44 @@ object TextQueries {
               sum(floor(col("contrib") * 1e9).cast("long")).cast("double") / 1e9)
               .as("bm25"))
       },
-      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
-              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-              |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
-              |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-              |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-              |              (SELECT CAST(sum(n_d) AS BIGINT) FROM dlen) AS tot_tokens),
-              |qt AS (SELECT term FROM (
-              |         SELECT term, sum(tf) AS ttf FROM tf GROUP BY term
-              |         ORDER BY ttf DESC, term ASC LIMIT 3)),
-              |c AS (
-              |  SELECT tf.doc_id,
-              |    ln((CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
-              |       (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
-              |    (CAST(tf.tf AS DOUBLE) * 2.2) /
-              |    (CAST(tf.tf AS DOUBLE) +
-              |     1.2 * (0.25 + 0.75 * CAST(dlen.n_d AS DOUBLE) /
-              |            (CAST(st.tot_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS contrib
-              |  FROM tf JOIN qt USING (term) JOIN dlen USING (doc_id)
-              |       JOIN dft USING (term), st)
-              |SELECT doc_id, count(*) AS n_query_terms,
-              |  floor((CAST(sum(CAST(floor(contrib * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS bm25
-              |FROM c GROUP BY doc_id""".stripMargin)),
+      Some(Bm25Sql)),
+
+    // PERSISTED-INDEX twins of the two retrieval entries above: the same
+    // oracle SQL (a full recompute over `documents`), replayed against
+    // statistics built INCREMENTALLY through the RetrievalIndex lifecycle
+    // — build on the even doc ids, appendDocs the odd ids, then score
+    // from the standing index (delta-summed df/N/avgdl, zero text
+    // re-tokenization at score time). A byte-for-byte match here IS the
+    // incremental ≡ full-recompute proof at the oracle gate, on top of
+    // RetrievalIndexSpec's in-JVM batteries. Builders are EAGER (index
+    // mutation + the guarded-broadcast probe run at build time) — the
+    // trigramFamiliarity adjudication applies: pre-planning persistence
+    // requires actions; the lazy contract is traded for the standing
+    // index every later scoring call probes for free.
+    Q("t_tfidf_indexed",
+      (s, dir) => {
+        val idx = rindexDir("tfidf", dir)
+        val d = docs(s, dir)
+        graft.retrieval.RetrievalIndex.build(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        graft.retrieval.RetrievalIndex.appendDocs(
+          d.filter(col("doc_id") % 2 =!= 0), idx, "doc_id", "text")
+        graft.retrieval.RetrievalIndex.tfidf(s, idx)
+      },
+      Some(TfidfSql)),
+
+    Q("t_bm25_indexed",
+      (s, dir) => {
+        val idx = rindexDir("bm25", dir)
+        val d = docs(s, dir)
+        graft.retrieval.RetrievalIndex.build(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+        graft.retrieval.RetrievalIndex.appendDocs(
+          d.filter(col("doc_id") % 2 =!= 0), idx, "doc_id", "text")
+        graft.retrieval.RetrievalIndex.scoreBm25(s, idx,
+          graft.retrieval.RetrievalIndex.topTerms(s, idx, 3))
+      },
+      Some(Bm25Sql)),
 
     // Exact distributed percentiles per stratum — the quality-threshold
     // derivation step of a filtering pipeline ("drop docs below the

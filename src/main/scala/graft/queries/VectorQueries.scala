@@ -280,6 +280,55 @@ object VectorQueries {
              |              ELSE CAST(d AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) END) * 1000000 + 0.5) / 1000000 AS qscore
              |FROM sc ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Product-quantization ADC top-10 (r9) — completes the quantization
+    // family past e_quant_topk's int8 path: m=8 subspaces × 16 codes → a
+    // 4-BYTE code per vector (vs 256 B float32, 64× compression), scoring
+    // by per-query lookup table, no per-candidate float folds. FULL
+    // ORACLE: codebooks follow the deterministic hash-seed discipline
+    // (the SemCell pattern — md5-ordered seed vectors, per-subspace L2
+    // argmin with 6-dp rounding + code-id tiebreak), the ADC sum rides
+    // the 1e-9 fixed-point grid, so DuckDB replays seed choice, encode,
+    // LUT and top-k byte-for-byte. Recall vs exact cosine (and the
+    // shortlist+rerank production shape) is pinned in
+    // ProductQuantizerSpec.
+    Q("e_pq_topk",
+      (s, dir) => graft.similarity.ProductQuantizer.pqTopK(
+        emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10),
+      Some {
+        def sfold(expr: String) =
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(generate_series(j * 8 + 1, j * 8 + 8), i -> $expr)), (a, b) -> a + b)"
+        val dist = sfold("(CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)) * " +
+          "(CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE))")
+        val qdot = sfold("CAST(qv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
+        s"""WITH pseeds AS (
+           |  SELECT vec_id AS code_id, embedding AS sv FROM embeddings
+           |  ORDER BY ('0x' || substr(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+           |           vec_id
+           |  LIMIT 16),
+           |sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+           |d AS (
+           |  SELECT e.vec_id, j, code_id,
+           |    floor(($dist) * 1000000 + 0.5) / 1000000 AS dist
+           |  FROM embeddings e CROSS JOIN sub CROSS JOIN pseeds),
+           |codes AS (
+           |  SELECT vec_id, j, code_id FROM (
+           |    SELECT vec_id, j, code_id,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code_id) AS rn
+           |    FROM d) WHERE rn = 1),
+           |lut AS (
+           |  SELECT j, code_id, CAST(floor(($qdot) * 1e9) AS BIGINT) AS lf
+           |  FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+           |       CROSS JOIN sub CROSS JOIN pseeds),
+           |sc AS (
+           |  SELECT c.vec_id, sum(l.lf) AS sfp
+           |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+           |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+           |SELECT vec_id,
+           |  floor((CAST(sfp AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS pq_score
+           |FROM sc ORDER BY pq_score DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     // Exact counterpart of e_dup_pairs: all-pairs cosine ≥ threshold.
     // Quadratic by construction — the recall baseline for bounded corpora,
     // NOT the scale path (that's e_dup_pairs). Fully oracle-checked: the

@@ -1,0 +1,344 @@
+package graft.retrieval
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions.tokens
+import graft.util.{FileLease, SwapDir}
+
+/** Persisted sparse-retrieval statistics index — the TextDedupIndex /
+  * IvfIndex lifecycle applied to the TF-IDF/BM25 family, so scoring a
+  * standing corpus stops re-deriving corpus statistics per query batch
+  * (at 100 TB, recomputing df over the corpus is the dominant retrieval
+  * cost; with the index it is a probe of term-keyed parquet).
+  *
+  * Layout under `dir` (all doc ids are longs — the engine's doc-id type):
+  * {{{
+  *   tf/     (doc_id, term, tf)       one row per distinct (doc, term)
+  *   dlen/   (doc_id, n_d)            per-doc token counts
+  *   df/     (term, df)               DELTA table: per-append per-term
+  *                                    doc counts; readers SUM deltas
+  *   stats/  (n_docs, tot_tokens)     DELTA table: one row per append
+  *   commits/<batch-id>               commit markers (see below)
+  *   meta/                            tokenizer + version stamp
+  * }}}
+  *
+  * Every subtable is partitioned by an opaque `batch` id, and a batch
+  * becomes VISIBLE only when its marker lands in `commits/` — written
+  * after all four subtable appends. Readers restrict every scan to the
+  * committed batch set (partition pruning skips uncommitted directories
+  * entirely), which buys the property the dedup indexes do not need but
+  * retrieval does: the stats are a SUM, so a torn append (tf landed,
+  * stats not) would silently skew every future score, not just emit a
+  * benign duplicate. Here a crash mid-append leaves an invisible orphan
+  * partition — a retry re-appends under a fresh batch id and the orphan
+  * is reclaimed by the next compaction. The committed set is
+  * O(appends-since-compaction), bounded by the compaction threshold.
+  *
+  * Maintenance cost discipline (the appendDocs contract of the other
+  * index lifecycles): every append derives its four delta frames from ONE
+  * batch-text derivation — tf is written first and the other three derive
+  * from the WRITTEN tf partition (columnar read-back, never a second
+  * tokenize) — and is O(batch); nothing per-append touches the
+  * corpus-sized tables. [[build]] is the same path at corpus size: tf is
+  * the one full text scan, dlen/df/stats derive from written parquet.
+  *
+  * Compaction (threshold-gated in the same lease hold as the append)
+  * collapses the committed deltas: tf re-clusters by term (scoring probes
+  * are term-keyed — row-group min/max stats skip unprobed terms), df
+  * deltas sum to one row per term, stats to one row, and the commit set
+  * swaps atomically to the single collapsed batch ([[SwapDir]]); orphan
+  * and superseded partitions are deleted afterwards (pure space
+  * reclamation — they are already invisible).
+  *
+  * Writer coordination: mutating entry points hold the shared
+  * cross-process [[FileLease]]; readers never take it and are safe on any
+  * committed state (the commits dir resolves through [[SwapDir.readPath]]
+  * mid-swap).
+  *
+  * Scoring ([[scoreBm25]], [[tfidf]]) reproduces the transient
+  * t_tfidf/t_bm25 operators' exact arithmetic (same smoothing, same
+  * 1e-9-grid fixed-point per-doc sums, same 6-dp rounding), so the DuckDB
+  * oracle of the transient family replays byte-for-byte over an
+  * incrementally built index (RetrievalIndexSpec + the t_bm25_indexed /
+  * t_tfidf_indexed registry twins).
+  *
+  * Reference scope: the reference queries BigQuery tables that maintain
+  * no derived statistics; this is engine extension surface for the
+  * LLM-pipeline retrieval family.
+  */
+object RetrievalIndex {
+
+  private val TfSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("term", StringType),
+    StructField("tf", LongType), StructField("batch", StringType)))
+  private val DlenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_d", LongType),
+    StructField("batch", StringType)))
+  private val DfSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType),
+    StructField("batch", StringType)))
+  private val StatsSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("tot_tokens", LongType),
+    StructField("batch", StringType)))
+  private val schemas = Map("tf" -> TfSchema, "dlen" -> DlenSchema,
+    "df" -> DfSchema, "stats" -> StatsSchema)
+
+  /** Compact once the committed-batch count passes this (bounds both the
+    * reader-side committed set and the partition-dir fan-out). */
+  private val MaxCommittedBatches = 8
+
+  private def leaseFor(dir: String) = new FileLease(dir)
+
+  private def hadoopFs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Committed batch ids, resolved through the swap-aware commits path. */
+  private def committed(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, live) = hadoopFs(spark, s"$dir/commits")
+    val p = SwapDir.readPath(f, live)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted
+  }
+
+  /** A subtable restricted to committed batches — the `batch` partition
+    * filter prunes uncommitted/orphan directories before any data read.
+    * Explicit schema: an empty or not-yet-written subtable reads as an
+    * empty typed frame, never a schema-inference failure. */
+  private def readSub(spark: SparkSession, dir: String, sub: String,
+      batches: Seq[String]): DataFrame = {
+    val (f, p) = hadoopFs(spark, s"$dir/$sub")
+    val base = if (f.exists(p))
+      spark.read.schema(schemas(sub)).parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(sub))
+    base.filter(col("batch").isin(batches: _*))
+      .drop("batch")
+  }
+
+  private def requireMatching(spark: SparkSession, dir: String): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    require(m.getAs[String]("tokenizer") == "ws-lower" && m.getAs[Int]("version") == 1,
+      s"retrieval index at $dir uses an unknown tokenizer/version")
+  }
+
+  /** (doc_id, term) token stream — the ONE text derivation (identical to
+    * the transient t_tfidf tokenization: whitespace split of the lowered
+    * text, so the index twins replay the transient oracles exactly). */
+  private def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+
+  /** One append under an already-held lease: write the batch's tf
+    * partition from the single text derivation, derive dlen/df from the
+    * WRITTEN tf files, count the batch for the stats delta, then commit.
+    * `nDocs` is the batch's total doc count (including docs whose text
+    * yields no tf rows — the transient family counts ALL docs in N). */
+  private def appendUnlocked(docs: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val (f, _) = hadoopFs(spark, dir)
+    SwapDir.recover(f, new Path(s"$dir/commits")) // crash mid-compaction
+    val batch = java.util.UUID.randomUUID().toString
+    def writeSub(sub: String, df: DataFrame): Unit =
+      df.withColumn("batch", lit(batch))
+        .write.mode("append").partitionBy("batch").parquet(s"$dir/$sub")
+    writeSub("tf", tokenStream(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    // derive from the written partition: O(batch) columnar read-back,
+    // never a second tokenize of the text (an all-empty batch writes no
+    // partition dir at all — read back as a typed empty frame)
+    val tfBatch = new Path(s"$dir/tf/batch=$batch")
+    val tfBack =
+      if (f.exists(tfBatch))
+        spark.read.schema(StructType(TfSchema.dropRight(1))).parquet(tfBatch.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(TfSchema.dropRight(1)))
+    writeSub("dlen", tfBack.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d")))
+    writeSub("df", tfBack.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // count(*) over the batch frame prunes every column at the source
+    val nDocs = docs.count()
+    val nTokens = tfBack.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    writeSub("stats", Seq((nDocs, nTokens)).toDF("n_docs", "tot_tokens"))
+    // the batch becomes visible only now
+    val (cf, clive) = hadoopFs(spark, s"$dir/commits")
+    cf.mkdirs(SwapDir.readPath(cf, clive))
+    cf.create(new Path(SwapDir.readPath(cf, clive), batch), true).close()
+    if (committed(spark, dir).size > MaxCommittedBatches)
+      compactUnlocked(spark, dir)
+  }
+
+  /** Index `corpus` under `dir`, replacing any previous index. One full
+    * text scan (the tf write); everything else derives from written
+    * parquet or a column-pruned count. */
+  def build(corpus: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (f, root) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      Seq("tf", "dlen", "df", "stats", "commits").foreach(s =>
+        f.delete(new Path(root, s), true))
+      Seq(("ws-lower", 1)).toDF("tokenizer", "version")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      appendUnlocked(corpus, dir, idCol, textCol)
+    }
+  }
+
+  /** Append NEW documents (ids not already indexed — dedup upstream is
+    * the curation pipeline's job; re-appending an indexed id would
+    * double-count its statistics, the same contract as
+    * TextDedupIndex.appendDocs' "already-deduped docs"). O(batch) under
+    * the writer lease; threshold-gated compaction runs in the same hold. */
+  def appendDocs(newDocs: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    requireMatching(spark, dir)
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      appendUnlocked(newDocs, dir, idCol, textCol)
+    }
+  }
+
+  /** Collapse committed deltas to one batch and reclaim invisible
+    * partitions. See the class doc for the crash analysis: the collapsed
+    * batch is written UNCOMMITTED alongside the live data, the commit set
+    * then swaps atomically to exactly that batch, and only afterwards are
+    * superseded/orphan partitions deleted (a crash at any point leaves
+    * readers a complete committed view — before the swap the old set,
+    * after it the collapsed one). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) { compactUnlocked(spark, dir) }
+  }
+
+  private def compactUnlocked(spark: SparkSession, dir: String): Unit = {
+    val (f, _) = hadoopFs(spark, dir)
+    val live = committed(spark, dir)
+    val base = s"base-${java.util.UUID.randomUUID()}"
+    val par = spark.sparkContext.defaultParallelism
+    // snapshot EVERY pre-existing partition dir (committed or orphan) —
+    // all are superseded or invisible once the commit set swaps to `base`
+    def partDirs(sub: String): Seq[Path] = {
+      val p = new Path(s"$dir/$sub")
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
+    }
+    val snapshot = Seq("tf", "dlen", "df", "stats").flatMap(partDirs)
+    def writeSub(sub: String, df: DataFrame): Unit =
+      df.withColumn("batch", lit(base))
+        .write.mode("append").partitionBy("batch").parquet(s"$dir/$sub")
+    // tf re-clusters by term: scoring probes are term-keyed, so row-group
+    // min/max stats skip unprobed terms after compaction
+    writeSub("tf", readSub(spark, dir, "tf", live)
+      .repartition(par, col("term")).sortWithinPartitions(col("term")))
+    writeSub("dlen", readSub(spark, dir, "dlen", live)
+      .repartition(math.max(1, par / 4), col("doc_id")))
+    writeSub("df", readSub(spark, dir, "df", live)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .repartition(math.max(1, par / 4), col("term"))
+      .sortWithinPartitions(col("term")))
+    writeSub("stats", readSub(spark, dir, "stats", live)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("tot_tokens")), lit(0L)).as("tot_tokens"))
+      .coalesce(1))
+    val (cf, clive) = hadoopFs(spark, s"$dir/commits")
+    SwapDir.swapIn(cf, clive) { tmp =>
+      cf.mkdirs(new Path(tmp))
+      cf.create(new Path(tmp, base), true).close()
+    }
+    // space reclamation only — everything here is already invisible
+    snapshot.foreach(p => try { f.delete(p, true): Unit }
+      catch { case _: java.io.IOException => () })
+  }
+
+  /** Corpus totals (n_docs, tot_tokens) — delta sum, 1 row. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    readSub(spark, dir, "stats", committed(spark, dir))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("tot_tokens")), lit(0L)).as("tot_tokens"))
+
+  /** The corpus's n globally most-frequent terms (total-tf desc, term asc
+    * — the transient t_bm25's deterministic query-derivation rule). */
+  def topTerms(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val live = committed(spark, dir)
+    readSub(spark, dir, "tf", live)
+      .groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
+      .orderBy(col("ttf").desc, col("term").asc).limit(n)
+      .select(col("term"))
+  }
+
+  /** The TF-IDF matrix from the stored statistics — byte-identical to the
+    * transient t_tfidf (same smoothing, same 6-dp rounding), with zero
+    * text re-tokenization: tf/dlen come straight off the index, df is the
+    * delta sum, N the stats sum. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    requireMatching(spark, dir)
+    val live = committed(spark, dir)
+    val tf = readSub(spark, dir, "tf", live)
+    val dlen = readSub(spark, dir, "dlen", live)
+    val df = readSub(spark, dir, "df", live)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val n = stats(spark, dir).select(col("n_docs"))
+    tf.join(dlen, "doc_id").join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", graft.operators.RelationalOps.round6(
+        (col("tf").cast("double") / col("n_d").cast("double")) *
+          (log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) + 1.0)))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 scores of indexed docs against `queryTerms` (a one-column
+    * `term` frame) — byte-identical arithmetic to the transient t_bm25
+    * (Robertson k1/b, +1-smoothed idf, 1e-9-grid fixed-point per-doc sum,
+    * 6-dp rounding), with the corpus touched only through the index: the
+    * tf probe is a term-keyed join (row-group skipping after compaction),
+    * df/N/avgdl are delta sums.
+    *
+    * Query-side broadcast is guarded like contaminationCounts: a bounded
+    * `limit(cap+1).count()` probe — "queries are few" is an assumption,
+    * not an invariant, and an unconditional broadcast of a huge
+    * caller-provided term frame would OOM executors. Past the cap the
+    * joins fall back to shuffle-hash with the terms still the build side.
+    * Results identical on both paths (RetrievalIndexSpec). */
+  def scoreBm25(spark: SparkSession, dir: String, queryTerms: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxBroadcastTerms: Long = 2000000L): DataFrame = {
+    requireMatching(spark, dir)
+    val live = committed(spark, dir)
+    val qt = queryTerms.select(col("term")).distinct()
+    val oversized =
+      if (maxBroadcastTerms < Int.MaxValue - 1)
+        qt.limit(maxBroadcastTerms.toInt + 1).count() > maxBroadcastTerms
+      else qt.count() > maxBroadcastTerms
+    def guarded(df: DataFrame): DataFrame =
+      if (oversized) df.hint("shuffle_hash") else broadcast(df)
+    val tfq = readSub(spark, dir, "tf", live).join(guarded(qt), Seq("term"))
+    val dfq = readSub(spark, dir, "df", live).join(guarded(qt), Seq("term"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val dlen = readSub(spark, dir, "dlen", live)
+    val st = stats(spark, dir)
+    tfq.join(dlen, "doc_id").join(guarded(dfq), Seq("term"))
+      .crossJoin(broadcast(st))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("avgdl",
+        col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("n_d").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms"),
+        graft.operators.RelationalOps.round6(
+          sum(floor(col("contrib") * 1e9).cast("long")).cast("double") / 1e9)
+          .as("bm25"))
+  }
+}

@@ -101,14 +101,38 @@ object ShardWriter {
     manifest
   }
 
+  /** Shared bounded pool for per-shard footer reads — the TableStore
+    * `dayPool` discipline (daemon threads, idle timeout, so an idle JVM
+    * holds no threads and exit is never pinned). Pool bound: 16 — each
+    * task is one listStatus + one footer open (IO-bound metadata
+    * round-trips; FileSystem clients are thread-safe), so 16 in flight
+    * saturates an object store's per-client connection budget without
+    * stampeding it. */
+  private lazy val footerPool = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(16, 16, 10,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-shard-footers"); t.setDaemon(true); t
+      })
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
+
   /** Per-shard row counts from parquet FOOTER metadata under
     * `root/shard=K/` — row-group counts summed per file, no data pages
-    * touched. Hidden/marker files excluded. */
+    * touched. Hidden/marker files excluded. Shards fan out over the
+    * bounded pool: at the documented 2^14-shard production sizing each
+    * shard costs one listStatus + one footer open, and ~16 k SEQUENTIAL
+    * round-trips against an object store is minutes of driver wait at the
+    * terminal sink; 16-way it is seconds. Propagates the first failure;
+    * always awaits every task (no footer read outlives the caller's
+    * lease). */
   private def footerCounts(f: org.apache.hadoop.fs.FileSystem, root: Path): Map[Int, Long] = {
     val conf = f.getConf
     val shardDirs = f.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("shard="))
-    shardDirs.map { d =>
+    def countShard(d: org.apache.hadoop.fs.FileStatus): (Int, Long) = {
       val shard = d.getPath.getName.stripPrefix("shard=").toInt
       val n = f.listStatus(d.getPath)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
@@ -119,7 +143,19 @@ object ShardWriter {
           try r.getRecordCount finally r.close()
         }.sum
       shard -> n
-    }.toMap
+    }
+    if (shardDirs.length <= 1) shardDirs.map(countShard).toMap
+    else {
+      import scala.jdk.CollectionConverters._
+      val futures = footerPool.invokeAll(
+        shardDirs.toSeq.map(d => new java.util.concurrent.Callable[(Int, Long)] {
+          override def call(): (Int, Long) = countShard(d)
+        }: java.util.concurrent.Callable[(Int, Long)]).asJava)
+      futures.asScala.map { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }.toMap
+    }
   }
 
   /** One shard, in its deterministic row order (partition pruning keeps

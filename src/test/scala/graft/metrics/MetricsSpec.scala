@@ -34,6 +34,32 @@ class MetricsSpec extends AnyFunSuite {
     assert(reg.get(Metrics.JsonToTableRowErrors) === 1)
     // batch-commit wall clock is 'now', event time is 2020 → large positive ms
     assert(reg.get(Metrics.IngestionDelay) > 0)
+
+    // per-day row counts ride the SAME observe() pass via the map-typed
+    // CountByKey aggregate — both ok rows land on the same event day
+    val day = java.time.LocalDate.ofEpochDay(ts / 1000000000L / 86400L)
+    assert(reg.get(Metrics.ingestRowsDay(day)) === 2,
+      s"per-day ingest counter for $day")
+    // no stray day counters from a 2-row single-day batch
+    assert(reg.snapshot().keys.count(_.startsWith("ingest.rows.day.")) === 1)
+  }
+
+  test("per-day ingest counters split rows across event days") {
+    val reg = new MetricsRegistry
+    val base = GraftTestSpark.tmpDir("metrics-days")
+    val d0 = 1600000000L / 86400L * 86400L // midnight boundary, s
+    val rows = Seq(d0 - 1, d0, d0 + 1, d0 + 86400L).map(s =>
+      s"""{"consensusTimestamp":${s * 1000000000L},"transactionType":14}""")
+    rows.toDF("value").coalesce(1).write.text(s"$base/in")
+    val pipe = new IngestPipeline(spark,
+      new TransactionsTable(spark, s"$base/transactions"),
+      new ErrorsTable(spark, s"$base/errors"), reg = reg)
+    val (ok, _) = pipe.ingestBatch(s"$base/in")
+    assert(ok === 4)
+    def dayOf(s: Long) = java.time.LocalDate.ofEpochDay(s / 86400L)
+    assert(reg.get(Metrics.ingestRowsDay(dayOf(d0 - 1))) === 1)
+    assert(reg.get(Metrics.ingestRowsDay(dayOf(d0))) === 2)
+    assert(reg.get(Metrics.ingestRowsDay(dayOf(d0 + 86400L))) === 1)
   }
 
   test("dedupe job writes run counters and per-phase job metrics") {

@@ -127,6 +127,36 @@ class PlanShapeSpec extends AnyFunSuite {
         "t_bm25: the query-term set must broadcast")
     }
 
+    test(s"persisted retrieval index: scoring reads the index, not the corpus text$tag") {
+      // t_bm25_indexed's final frame scores from the standing index: the
+      // plan must scan the rindex work dir (tf/df/dlen/stats parquet) and
+      // broadcast the 3-term query set; re-tokenizing the corpus at score
+      // time would surface as an explode over the documents scan.
+      val p = plan(dir, "t_bm25_indexed")
+      assert(p.contains("graft-rindex"),
+        s"t_bm25_indexed must scan the persisted index:\n$p")
+      assert(!p.toLowerCase.contains("generate"),
+        "t_bm25_indexed must not re-explode text at score time")
+      assert(p.contains("BroadcastHashJoin"),
+        "t_bm25_indexed: the query-term set must broadcast")
+      assert(!p.contains("Window") && p.contains("HashAggregate"))
+    }
+
+    test(s"text knn API: query side broadcasts under the guard, shuffle-hash past it$tag") {
+      val d = graft.Tables.load(spark, dir, "documents")
+      val qs = d.filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("query_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val small = graft.retrieval.TextSearch.knn(qs, d, 3)
+        .queryExecution.executedPlan.toString
+      assert(small.contains("BroadcastHashJoin"),
+        s"small query side must broadcast:\n$small")
+      val forced = graft.retrieval.TextSearch.knn(qs, d, 3, maxBroadcastShingles = 0L)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("ShuffledHashJoin"),
+        s"past the cap the query side must fall back to shuffle-hash:\n$forced")
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       val p = plan(dir, "q_group_topk")
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial

@@ -1,0 +1,120 @@
+package graft.retrieval
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftTestSpark, Tables}
+
+/** Persisted retrieval-statistics lifecycle: incrementally built stats
+  * (build → appendDocs × n → compact) must be INDISTINGUISHABLE from a
+  * full recompute — tfidf and bm25 scores byte-for-byte — and a torn
+  * (uncommitted) append must be invisible to every reader. The index is a
+  * LAYOUT of the transient t_tfidf/t_bm25 math, never a different
+  * answer (the registry twins replay the transient oracles over it).
+  */
+class RetrievalIndexSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  private lazy val corpus = Tables.load(spark, GraftTestSpark.sfDir, "documents")
+    .select(col("doc_id"), col("text")).cache()
+
+  private def tfidfRows(dir: String) =
+    RetrievalIndex.tfidf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+  private def bm25Rows(dir: String, cap: Long = 2000000L) =
+    RetrievalIndex.scoreBm25(spark, dir,
+        RetrievalIndex.topTerms(spark, dir, 3), maxBroadcastTerms = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def buildIncremental(): String = {
+    val dir = GraftTestSpark.tmpDir("rindex-inc")
+    RetrievalIndex.build(corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text", dir)
+    RetrievalIndex.appendDocs(corpus.filter(col("doc_id") % 3 === 1), dir, "doc_id", "text")
+    RetrievalIndex.appendDocs(corpus.filter(col("doc_id") % 3 === 2), dir, "doc_id", "text")
+    dir
+  }
+
+  test("incremental build ≡ full recompute, byte-for-byte (tfidf + bm25)") {
+    val full = GraftTestSpark.tmpDir("rindex-full")
+    RetrievalIndex.build(corpus, "doc_id", "text", full)
+    val inc = buildIncremental()
+    assert(tfidfRows(full).nonEmpty)
+    assert(tfidfRows(inc) === tfidfRows(full))
+    assert(bm25Rows(inc) === bm25Rows(full))
+    // and both equal the TRANSIENT registry operators over the same corpus
+    val transientTfidf = graft.queries.Registry.byName("t_tfidf")
+      .build(spark, GraftTestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(tfidfRows(inc) === transientTfidf)
+    val transientBm25 = graft.queries.Registry.byName("t_bm25")
+      .build(spark, GraftTestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bm25Rows(inc) === transientBm25)
+  }
+
+  test("a torn append (no commit marker) is invisible, and compaction reclaims it") {
+    val dir = buildIncremental()
+    val before = (tfidfRows(dir), bm25Rows(dir))
+    // simulate a crash mid-append: tf rows land, commit marker never does
+    corpus.limit(7)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        lit("torn").as("term"), lit(1L).as("tf"))
+      .write.mode("append").parquet(s"$dir/tf/batch=torn-orphan")
+    assert((tfidfRows(dir), bm25Rows(dir)) === before,
+      "uncommitted partition must not be readable")
+    assert(!tfidfRows(dir).exists(_._2 == "torn"))
+    RetrievalIndex.compact(spark, dir)
+    assert((tfidfRows(dir), bm25Rows(dir)) === before,
+      "compaction must preserve the committed view")
+    val orphan = new java.io.File(s"$dir/tf/batch=torn-orphan")
+    assert(!orphan.exists, "compaction must reclaim orphan partitions")
+  }
+
+  test("compaction collapses to one committed batch with identical results") {
+    val dir = buildIncremental()
+    val before = (tfidfRows(dir), bm25Rows(dir))
+    RetrievalIndex.compact(spark, dir)
+    assert((tfidfRows(dir), bm25Rows(dir)) === before)
+    // one surviving batch partition per subtable, one commit marker
+    def batches(sub: String) =
+      Option(new java.io.File(s"$dir/$sub").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).length
+    Seq("tf", "dlen", "df", "stats").foreach(s =>
+      assert(batches(s) === 1, s"$s should hold exactly one batch after compact"))
+    val commits = new java.io.File(s"$dir/commits").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).length
+    assert(commits === 1)
+  }
+
+  test("threshold compaction fires on its own under many appends") {
+    val dir = GraftTestSpark.tmpDir("rindex-auto")
+    val slice = corpus.limit(40).cache()
+    RetrievalIndex.build(slice.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+    (1 to 9).foreach(i => RetrievalIndex.appendDocs(
+      slice.filter(col("doc_id") % 10 === i), dir, "doc_id", "text"))
+    // 10 appends crossed the threshold at least once: commit set stays bounded
+    val commits = new java.io.File(s"$dir/commits").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).length
+    assert(commits <= 9, s"commit set must stay bounded by compaction, got $commits")
+    // and the collapsed stats still match a fresh full build over the slice
+    val full = GraftTestSpark.tmpDir("rindex-auto-full")
+    RetrievalIndex.build(slice, "doc_id", "text", full)
+    assert(tfidfRows(dir) === tfidfRows(full))
+    slice.unpersist()
+  }
+
+  test("guarded broadcast: the shuffle fallback scores identically") {
+    val dir = buildIncremental()
+    assert(bm25Rows(dir, cap = 0L) === bm25Rows(dir),
+      "forced shuffle-hash path must match the broadcast path")
+  }
+
+  test("an empty append is a no-op for every score") {
+    val dir = buildIncremental()
+    val before = (tfidfRows(dir), bm25Rows(dir))
+    RetrievalIndex.appendDocs(corpus.filter(lit(false)), dir, "doc_id", "text")
+    assert((tfidfRows(dir), bm25Rows(dir)) === before)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftTestSpark, Tables}
+import graft.functions.VectorFunctions.cosine
+
+/** Product quantization: encode/ADC invariants and recall vs the exact
+  * cosine baseline (e_cosine_topk's shape). Exactness of the ADC pipeline
+  * itself is byte-checked by the e_pq_topk DuckDB oracle; this spec pins
+  * the APPROXIMATION quality and the two-stage rerank contract that the
+  * oracle cannot express.
+  */
+class ProductQuantizerSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, GraftTestSpark.sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding")).cache()
+
+  private val cfg = ProductQuantizer.Config()
+
+  private def exactTopK(queryId: Long, k: Int): Seq[Long] = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.operators.RelationalOps.round6(cosine(col("embedding"), col("qv"))).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(k)
+      .select(col("vec_id")).as[Long].collect().toSeq
+  }
+
+  test("encode emits exactly m codes per vector, all from the seed set") {
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cfg)
+    val n = emb.count()
+    assert(codes.count() === n * cfg.m)
+    val perVec = codes.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= cfg.m).count()
+    assert(perVec === 0)
+    val codeIds = codes.select(col("code_id")).distinct().as[Long].collect().toSet
+    assert(codeIds.size <= cfg.nCodes)
+  }
+
+  test("rerank recall@10 beats plain ADC recall and clears the floor") {
+    val k = 10
+    val exact = exactTopK(0L, k).toSet
+    val plain = ProductQuantizer.pqTopK(emb, "vec_id", "embedding", 0L, k, cfg)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val reranked = ProductQuantizer
+      .pqTopKReranked(emb, "vec_id", "embedding", 0L, k, shortlist = 128, cfg)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val rPlain = (plain & exact).size.toDouble / k
+    val rRerank = (reranked & exact).size.toDouble / k
+    info(f"recall@10: plain ADC $rPlain%.2f, shortlist-128 rerank $rRerank%.2f")
+    assert(rRerank >= rPlain,
+      "exact rerank of the ADC shortlist must not lose recall vs plain ADC")
+    assert(rRerank >= 0.5,
+      f"rerank recall@10 $rRerank%.2f below floor — codebooks degenerate?")
+  }
+
+  test("rerank scores ARE the exact cosines, ranked densely") {
+    val got = ProductQuantizer
+      .pqTopKReranked(emb, "vec_id", "embedding", 0L, 5, shortlist = 64, cfg)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(_._3) === (1L to got.size.toLong))
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val exactScores = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.operators.RelationalOps.round6(cosine(col("embedding"), col("qv"))).as("s"))
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, s, _) =>
+      assert(s === exactScores(id), s"rerank score for $id must be the exact cosine")
+    }
+    // descending with id tiebreak
+    assert(got.map(r => (-r._2, r._1)) === got.map(r => (-r._2, r._1)).sorted)
+  }
+
+  test("a larger shortlist never hurts recall (monotone contract)") {
+    val k = 10
+    val exact = exactTopK(0L, k).toSet
+    val r = Seq(32, 128, 512).map { s =>
+      val ids = ProductQuantizer
+        .pqTopKReranked(emb, "vec_id", "embedding", 0L, k, shortlist = s, cfg)
+        .select(col("vec_id")).as[Long].collect().toSet
+      (ids & exact).size
+    }
+    assert(r === r.sorted, s"recall must be monotone in shortlist size, got $r")
+  }
+}
