@@ -310,9 +310,22 @@ object RetrievalIndex {
   def scoreBm25(spark: SparkSession, dir: String, queryTerms: DataFrame,
       k1: Double = 1.2, b: Double = 0.75,
       maxBroadcastTerms: Long = 2000000L): DataFrame = {
+    val qt = queryTerms.select(col("term")).distinct()
+    contribs(spark, dir, qt, k1, b, maxBroadcastTerms)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms"),
+        graft.operators.RelationalOps.round6(
+          sum(col("contrib_fp")).cast("double") / 1e9).as("bm25"))
+  }
+
+  /** Per-(doc, term) BM25 contributions for the probed term set, already
+    * quantized to the exact 1e-9 fixed-point grid (`contrib_fp` long) so
+    * any downstream per-doc or per-query sum is order-independent. Shared
+    * engine of [[scoreBm25]] and [[searchBm25]]. */
+  private def contribs(spark: SparkSession, dir: String, qt: DataFrame,
+      k1: Double, b: Double, maxBroadcastTerms: Long): DataFrame = {
     requireMatching(spark, dir)
     val live = committed(spark, dir)
-    val qt = queryTerms.select(col("term")).distinct()
     val oversized =
       if (maxBroadcastTerms < Int.MaxValue - 1)
         qt.limit(maxBroadcastTerms.toInt + 1).count() > maxBroadcastTerms
@@ -331,14 +344,46 @@ object RetrievalIndex {
           (col("df").cast("double") + 0.5) + 1.0))
       .withColumn("avgdl",
         col("tot_tokens").cast("double") / col("n_docs").cast("double"))
-      .withColumn("contrib",
-        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      .withColumn("contrib_fp", floor(
+        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("n_d").cast("double") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_query_terms"),
-        graft.operators.RelationalOps.round6(
-          sum(floor(col("contrib") * 1e9).cast("long")).cast("double") / 1e9)
-          .as("bm25"))
+          * 1e9).cast("long"))
+      .select(col("doc_id"), col("term"), col("contrib_fp"))
+  }
+
+  /** Multi-query BM25 retrieval over the standing index: top-`k` docs PER
+    * QUERY, queries given as a (query_id, term) frame (tokenize upstream
+    * with the index's own rule — whitespace split of the lowered text).
+    *
+    * Scale shape: contributions are computed ONCE for the distinct term
+    * UNION across all queries (a term shared by 50 queries is probed
+    * once), then fanned out to queries by a term-keyed join with the
+    * query frame on the same guarded-broadcast decision; the per-query
+    * top-k rides the TopKByScore bounded-heap aggregate — the final
+    * exchange carries O(queries·k), never the scored candidate set.
+    * Output (query_id, doc_id, bm25, rnk), rnk 1..k by score desc with
+    * doc-id tiebreak; scores are identical to [[scoreBm25]] run on that
+    * query's terms alone (RetrievalIndexSpec). */
+  def searchBm25(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxBroadcastTerms: Long = 2000000L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val qt = q.select(col("term")).distinct()
+    val oversized =
+      if (maxBroadcastTerms < Int.MaxValue - 1)
+        q.limit(maxBroadcastTerms.toInt + 1).count() > maxBroadcastTerms
+      else q.count() > maxBroadcastTerms
+    def guarded(df: DataFrame): DataFrame =
+      if (oversized) df.hint("shuffle_hash") else broadcast(df)
+    val scored = contribs(spark, dir, qt, k1, b, maxBroadcastTerms)
+      .join(guarded(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(graft.operators.RelationalOps.round6(
+        sum(col("contrib_fp")).cast("double") / 1e9).as("bm25"))
+    graft.similarity.SimilaritySearch
+      .topKPerKey(scored, "query_id", "bm25", "doc_id", k)
+      .select(col("query_id"), col("doc_id"), col("bm25"), col("rnk"))
   }
 }

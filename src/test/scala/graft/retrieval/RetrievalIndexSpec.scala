@@ -111,6 +111,35 @@ class RetrievalIndexSpec extends AnyFunSuite {
       "forced shuffle-hash path must match the broadcast path")
   }
 
+  test("searchBm25: per-query top-k equals scoreBm25 run per query") {
+    import spark.implicits._
+    val dir = buildIncremental()
+    val k = 5
+    // two queries with distinct term sets: the corpus's top-3 terms, and
+    // terms ranked 4-6 (deterministic, non-empty at every sf)
+    val top6 = RetrievalIndex.topTerms(spark, dir, 6).as[String].collect().toSeq
+    val queries = (top6.take(3).map(t => (1L, t)) ++
+      top6.drop(3).map(t => (2L, t))).toDF("query_id", "term")
+    val got = RetrievalIndex.searchBm25(spark, dir, queries, k)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+    assert(got.keySet === Set(1L, 2L))
+    Seq(1L -> top6.take(3), 2L -> top6.drop(3)).foreach { case (qid, terms) =>
+      val expected = RetrievalIndex.scoreBm25(spark, dir, terms.toDF("term"))
+        .select(col("doc_id"), col("bm25"))
+        .as[(Long, Double)].collect().toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+      assert(got(qid) === expected,
+        s"query $qid: searchBm25 must equal per-query scoreBm25 top-$k")
+    }
+    // shuffle fallback identical
+    val forced = RetrievalIndex.searchBm25(spark, dir, queries, k,
+        maxBroadcastTerms = 0L)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(forced === got.values.flatten.toSet)
+  }
+
   test("an empty append is a no-op for every score") {
     val dir = buildIncremental()
     val before = (tfidfRows(dir), bm25Rows(dir))
