@@ -40,20 +40,30 @@ object ProductQuantizer {
   final case class Config(m: Int = 8, subDim: Int = 8, nCodes: Int = 16)
 
   /** In-order double fold of `expr(i)` for i in [j·subDim+1, j·subDim+subDim]
-    * — mirrors the DuckDB list_reduce image term for term. */
+    * — mirrors the DuckDB list_reduce image term for term. RETAINED as the
+    * equivalence reference only (ProductQuantizerSpec asserts the native
+    * kernel is bit-identical); the hot paths use [[SubspaceKernel]] —
+    * this higher-order form runs interpreted per element, the known
+    * O(rows·expansion) anti-pattern (cf. CosineSimilarity's scaladoc). */
   private def subFold(j: Column, subDim: Int)(term: Column => Column): Column =
     aggregate(sequence(j * subDim + 1, j * subDim + subDim),
       lit(0.0), (acc, i) => acc + term(i))
 
-  private def subL2(a: Column, b: Column, j: Column, subDim: Int): Column =
+  private[similarity] def subL2Composed(a: Column, b: Column, j: Column, subDim: Int): Column =
     subFold(j, subDim) { i =>
       val d = element_at(a, i).cast("double") - element_at(b, i).cast("double")
       d * d
     }
 
-  private def subDot(a: Column, b: Column, j: Column, subDim: Int): Column =
+  private[similarity] def subDotComposed(a: Column, b: Column, j: Column, subDim: Int): Column =
     subFold(j, subDim)(i =>
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+
+  private def subL2(a: Column, b: Column, j: Column, subDim: Int): Column =
+    graft.expressions.SubspaceKernel.l2(a, b, j, subDim)
+
+  private def subDot(a: Column, b: Column, j: Column, subDim: Int): Column =
+    graft.expressions.SubspaceKernel.dot(a, b, j, subDim)
 
   /** Hash-ordered seed frame: (code_id, sv) — nCodes rows, broadcast. */
   private def seeds(e: DataFrame, cfg: Config): DataFrame =

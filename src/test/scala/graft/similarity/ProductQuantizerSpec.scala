@@ -29,6 +29,22 @@ class ProductQuantizerSpec extends AnyFunSuite {
       .select(col("vec_id")).as[Long].collect().toSeq
   }
 
+  test("native SubspaceKernel ≡ composed fold, bit-for-bit (both modes, every j)") {
+    // the oracle-safety contract for the fused kernel: identical doubles,
+    // not just identical rounded scores (the r5 CosineSimilarity rule)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      .crossJoin(emb.limit(3).select(col("embedding").as("vb")))
+      .crossJoin(spark.range(cfg.m.toLong).select(col("id").cast("int").as("j")))
+    val checked = pairs.select(
+        graft.expressions.SubspaceKernel.l2(col("va"), col("vb"), col("j"), cfg.subDim).as("nl2"),
+        ProductQuantizer.subL2Composed(col("va"), col("vb"), col("j"), cfg.subDim).as("cl2"),
+        graft.expressions.SubspaceKernel.dot(col("va"), col("vb"), col("j"), cfg.subDim).as("nd"),
+        ProductQuantizer.subDotComposed(col("va"), col("vb"), col("j"), cfg.subDim).as("cd"))
+      .filter(col("nl2") =!= col("cl2") || col("nd") =!= col("cd"))
+      .count()
+    assert(checked === 0, "native kernel must equal the composed fold bit-for-bit")
+  }
+
   test("encode emits exactly m codes per vector, all from the seed set") {
     val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cfg)
     val n = emb.count()
