@@ -170,6 +170,28 @@ object Bench {
     val bm25Sec = timedExtra("t_bm25")
     val textKnnSec = timedExtra("t_text_knn")
     val corpusDiffSec = timedExtra("t_corpus_diff")
+    // r9 DSIR importance resampling (bucket-bounded stats + broadcast
+    // scoring join — see DsirWeights).
+    val dsirSec = timedExtra("t_dsir_weights")
+    // r9 exact-substring dedup (SpanDedup): full span surgery under the
+    // PRODUCTION xxhash64 family. `span_dedup_sec` is the 100 TB operating
+    // point (content-defined anchors, stride 8 — the ~8× gram-frame cut);
+    // `span_dedup_exact_sec` is the stride-1 exact kernel for reference.
+    // The registry twins (t_dup_spans / t_substring_dedup) pin the
+    // portable-md5 family for the oracle — these fields track the kernel
+    // users run, per the t_simhash precedent.
+    def spanOnce(stride: Int): Double = {
+      val docsDf = Tables.load(spark, sfDir, "documents")
+      val t0 = System.nanoTime()
+      graft.dedup.SpanDedup.removeDuplicatedSpans(docsDf, "doc_id", "text",
+        k = 30, anchorStride = stride, portable = false)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val spanDedupSec = try { spanOnce(8); spanOnce(8) }
+      catch { case e: Throwable => failed("extra:span_dedup", e); -1.0 }
+    val spanDedupExactSec = try { spanOnce(1); spanOnce(1) }
+      catch { case e: Throwable => failed("extra:span_dedup_exact", e); -1.0 }
     // r7 vector-curation additions: SemDeDup cell dedup and cell-bounded
     // hard-negative mining (both run the within-cell pair stage — the cost
     // that scales with cell size, which is why they're standalone fields).
@@ -427,6 +449,8 @@ object Bench {
       "extra:t_bm25" -> (bm25Sec < 0),
       "extra:t_text_knn" -> (textKnnSec < 0),
       "extra:t_corpus_diff" -> (corpusDiffSec < 0),
+      "extra:t_dsir_weights" -> (dsirSec < 0),
+      "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
       "extra:semdedup_prod" -> (semdedupProdSec < 0 || hardnegProdSec < 0),
@@ -471,6 +495,9 @@ object Bench {
       s""""bm25_sec":${f"$bm25Sec%.3f"},""" +
       s""""text_knn_sec":${f"$textKnnSec%.3f"},""" +
       s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""" +
+      s""""dsir_sec":${f"$dsirSec%.3f"},""" +
+      s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
+      s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +
       s""""hardneg_sec":${f"$hardnegSec%.3f"},""" +
       s""""semdedup_prod_sec":${f"$semdedupProdSec%.3f"},""" +

@@ -53,6 +53,39 @@ object TextQueries {
        |         (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dft.df AS DOUBLE) + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
        |FROM tf JOIN dlen USING (doc_id) JOIN dft USING (term), n""".stripMargin
 
+  /** Duplicated-span CTE chain ending in `spans(doc_id, span_start,
+    * span_len)` — the oracle counterpart of [[graft.dedup.SpanDedup
+    * .duplicatedSpans]] under the portable family, shared by t_dup_spans,
+    * t_dup_spans_anchored and t_substring_dedup. `stride = 1` keeps every
+    * positioned gram; `stride > 1` keeps content-defined anchors
+    * (`h % stride == 0`), mirroring `anchorStride`. */
+  private def SpanCtes(k: Int, stride: Int): String = {
+    val anchor = if (stride == 1) "" else s" WHERE h % $stride = 0"
+    s"""g AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(text) - ${k - 1})) AS p, text
+       |  FROM documents WHERE length(text) >= $k),
+       |gh AS (
+       |  SELECT doc_id, p,
+       |    ('0x' || substr(md5('span:' || substr(text, p, $k)), 1, 15))::BIGINT AS h
+       |  FROM g),
+       |ga AS (SELECT doc_id, p, h FROM gh$anchor),
+       |dup AS (SELECT h FROM ga GROUP BY h HAVING count(*) >= 2),
+       |m AS (SELECT ga.doc_id, ga.p FROM ga JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p > coalesce(max(p + $k) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS nw
+       |  FROM m),
+       |isl2 AS (
+       |  SELECT doc_id, p,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |    CAST(max(p + $k) - min(p) AS BIGINT) AS span_len
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+  }
+
   /** The BM25 oracle — shared verbatim by t_bm25 and t_bm25_indexed (same
     * one-image/two-paths discipline as TfidfSql). */
   private val Bm25Sql =
@@ -1208,6 +1241,75 @@ object TextQueries {
               |FROM segs JOIN first USING (fp)
               |GROUP BY doc_id""".stripMargin)),
 
+    // Exact duplicated-SPAN detection (character granularity — the
+    // substring complement of the segment-level entry above; see
+    // graft.dedup.SpanDedup for the method and the 100 TB shape). Every
+    // 30-char gram whose portable fingerprint occurs at ≥ 2 corpus
+    // locations marks its interval; overlapping/adjacent marks merge into
+    // maximal spans via interval-island windows. FULL ORACLE: the
+    // md5-prefix gram hash, the island windows, and the BIGINT casts are
+    // replayed operation-for-operation in DuckDB.
+    Q("t_dup_spans",
+      (s, dir) => graft.dedup.SpanDedup.duplicatedSpans(
+        docs(s, dir), "doc_id", "text", k = 30, anchorStride = 1, portable = true),
+      Some(s"WITH ${SpanCtes(30, 1)}\n" +
+        "SELECT doc_id, span_start, span_len FROM spans")),
+
+    // Content-defined ANCHORED variant — the production scale path: only
+    // grams with hash ≡ 0 (mod 8) survive as anchors (a function of the
+    // gram bytes, so both copies of a duplicated region select identical
+    // anchors wherever they sit), cutting the positioned-gram frame ~8×.
+    // Recall is span-length-dependent by construction (a span of length L
+    // holds L−29 anchor candidates; P[detected] = 1−(7/8)^(L−29)) —
+    // SpanDedupSpec quantifies it against the stride-1 truth. Same full
+    // oracle, one extra predicate.
+    Q("t_dup_spans_anchored",
+      (s, dir) => graft.dedup.SpanDedup.duplicatedSpans(
+        docs(s, dir), "doc_id", "text", k = 30, anchorStride = 8, portable = true),
+      Some(s"WITH ${SpanCtes(30, 8)}\n" +
+        "SELECT doc_id, span_start, span_len FROM spans")),
+
+    // Exact substring DEDUP — span surgery: duplicated spans are cut from
+    // every document (symmetric removal: ALL occurrences go, so the result
+    // is ordering- and partitioning-independent) and the kept segments are
+    // stitched back in order. Emits md5(clean) rather than the rebuilt
+    // text (value-hash discipline, same as t_redact); pass-through docs
+    // report n_spans = 0. The one text-bearing shuffle is the final
+    // docs ⋈ segments join on doc_id.
+    Q("t_substring_dedup",
+      (s, dir) => graft.dedup.SpanDedup.removeDuplicatedSpans(
+          docs(s, dir), "doc_id", "text", k = 30, anchorStride = 1, portable = true)
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("n_spans"), col("removed_chars")),
+      Some(s"""WITH ${SpanCtes(30, 1)},
+              |pre AS (
+              |  SELECT doc_id,
+              |    coalesce(lag(span_start + span_len) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS st,
+              |    span_start AS en
+              |  FROM spans),
+              |tails AS (
+              |  SELECT doc_id, CAST(max(span_start + span_len) AS BIGINT) AS st,
+              |    CAST(NULL AS BIGINT) AS en
+              |  FROM spans GROUP BY doc_id),
+              |segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tails),
+              |joined AS (
+              |  SELECT d.doc_id, d.text, s.st, coalesce(s.en, length(d.text) + 1) AS en
+              |  FROM documents d LEFT JOIN segs s USING (doc_id)),
+              |cleaned AS (
+              |  SELECT doc_id,
+              |    string_agg(CASE WHEN st IS NULL THEN text
+              |               ELSE substr(text, st::INT, (en - st)::INT) END,
+              |               '' ORDER BY coalesce(st, 0)) AS clean
+              |  FROM joined GROUP BY doc_id),
+              |stats AS (
+              |  SELECT doc_id, count(*) AS n_spans,
+              |    CAST(sum(span_len) AS BIGINT) AS removed_chars
+              |  FROM spans GROUP BY doc_id)
+              |SELECT c.doc_id, md5(c.clean) AS clean_md5,
+              |  coalesce(s.n_spans, 0) AS n_spans,
+              |  coalesce(s.removed_chars, 0) AS removed_chars
+              |FROM cleaned c LEFT JOIN stats s USING (doc_id)""".stripMargin)),
+
     // Unicode NFC canonicalization (native expression, codegen'd — see
     // graft.expressions.NfcNormalize): canonically-equal text must hash
     // identically before any fingerprint/dedup step. The ASCII corpus is
@@ -1321,6 +1423,46 @@ object TextQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
              |  CAST(sum(c.c) AS BIGINT) AS familiarity
              |FROM tri JOIN c USING (g) GROUP BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (hashed-n-gram importance resampling — see
+    // graft.operators.DsirWeights for the estimator and the 100 TB
+    // shape): target distribution = the English slice, raw = the rest;
+    // every doc scores sum over its uni+bigrams of the smoothed
+    // target/raw bucket log-ratio. FULL ORACLE: the md5 bucket fold, the
+    // one-pass two-split bucket counts, and the per-bucket micro-long
+    // rounding replay exactly in DuckDB (the cross-row sum is integer
+    // arithmetic by construction — see the operator's exactness note).
+    Q("t_dsir_weights",
+      (s, dir) => graft.operators.DsirWeights.logImportanceWeights(
+        docs(s, dir), "doc_id", "text", col("lang") === "en", buckets = 1024),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, lang = 'en' AS tgt,
+              |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+              |  FROM documents),
+              |gr AS (
+              |  SELECT doc_id, tgt,
+              |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+              |                                i -> ws[i] || ' ' || ws[i+1])) AS g
+              |  FROM tok),
+              |bk AS (
+              |  SELECT doc_id, tgt,
+              |    ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % 1024 AS bkt
+              |  FROM gr),
+              |stats AS (
+              |  SELECT bkt,
+              |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+              |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+              |  FROM bk GROUP BY bkt),
+              |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM stats),
+              |bw AS (
+              |  SELECT bkt,
+              |    CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1024.0)) -
+              |                ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 1024.0))) * 1e6 + 0.5)
+              |         AS BIGINT) AS wmicro
+              |  FROM stats, tot)
+              |SELECT bk.doc_id, count(*) AS n_grams,
+              |  CAST(CAST(sum(bw.wmicro) AS BIGINT) AS DOUBLE) / 1e6 AS logw
+              |FROM bk JOIN bw USING (bkt) GROUP BY bk.doc_id""".stripMargin)),
 
     // RAG-style document chunking: fixed-size character windows (400 chars,
     // stride 300 → 100-char overlap) with stable chunk ids, per-chunk

@@ -127,6 +127,24 @@ class PlanShapeSpec extends AnyFunSuite {
         "t_bm25: the query-term set must broadcast")
     }
 
+    test(s"span dedup: equi-join on gram hashes, explode below the spread exchange$tag") {
+      Seq("t_dup_spans", "t_dup_spans_anchored", "t_substring_dedup").foreach { q =>
+        val p = plan(dir, q)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q: gram duplicate detection must stay an equi-join on the hash")
+        assert(p.contains("Generate"), s"$q: position explode missing")
+        assert(p.contains("HashAggregate"), s"$q: dup-hash count should partial-aggregate")
+        // The ~len× exploded rows carry the document text; they must never
+        // cross an exchange (the spread repartition sits BELOW the
+        // generator). Every Generate in the plan must therefore have its
+        // exchange before it top-down: assert no Exchange directly consumes
+        // a Generate output by checking the formatted tree never nests
+        // Generate as an Exchange child pattern "Exchange ... +- Generate".
+        assert(!p.matches("(?s).*Exchange[^\\n]*\\n\\s*\\+- Generate.*"),
+          s"$q: exploded text-carrying rows cross an exchange:\n$p")
+      }
+    }
+
     test(s"persisted retrieval index: scoring reads the index, not the corpus text$tag") {
       // t_bm25_indexed's final frame scores from the standing index: the
       // plan must scan the rindex work dir (tf/df/dlen/stats parquet) and
