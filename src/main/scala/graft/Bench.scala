@@ -173,6 +173,40 @@ object Bench {
     // r9 DSIR importance resampling (bucket-bounded stats + broadcast
     // scoring join — see DsirWeights).
     val dsirSec = timedExtra("t_dsir_weights")
+    // r9 incremental cluster ledger: the OPERATING number is appending one
+    // batch of match edges to a STANDING ledger (+ reading the resolved
+    // labels) — never the from-scratch rebuild, which is cc_clusters_sec's
+    // job. Ledger seeded from the even ids once; the timed pass ingests
+    // the odd ids with every remaining edge (cross-parity merges exercise
+    // the remap path) after a warm-up replay.
+    val ccIncrementalSec = try {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val base = java.nio.file.Files.createTempDirectory("graft-incc").toString
+      try {
+        val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
+          .localCheckpoint(true)
+        val ids = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+        val bothEven =
+          pmod(col("a_id"), lit(2)) === 0 && pmod(col("b_id"), lit(2)) === 0
+        def seed(dir: String): Unit = graft.dedup.IncrementalClusters.addBatch(
+          spark, dir, ids.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id",
+          pairs.where(bothEven), "a_id", "b_id")
+        def append(dir: String): Double = {
+          val t0 = System.nanoTime()
+          graft.dedup.IncrementalClusters.addBatch(spark, dir,
+            ids.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id",
+            pairs.where(!bothEven), "a_id", "b_id")
+          graft.dedup.IncrementalClusters.labels(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val warm = s"$base/warm"; val timed = s"$base/timed"
+        seed(warm); append(warm)
+        seed(timed); append(timed)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)): Unit
+      }
+    } catch { case e: Throwable => failed("extra:cc_incremental", e); -1.0 }
     // r9 exact-substring dedup (SpanDedup): full span surgery under the
     // PRODUCTION xxhash64 family. `span_dedup_sec` is the 100 TB operating
     // point (content-defined anchors, stride 8 — the ~8× gram-frame cut);
@@ -450,6 +484,7 @@ object Bench {
       "extra:t_text_knn" -> (textKnnSec < 0),
       "extra:t_corpus_diff" -> (corpusDiffSec < 0),
       "extra:t_dsir_weights" -> (dsirSec < 0),
+      "extra:cc_incremental" -> (ccIncrementalSec < 0),
       "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
@@ -496,6 +531,7 @@ object Bench {
       s""""text_knn_sec":${f"$textKnnSec%.3f"},""" +
       s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""" +
       s""""dsir_sec":${f"$dsirSec%.3f"},""" +
+      s""""cc_incremental_sec":${f"$ccIncrementalSec%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

@@ -264,6 +264,52 @@ object TextDedupIndex {
     }
   }
 
+  /** Incremental ingest-and-label — the dedup-ANALYSIS shape (keep every
+    * doc, know its cluster), complementing [[curateBatch]]'s curation
+    * shape (drop near-dups): index the batch WITHOUT dropping and maintain
+    * the [[IncrementalClusters]] ledger at `clustersDir` in the same
+    * lease hold. Edges are the batch's exact-verified near-dup pairs —
+    * within the batch and against the standing corpus via [[searchNew]] —
+    * so the ledger's labels track the same near-dup relation the
+    * transient cluster queries compute, with per-batch cost O(batch +
+    * matches) and never a corpus rescan.
+    *
+    * Two honest caveats, both inherent to the lifecycle: the `maxBucket`
+    * skew cap applies to the census AS OF each batch's arrival, so a
+    * bucket that only later turns hot can contribute pairs an after-the-
+    * fact one-shot run would suppress (the batched run finds a SUPERSET —
+    * the cap is conservative-at-arrival); and shingle-less docs label as
+    * singletons, exactly like the transient cluster queries (they carry
+    * no shingle evidence; `shortfp/` stores fingerprints without ids, so
+    * exact-duplicate linkage for them would need a different table
+    * contract). */
+  def ingestAndLabel(batch: DataFrame, dir: String, clustersDir: String,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): Unit = {
+    val spark = batch.sparkSession
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      val b = batch.localCheckpoint()
+      val intra = TextDedup
+        .nearDuplicatePairsWith(b, idCol, textCol, cfg, _.localCheckpoint())
+        .select(col("a_id"), col("b_id"))
+      val cross = searchNew(b, dir, idCol, textCol, cfg)
+        .filter(col("new_id") =!= col("corpus_id"))
+        .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
+      // The edge frame's lineage READS the index tables; materialize it
+      // BEFORE appendDocs mutates them, or the ledger's later evaluation
+      // would re-run the search against the post-append index (the batch
+      // would match its own fresh entries — semantically benign after the
+      // self-edge filter, but a wasteful second search).
+      val edges = intra.union(cross).localCheckpoint(true)
+      appendDocsUnlocked(b, dir, idCol, textCol, cfg)
+      // IncrementalClusters takes its own lease on clustersDir — a
+      // DIFFERENT path, so no self-deadlock with the index lease held here.
+      IncrementalClusters.addBatch(spark, clustersDir,
+        b.select(col(idCol)), idCol, edges, "a_id", "b_id")
+    }
+  }
+
   /** The append body, run by callers that already hold the lease
     * ([[curateBatch]], [[curateStream]] — the lease is not reentrant).
     *

@@ -283,6 +283,11 @@ object TextQueries {
   private def clusteredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     clusteredDocsWithCheckpoint(s, dir, None)
 
+  /** The near-dup edge frame for Bench's incremental-ledger section — the
+    * same pairs the cluster queries consume. */
+  private[graft] def benchJaccardPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String) = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+
   /** [[clusteredDocs]] with the CC lineage-truncation mode exposed —
     * `checkpointDir = Some(dir)` selects ConnectedComponents' reliable
     * filesystem checkpointing (the spot-executor mode); the bench measures
@@ -619,6 +624,38 @@ object TextQueries {
     // fixpoint with a recursive reachability CTE.
     Q("t_dup_clusters",
       (s, dir) => clusteredDocs(s, dir),
+      Some(s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster_id FROM clustered")),
+
+    // Incrementally-maintained cluster labels (see
+    // graft.dedup.IncrementalClusters): the SAME oracle SQL as
+    // t_dup_clusters, replayed over a ledger built in two appends — the
+    // even doc ids with their internal match edges first, then the odd
+    // ids with every remaining edge (cross-parity merges exercise the
+    // remap chains). A byte match IS the proof that delta label
+    // maintenance (append-only labels + monotone merge history) equals
+    // the one-shot global fixpoint — the t_tfidf_indexed incremental ≡
+    // full discipline applied to clustering. The edge list is
+    // localCheckpointed once: both batch slices cut from one run of the
+    // candidate join, which must not execute twice.
+    Q("t_dup_clusters_incremental",
+      (s, dir) => {
+        val work = rindexDir("incc", dir)
+        val f = new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(work), true)
+        val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+          .localCheckpoint(true)
+        val ids = docs(s, dir).select(col("doc_id"))
+        val bothEven = pmod(col("a_id"), lit(2)) === 0 && pmod(col("b_id"), lit(2)) === 0
+        graft.dedup.IncrementalClusters.addBatch(s, work,
+          ids.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id",
+          pairs.where(bothEven), "a_id", "b_id")
+        graft.dedup.IncrementalClusters.addBatch(s, work,
+          ids.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id",
+          pairs.where(!bothEven), "a_id", "b_id")
+        graft.dedup.IncrementalClusters.labels(s, work)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
       Some(s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster_id FROM clustered")),
 
     // MinHash-LSH near-dup pairs, FULL-ORACLE via the portable hash family
