@@ -207,6 +207,30 @@ object Bench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)): Unit
       }
     } catch { case e: Throwable => failed("extra:cc_incremental", e); -1.0 }
+    // r9 syndication PageRank: source_pagerank_sec times the registry
+    // pipeline (cluster fixpoint + source-graph rank). pagerank_sec
+    // isolates the ITERATION ENGINE at corpus node scale instead — 10
+    // exact-integer power iterations over the doc-level near-dup graph,
+    // edge frame pre-built and checkpointed OUTSIDE the timer: the
+    // operating number for K rounds of node-sized rank shuffles against a
+    // standing edge partitioning.
+    val sourcePagerankSec = timedExtra("t_source_pagerank")
+    val pagerankSec = try {
+      import org.apache.spark.sql.functions.{col, lit}
+      val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
+      val edges = pairs
+        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .withColumn("w", lit(1L))
+        .localCheckpoint(true)
+      val nodes = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.PageRank.ranks(nodes, "doc_id", edges, "a_id", "b_id", "w", 10)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once() // warm + timed, like timedExtra
+    } catch { case e: Throwable => failed("extra:pagerank", e); -1.0 }
     // r9 exact-substring dedup (SpanDedup): full span surgery under the
     // PRODUCTION xxhash64 family. `span_dedup_sec` is the 100 TB operating
     // point (content-defined anchors, stride 8 — the ~8× gram-frame cut);
@@ -485,6 +509,8 @@ object Bench {
       "extra:t_corpus_diff" -> (corpusDiffSec < 0),
       "extra:t_dsir_weights" -> (dsirSec < 0),
       "extra:cc_incremental" -> (ccIncrementalSec < 0),
+      "extra:t_source_pagerank" -> (sourcePagerankSec < 0),
+      "extra:pagerank" -> (pagerankSec < 0),
       "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
@@ -532,6 +558,8 @@ object Bench {
       s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""" +
       s""""dsir_sec":${f"$dsirSec%.3f"},""" +
       s""""cc_incremental_sec":${f"$ccIncrementalSec%.3f"},""" +
+      s""""source_pagerank_sec":${f"$sourcePagerankSec%.3f"},""" +
+      s""""pagerank_sec":${f"$pagerankSec%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

@@ -424,6 +424,44 @@ object TextQueries {
     |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
     |  GROUP BY d.doc_id)""".stripMargin
 
+  /** Fixed iteration count shared by the Spark body and the oracle's
+    * unrolled CTE chain for t_source_pagerank. */
+  private val PageRankIters = 10
+
+  /** The syndication-PageRank pipeline as DuckDB CTEs ending in
+    * `pr10(source, rank_e9)` — the oracle counterpart of the
+    * t_source_pagerank body: cluster→source membership from `clustered`,
+    * the ≤64-sources cluster cap, co-membership edge weights, and
+    * [[graft.operators.PageRank]]'s integer recurrence UNROLLED one CTE
+    * per iteration (plain aggregates per step — no recursive-aggregate
+    * support needed, portable to any engine). Every arithmetic step is
+    * BIGINT multiply / floor-divide / sum, so the chain is exact. */
+  private val SourceRankCtes: String = {
+    val iters = (1 to PageRankIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.source,
+         |    CAST(150000000 + (85 * coalesce(inc.s, 0)) // 100 AS BIGINT) AS rank_e9
+         |  FROM prnodes n LEFT JOIN (
+         |    SELECT e.dst AS source, CAST(sum((r.rank_e9 * e.w) // o.out_w) AS BIGINT) AS s
+         |    FROM preg e JOIN pr${i - 1} r ON e.src = r.source JOIN prow o ON e.src = o.src
+         |    GROUP BY e.dst) inc USING (source))""".stripMargin
+    }.mkString(",\n")
+    s"""$ClusterCtes,
+       |prnodes AS (SELECT DISTINCT source FROM documents),
+       |prcs AS (
+       |  SELECT DISTINCT c.cluster_id, d.source
+       |  FROM clustered c JOIN documents d USING (doc_id)),
+       |prok AS (SELECT cluster_id FROM prcs GROUP BY cluster_id HAVING count(*) <= 64),
+       |preg AS (
+       |  SELECT a.source AS src, b.source AS dst, count(*) AS w
+       |  FROM prcs a JOIN prcs b USING (cluster_id) JOIN prok USING (cluster_id)
+       |  WHERE a.source <> b.source
+       |  GROUP BY 1, 2),
+       |prow AS (SELECT src, sum(w) AS out_w FROM preg GROUP BY src),
+       |pr0 AS (SELECT source, CAST(1000000000 AS BIGINT) AS rank_e9 FROM prnodes),
+       |$iters""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Token counting (whitespace + distinct-token stats).
@@ -657,6 +695,37 @@ object TextQueries {
           .select(col("id").as("doc_id"), col("cluster_id"))
       },
       Some(s"WITH RECURSIVE $ClusterCtes\nSELECT doc_id, cluster_id FROM clustered")),
+
+    // Source syndication PageRank: sources become graph nodes, an edge's
+    // weight counts the near-dup clusters the two sources co-occupy (the
+    // syndication/boilerplate-copying relation), and
+    // graft.operators.PageRank power-iterates in exact 1e-9 fixed-point
+    // integer arithmetic — so ten iterations of a genuinely ITERATIVE
+    // operator still byte-match the oracle's unrolled CTE chain. Clusters
+    // with > 64 distinct sources are dropped whole before pairing (the
+    // maxBucket discipline: a mega-cluster is boilerplate, and its
+    // quadratic source-pair fan-out would dominate the edge list). Edge
+    // building is three id-only aggregates; the iteration engine's scale
+    // shape is documented on PageRank itself.
+    Q("t_source_pagerank",
+      (s, dir) => {
+        val cs = clusteredDocs(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+          .select(col("cluster_id"), col("source")).distinct()
+          .localCheckpoint(true) // feeds the cap census AND both pair sides
+        val ok = cs.groupBy(col("cluster_id")).agg(count(lit(1)).as("ns"))
+          .where(col("ns") <= 64).select(col("cluster_id"))
+        val capped = cs.join(ok, "cluster_id")
+        val eg = capped.as("a").join(capped.as("b"), "cluster_id")
+          .where(col("a.source") =!= col("b.source"))
+          .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.PageRank.ranks(
+            docs(s, dir).select(col("source")), "source",
+            eg, "src", "dst", "w", PageRankIters)
+          .select(col("node").as("source"), col("rank_e9"))
+      },
+      Some(s"WITH RECURSIVE $SourceRankCtes\nSELECT source, rank_e9 FROM pr$PageRankIters")),
 
     // MinHash-LSH near-dup pairs, FULL-ORACLE via the portable hash family
     // (md5-prefix shingle hashes + mod-(2^31−1) affine permutations): the
