@@ -215,6 +215,9 @@ object Bench {
     // operating number for K rounds of node-sized rank shuffles against a
     // standing edge partitioning.
     val sourcePagerankSec = timedExtra("t_source_pagerank")
+    // r9 count-min heavy hitters: bounded 4×1024 sketch state + sampled
+    // candidate probes (CountMinSketch) — the stream scan dominates.
+    val cmsSec = timedExtra("t_heavy_hitters_cms")
     val pagerankSec = try {
       import org.apache.spark.sql.functions.{col, lit}
       val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
@@ -511,6 +514,7 @@ object Bench {
       "extra:cc_incremental" -> (ccIncrementalSec < 0),
       "extra:t_source_pagerank" -> (sourcePagerankSec < 0),
       "extra:pagerank" -> (pagerankSec < 0),
+      "extra:t_heavy_hitters_cms" -> (cmsSec < 0),
       "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
@@ -560,6 +564,7 @@ object Bench {
       s""""cc_incremental_sec":${f"$ccIncrementalSec%.3f"},""" +
       s""""source_pagerank_sec":${f"$sourcePagerankSec%.3f"},""" +
       s""""pagerank_sec":${f"$pagerankSec%.3f"},""" +
+      s""""cms_heavy_hitters_sec":${f"$cmsSec%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

@@ -26,6 +26,8 @@ object TextQueries {
   // DuckDB fragments mirrored by several oracles.
   private val WS = "string_split_regex(trim(text), '\\s+')"
   private val WSL = "string_split_regex(trim(lower(text)), '\\s+')"
+  private val Shingles2 =
+    "list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])"
   private val Shingles3 =
     "list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
   private val Shingles4 =
@@ -1114,6 +1116,50 @@ object TextQueries {
               |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
               |  FROM tf JOIN df USING (term))
               |WHERE rnk <= 3""".stripMargin)),
+
+    // Heavy-hitter bigrams via count-min sketch
+    // (graft.operators.CountMinSketch): the bounded-state frequency path —
+    // the exact top-terms query keeps vocabulary-sized aggregation state,
+    // the sketch keeps 4×1024 integer cells at ANY corpus size, and the
+    // candidate set comes from a deterministic 2% doc sample (heavy
+    // hitters are exactly what a uniform sample cannot miss). Output:
+    // sampled bigrams whose sketch estimate clears 0.1% of the stream —
+    // estimates are the min-over-rows CMS upper bound, integers end to
+    // end, so the whole sketch→probe→threshold pipeline byte-matches the
+    // oracle. The stream total comes from its own light count — not from
+    // the sketch — so the build stays lazy (no checkpoint at Q-build).
+    Q("t_heavy_hitters_cms",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(explode(shingles(col("text"), 2)).as("gram"))
+        val total = grams.agg(count(lit(1)).as("tot"))
+        val cands = docs(s, dir)
+          .where(pmod(col("doc_id"), lit(50)) === 0)
+          .select(explode(shingles(col("text"), 2)).as("gram")).distinct()
+        graft.operators.CountMinSketch
+          .estimate(cands, "gram", graft.operators.CountMinSketch.sketch(grams, "gram"))
+          .crossJoin(broadcast(total))
+          .where(col("est_count") * lit(1000) >= col("tot"))
+          .select(col("gram"), col("est_count"))
+      },
+      Some(s"""WITH hd AS (SELECT doc_id, $WS AS ws FROM documents),
+              |hg AS (SELECT unnest($Shingles2) AS gram FROM hd),
+              |hent AS (
+              |  SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))::BIGINT % 1024 AS b
+              |  FROM hg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |hsk AS (SELECT j, b, count(*) AS cnt FROM hent GROUP BY 1, 2),
+              |htot AS (SELECT count(*) AS tot FROM hg),
+              |hcand AS (
+              |  SELECT DISTINCT unnest($Shingles2) AS gram
+              |  FROM hd WHERE doc_id % 50 = 0),
+              |hpro AS (
+              |  SELECT gram, j, ('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))::BIGINT % 1024 AS b
+              |  FROM hcand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+              |hest AS (
+              |  SELECT gram, min(coalesce(cnt, 0)) AS est_count
+              |  FROM hpro LEFT JOIN hsk USING (j, b) GROUP BY gram)
+              |SELECT gram, est_count FROM hest, htot
+              |WHERE est_count * 1000 >= tot""".stripMargin)),
 
     // TF-IDF document-term matrix — the classic inverse-document-frequency
     // weighting (smooth variant: tf/|d| · (ln((N+1)/(df+1)) + 1)) that

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+/** The sketch's textbook contracts, pinned independently of the oracle:
+  * one-sided error (estimate ≥ truth, always), exactness when the grid is
+  * collision-free, zero for never-seen items, and bit-invariance under
+  * input order/partitioning (integer counters have no merge schedule). */
+class CountMinSketchSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val stream: Seq[String] =
+    Seq.fill(40)("alpha") ++ Seq.fill(11)("beta") ++ Seq.fill(3)("gamma") ++
+      (1 to 60).map(i => s"tail$i") // 60 singletons to force collisions at width 16
+
+  private def estimates(width: Int, items: Seq[String] = stream): Map[String, Long] = {
+    val sk = CountMinSketch.sketch(items.toDF("t"), "t", width = width)
+    CountMinSketch.estimate(items.distinct.toDF("t"), "t", sk, width = width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private val truth: Map[String, Long] =
+    stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("estimates never undercount (one-sided error), at any width") {
+    Seq(16, 64, 1024).foreach { w =>
+      val est = estimates(w)
+      truth.foreach { case (t, c) =>
+        assert(est(t) >= c, s"width $w undercounts $t: ${est(t)} < $c")
+      }
+    }
+  }
+
+  test("a collision-free grid is exact; a cramped one actually collides") {
+    assert(estimates(4096) === truth) // 63 items into 4×4096 cells: exact
+    // 63 distinct items into 16 buckets per row MUST inflate something —
+    // otherwise the test stream stopped exercising the collision path
+    assert(estimates(16).exists { case (t, e) => e > truth(t) })
+  }
+
+  test("never-seen items estimate zero through the empty-cell left join") {
+    val sk = CountMinSketch.sketch(Seq("x").toDF("t"), "t")
+    val est = CountMinSketch.estimate(Seq("definitely-absent").toDF("t"), "t", sk)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("definitely-absent") === 0L)
+  }
+
+  test("input order and partitioning never change a counter") {
+    val base = estimates(64)
+    assert(estimates(64, scala.util.Random.shuffle(stream)) === base)
+    val sk = CountMinSketch.sketch(stream.toDF("t").repartition(13), "t", width = 64)
+    val re = CountMinSketch.estimate(stream.distinct.toDF("t").repartition(3), "t", sk,
+        width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re === base)
+  }
+}

@@ -176,6 +176,17 @@ class PlanShapeSpec extends AnyFunSuite {
         s"past the cap the query side must fall back to shuffle-hash:\n$forced")
     }
 
+    test(s"cms heavy hitters: bounded sketch broadcasts, stream partial-aggregates$tag") {
+      // the sketch is ≤ depth·width rows BY CONSTRUCTION — the one frame
+      // whose broadcast needs no census guard; the build must stay a
+      // map-side-combining aggregate (state is the 4096-cell grid, never
+      // the vocabulary), and no window may creep into the threshold step
+      val p = plan(dir, "t_heavy_hitters_cms")
+      assert(p.contains("BroadcastHashJoin"), s"sketch must broadcast:\n$p")
+      assert(p.contains("HashAggregate"), "sketch build should partial-aggregate")
+      assert(!p.contains("Window"), "no window in the sketch pipeline")
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       val p = plan(dir, "q_group_topk")
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
