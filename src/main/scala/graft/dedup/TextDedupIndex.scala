@@ -310,6 +310,38 @@ object TextDedupIndex {
     }
   }
 
+  /** Streaming [[ingestAndLabel]]: every micro-batch is indexed and its
+    * cluster labels folded into the [[IncrementalClusters]] ledger — the
+    * continuously-running dedup-analysis deployment (know every arriving
+    * doc's cluster while keeping all of them).
+    *
+    * Unlike [[curateStream]], NO marker ledger is needed for the
+    * crash-after-foreachBatch replay window, because every effect here is
+    * idempotent-converging: the index side tolerates a re-append by the
+    * same retry contract appendDocs documents (duplicate band/set rows
+    * are benign, census only grows conservative, shortfp is anti-joined),
+    * and the cluster ledger's addBatch is a no-op on exact replay
+    * (labels anti-join on already-present ids; a contracted graph of
+    * already-merged components yields an empty remap delta) and converges
+    * on a partial one. curateStream's ledger exists for its OUTPUT
+    * append, the one non-idempotent effect; this lifecycle has no output
+    * sink — labels are read from the ledger. */
+  def labelStream(input: DataFrame, dir: String, clustersDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ingestAndLabel(batch, dir, clustersDir, idCol, textCol, cfg)
+        ()
+      }
+      .start()
+
   /** The append body, run by callers that already hold the lease
     * ([[curateBatch]], [[curateStream]] — the lease is not reentrant).
     *

@@ -127,6 +127,56 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(expected(1L) === 1L && expected(2L) === 1L && expected(3L) === 1L)
   }
 
+  test("labelStream: streamed batches reproduce the one-shot clusters; a forced replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "spark engine shuffles partitions across the cluster with broadcast " +
+      "joins and adaptive query execution for large scale data pipelines"
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "metric", "vector",
+      "stream", "batch", "table", "join", "filter", "window", "hash")
+    val unrelated = (4L to 24L).map(i =>
+      (i, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(s"doc$i ", " ", "")))
+    val all = Seq((1L, base), (2L, base.replace("quick", "speedy")),
+      (3L, base.toUpperCase)) ++ unrelated
+    val indexDir = freshDir() + "/idx"
+    val ledgerDir = freshDir() + "/led"
+    val feed = freshDir() + "/feed"
+    val ckpt = freshDir() + "/ckpt"
+    TextDedupIndex.build(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    def runOnce(): Unit = {
+      val input = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$feed/*")
+      TextDedupIndex.labelStream(input, indexDir, ledgerDir, ckpt,
+        "doc_id", "text", trigger = Trigger.AvailableNow()).awaitTermination()
+    }
+    // the near-dup trio splits across the two deliveries, so the merge
+    // rides the cross-batch searchNew path
+    all.filter(_._1 % 2 == 1).toDF("doc_id", "text").write.parquet(s"$feed/b1")
+    runOnce()
+    all.filter(_._1 % 2 == 0).toDF("doc_id", "text").write.parquet(s"$feed/b2")
+    runOnce()
+    val oneShotPairs = TextDedup.nearDuplicatePairs(
+        all.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = oneShot(oneShotPairs, all.map(_._1))
+    assert(ledgerLabels(ledgerDir) === expected)
+    assert(expected(2L) === 1L && expected(3L) === 1L, "planted trio must cluster")
+    // Crash-after-foreachBatch window: deleting the newest commit-log entry
+    // re-delivers that batch on restart. labelStream claims replay
+    // idempotence WITHOUT a marker ledger — the labels must not move.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
+    runOnce()
+    assert(ledgerLabels(ledgerDir) === expected,
+      "a replayed micro-batch must leave the ledger byte-identical")
+  }
+
   test("edge endpoints unknown to both the batch and the ledger are adopted") {
     val dir = freshDir()
     IncrementalClusters.addBatch(spark, dir,
