@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Weighted PageRank by power iteration, in EXACT integer fixed-point
@@ -47,7 +47,43 @@ object PageRank {
       edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint(true)
+    val (e, ranks) = prepare(nodes, nodeCol, edges, srcCol, dstCol, wCol)
+    (1 to iterations).foldLeft(ranks)((r, _) => step(e, r)._1)
+  }
+
+  /** [[ranks]] with CONVERGENCE-driven termination instead of a fixed
+    * count: iterate until no node's rank moved by more than `tolE9`
+    * (units of the 1e-9 grid; the default 1000 is a 1e-6 absolute rank
+    * tolerance). The signal is an `observe()` metric — max |Δrank| —
+    * riding each round's own checkpoint job, the CC discipline: detecting
+    * convergence costs zero extra jobs or scans. Returns the settled
+    * ranks and the round count. The fixed-count variant stays the
+    * oracle-facing entry (a byte-checkable result needs a deterministic
+    * round count); this is the operational one (why run 10 rounds on a
+    * graph that settles in 4 — or trust 10 on one that needs 14?). */
+  def ranksConverged(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      tolE9: Long = 1000L, maxIter: Int = 50): (DataFrame, Int) = {
+    val (e, init) = prepare(nodes, nodeCol, edges, srcCol, dstCol, wCol)
+    if (init.isEmpty) return (init, 0)
+    var ranks = init
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val (next, delta) = step(e, ranks, observeDelta = true)
+      ranks = next
+      converged = delta <= tolE9
+      iter += 1
+    }
+    require(converged, s"pagerank did not converge in $maxIter rounds")
+    (ranks, iter)
+  }
+
+  /** Edge frame (joined with out-weights, hash-partitioned by `src`,
+    * checkpointed once) + uniform initial ranks. */
+  private def prepare(nodes: DataFrame, nodeCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, wCol: String): (DataFrame, DataFrame) = {
+    val n = nodes.select(col(nodeCol).as("node")).distinct()
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     // Out-weights ride the same frame; partitioned by the round-join key
@@ -56,20 +92,35 @@ object PageRank {
     val e = e0.join(e0.groupBy("src").agg(sum(col("w")).as("out_w")), "src")
       .repartition(col("src"))
       .localCheckpoint(true)
-    var ranks = n.select(col("node"), expr("CAST(1000000000 AS BIGINT)").as("rank_e9"))
+    val ranks = n.select(col("node"), expr("CAST(1000000000 AS BIGINT)").as("rank_e9"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val inc = e
-        .join(ranks.select(col("node").as("src"), col("rank_e9")), "src")
-        .select(col("dst"), expr("(rank_e9 * w) div out_w").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = n
-        .join(inc, col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr("CAST(150000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
-            .as("rank_e9"))
+    (e, ranks)
+  }
+
+  /** One power iteration; with `observeDelta` the returned second value is
+    * max |Δrank_e9| this round (measured by the checkpoint job itself),
+    * else -1. */
+  private def step(e: DataFrame, ranks: DataFrame,
+      observeDelta: Boolean = false): (DataFrame, Long) = {
+    val inc = e
+      .join(ranks.select(col("node").as("src"), col("rank_e9")), "src")
+      .select(col("dst"), expr("(rank_e9 * w) div out_w").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+    val stepped = ranks.withColumnRenamed("rank_e9", "prev")
+      .join(inc, col("node") === col("dst"), "left")
+      .select(col("node"), col("prev"),
+        expr("CAST(150000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+          .as("rank_e9"))
+    if (observeDelta) {
+      val obs = Observation()
+      val next = stepped
+        .observe(obs, max(abs(col("rank_e9") - col("prev"))).as("delta"))
+        .select(col("node"), col("rank_e9"))
         .localCheckpoint(true)
-    }
-    ranks
+      // ranks is nonempty (ranksConverged guards), so the metric row
+      // always arrives
+      (next, obs.get("delta").asInstanceOf[Long])
+    } else
+      (stepped.select(col("node"), col("rank_e9")).localCheckpoint(true), -1L)
   }
 }

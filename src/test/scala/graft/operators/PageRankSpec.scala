@@ -58,6 +58,28 @@ class PageRankSpec extends AnyFunSuite {
     assert(repart === base)
   }
 
+  test("ranksConverged settles near the fixpoint and reports its round count") {
+    val (df, iters) = PageRank.ranksConverged(nodes.toDF("source"), "source",
+      edges.toDF("src", "dst", "w"), "src", "dst", "w", tolE9 = 1000L)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(iters >= 1 && iters < 50)
+    // distance to the true fixpoint is bounded by tol·d/(1−d) ≈ 5.67·tol;
+    // 40 exact iterations is far past settling on this 6-node graph
+    val fix = reference(nodes, edges, 40)
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - fix(v)) <= 6000L,
+        s"$v: converged ${got(v)} vs fixpoint ${fix(v)}")
+    }
+  }
+
+  test("ranksConverged refuses when the round budget is too small") {
+    intercept[IllegalArgumentException] {
+      PageRank.ranksConverged(nodes.toDF("source"), "source",
+        edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        tolE9 = 0L, maxIter = 1)
+    }
+  }
+
   test("one iteration distributes exactly one round of mass") {
     // single edge a->b, w=1: b gets 150000000 + 85*1e9/100; a the base
     val got = run(Seq(("a", "b", 1L)), k = 1)
