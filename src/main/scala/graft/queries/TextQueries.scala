@@ -1024,6 +1024,41 @@ object TextQueries {
              |  FROM h)
              |WHERE rnk <= 20""".stripMargin)),
 
+    // WEIGHTED fixed-k per-stratum sampling (priority/bottom-k sampling,
+    // Duffield–Lund–Thorup shape): each doc draws a deterministic uniform
+    // from the portable hash and competes on key = (h+1) div weight — a
+    // doc with twice the weight has (statistically) half the key, so
+    // selection pressure is weight-proportional, here length-weighted
+    // (sample by token mass, not doc count — how a training mix actually
+    // weighs a corpus). Integer floor-division keys stay under 2^50, so
+    // the double handed to the TopKByScore heap is EXACT and the oracle's
+    // BIGINT ordering agrees bit-for-bit. Same O(strata·k) exchange as
+    // the uniform variant — the heap ships the answer, not the corpus.
+    Q("t_weighted_sample",
+      (s, dir) => {
+        val h = pmod(portableHash60(concat(lit("wsample:"), col("doc_id").cast("string"))),
+          lit(1L << 50))
+        val topk = docs(s, dir)
+          .select(col("lang"), col("doc_id"),
+            (h + 1).as("h1"), greatest(col("n_chars"), lit(1L)).as("wpos"))
+          .withColumn("k0", expr("h1 div wpos"))
+          .groupBy(col("lang"))
+          .agg(graft.expressions.TopKByScore(
+            -col("k0").cast("double"), col("doc_id"), 10).as("picks"))
+        topk.select(col("lang"), posexplode(col("picks")).as(Seq("pos", "e")))
+          .select(col("lang"), col("e.id").as("doc_id"), (col("pos") + 1L).as("rnk"))
+      },
+      Some(s"""WITH wk AS (
+              |  SELECT lang, doc_id,
+              |    (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              |       % (1::BIGINT << 50) + 1) // greatest(n_chars, 1) AS k0
+              |  FROM documents)
+              |SELECT lang, doc_id, rnk FROM (
+              |  SELECT lang, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY lang ORDER BY k0, doc_id) AS BIGINT) AS rnk
+              |  FROM wk)
+              |WHERE rnk <= 10""".stripMargin)),
+
     // Benchmark decontamination: flag training docs sharing any 4-gram with
     // the held-out eval slice (doc_id % 20 = 0 stands in for the benchmark
     // set; real pipelines use 13-grams on much longer docs — 4 on this

@@ -188,12 +188,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
-      val p = plan(dir, "q_group_topk")
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
-      // phase before the exchange — the O(groups·k) shuffle property
-      assert(p.contains("ObjectHashAggregate"),
-        s"q_group_topk should aggregate via ObjectHashAggregate:\n$p")
-      assert(!p.contains("Window"), "q_group_topk must not fall back to a window sort")
+      // phase before the exchange — the O(groups·k) shuffle property; the
+      // weighted sampler rides the same heap
+      Seq("q_group_topk", "t_weighted_sample").foreach { q =>
+        val p = plan(dir, q)
+        assert(p.contains("ObjectHashAggregate"),
+          s"$q should aggregate via ObjectHashAggregate:\n$p")
+        assert(!p.contains("Window"), s"$q must not fall back to a window sort")
+      }
     }
   }
 }
