@@ -218,6 +218,9 @@ object Bench {
     // r9 count-min heavy hitters: bounded 4×1024 sketch state + sampled
     // candidate probes (CountMinSketch) — the stream scan dominates.
     val cmsSec = timedExtra("t_heavy_hitters_cms")
+    // r9 top-PC eigensolve: one d²-cell covariance pass over the corpus +
+    // corpus-free integer power iterations (PrincipalComponent).
+    val topPcSec = timedExtra("e_top_pc")
     val pagerankSec = try {
       import org.apache.spark.sql.functions.{col, lit}
       val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
@@ -515,6 +518,7 @@ object Bench {
       "extra:t_source_pagerank" -> (sourcePagerankSec < 0),
       "extra:pagerank" -> (pagerankSec < 0),
       "extra:t_heavy_hitters_cms" -> (cmsSec < 0),
+      "extra:e_top_pc" -> (topPcSec < 0),
       "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
@@ -565,6 +569,7 @@ object Bench {
       s""""source_pagerank_sec":${f"$sourcePagerankSec%.3f"},""" +
       s""""pagerank_sec":${f"$pagerankSec%.3f"},""" +
       s""""cms_heavy_hitters_sec":${f"$cmsSec%.3f"},""" +
+      s""""top_pc_sec":${f"$topPcSec%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

@@ -34,6 +34,67 @@ object VectorQueries {
   private val NormA = s"sqrt(${duckFoldSum("ea", "CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)")})"
   private val NormB = s"sqrt(${duckFoldSum("eb", "CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)")})"
 
+  /** Per-vector max-abs int8 quantization — the integer grid shared by
+    * e_quant_topk and e_top_pc (Spark side). */
+  private def quantQ(v: org.apache.spark.sql.Column) = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    when(mx === 0.0, transform(v, _ => lit(0L))).otherwise(
+      transform(v, x => floor(x.cast("double") / mx * 127.0 + 0.5).cast("long")))
+  }
+
+  /** The same grid as DuckDB CTE `q(vec_id, qv)` — shared so the two
+    * entries' quantization can never drift. */
+  private val QuantCte = """q AS (
+    |  SELECT vec_id,
+    |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+    |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS BIGINT)) END AS qv
+    |  FROM (SELECT vec_id, embedding,
+    |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+    |        FROM embeddings))""".stripMargin
+
+  /** Iteration count shared by the e_top_pc Spark body (the operator's
+    * default) and the oracle's unrolled chain. */
+  private val PcIters = 12
+
+  /** graft.similarity.PrincipalComponent's integer power iteration as
+    * DuckDB CTEs ending in `pv12(i, v)`: int8 grid → d² covariance cells
+    * (×N, then div N) → hash-seeded start → 12 unrolled steps with
+    * max-abs renormalization. Division is sign-split because `//` floors
+    * while Spark's `div` truncates — on negatives they disagree. */
+  private val TopPcCtes: String = {
+    // AS MATERIALIZED is load-bearing: pv_k reads pu_k twice (values +
+    // max), and inlining would recompute the whole upstream chain per
+    // reference — 2^iters scans of the base table (observed as an
+    // fd-exhaustion failure before this was pinned).
+    val iters = (1 to PcIters).map { k =>
+      s"""pu$k AS MATERIALIZED (
+         |  SELECT s.i, CAST(sum(s.sv * v.v) AS BIGINT) AS u
+         |  FROM psm s JOIN pv${k - 1} v ON s.j = v.i GROUP BY s.i),
+         |pv$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN mx = 0 THEN u
+         |                 WHEN u < 0 THEN -((-u * 4096) // mx)
+         |                 ELSE (u * 4096) // mx END AS v
+         |  FROM pu$k, (SELECT max(abs(u)) AS mx FROM pu$k))""".stripMargin
+    }.mkString(",\n")
+    s"""$QuantCte,
+       |pcl0 AS (SELECT vec_id, qv, unnest(generate_series(1, len(qv))) AS gi FROM q),
+       |pcells AS MATERIALIZED (SELECT vec_id, gi - 1 AS i, qv[gi] AS x FROM pcl0),
+       |pprod AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+       |  FROM pcells a JOIN pcells b USING (vec_id) GROUP BY 1, 2),
+       |pmean AS (SELECT i, CAST(sum(x) AS BIGINT) AS m FROM pcells GROUP BY i),
+       |pn AS (SELECT count(*) AS n FROM q),
+       |psm AS MATERIALIZED (
+       |  SELECT i, j, CASE WHEN num < 0 THEN -((-num) // n) ELSE num // n END AS sv
+       |  FROM (SELECT p.i AS i, p.j AS j, n * p.sxy - mi.m * mj.m AS num, n
+       |        FROM pprod p JOIN pmean mi ON p.i = mi.i
+       |          JOIN pmean mj ON p.j = mj.i CROSS JOIN pn)),
+       |pv0 AS (
+       |  SELECT i, ('0x' || substr(md5('pc0:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 8192 - 4096 AS v
+       |  FROM (SELECT DISTINCT i FROM psm)),
+       |$iters""".stripMargin
+  }
+
   /** Geometry of the portable-LSH twins — shared by the Spark builders and
     * the SQL replay below so they can never drift. */
   private val PortableLsh = SimilaritySearch.PortableLshConfig(
@@ -239,12 +300,7 @@ object VectorQueries {
     Q("e_quant_topk",
       (s, dir) => {
         val e = emb(s, dir)
-        def quant(v: org.apache.spark.sql.Column) = {
-          val mx = array_max(transform(v, x => abs(x.cast("double"))))
-          when(mx === 0.0, transform(v, _ => lit(0L))).otherwise(
-            transform(v, x => floor(x.cast("double") / mx * 127.0 + 0.5).cast("long")))
-        }
-        val withQ = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
+        val withQ = e.select(col("vec_id"), quantQ(col("embedding")).as("qv"))
         val q0 = withQ.filter(col("vec_id") === 0).select(col("qv").as("q0"))
         def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
@@ -261,13 +317,7 @@ object VectorQueries {
           .orderBy(col("qscore").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""WITH q AS (
-             |  SELECT vec_id,
-             |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-             |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS BIGINT)) END AS qv
-             |  FROM (SELECT vec_id, embedding,
-             |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-             |        FROM embeddings)),
+      Some(s"""WITH $QuantCte,
              |q0 AS (SELECT qv AS v0 FROM q WHERE vec_id = 0),
              |sc AS (
              |  SELECT vec_id,
@@ -279,6 +329,24 @@ object VectorQueries {
              |  floor((CASE WHEN na2 * nb2 = 0 THEN 0.0
              |              ELSE CAST(d AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) END) * 1000000 + 0.5) / 1000000 AS qscore
              |FROM sc ORDER BY qscore DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Top principal direction of the embedding corpus
+    // (graft.similarity.PrincipalComponent): covariance of the int8 grid
+    // via map-side d² outer-product cells — FIXED 4096-cell aggregation
+    // state at any corpus size, the count-min discipline applied to
+    // linear algebra — then 12 integer power iterations with max-abs
+    // renormalization, the PageRank exactness discipline applied to an
+    // eigensolve. The dominant direction is the embedding-whitening /
+    // anisotropy primitive (and the drift axis a curation loop watches);
+    // a double-precision eigensolve reference is pinned in
+    // PrincipalComponentSpec.
+    Q("e_top_pc",
+      (s, dir) => {
+        val q = emb(s, dir).select(quantQ(col("embedding")).as("qv"))
+        graft.similarity.PrincipalComponent.topComponent(q, "qv", PcIters)
+          .select(col("i").cast("long").as("i"), col("v"))
+      },
+      Some(s"WITH $TopPcCtes\nSELECT i, v FROM pv$PcIters")),
 
     // Product-quantization ADC top-10 (r9) — completes the quantization
     // family past e_quant_topk's int8 path: m=8 subspaces × 16 codes → a

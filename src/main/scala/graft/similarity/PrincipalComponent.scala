@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableHash60
+
+/** Top principal direction of an integer-vector corpus by power iteration
+  * over the (scaled) covariance — the embedding-whitening / anisotropy
+  * primitive (dominant-direction removal is the standard post-processing
+  * for embedding retrieval, and the dominant direction itself is the
+  * drift axis a curation loop watches).
+  *
+  * Everything is exact integer arithmetic, so the iteration byte-matches
+  * a SQL oracle the same way [[graft.operators.PageRank]] does:
+  *   - covariance (times N): `S_ij = N·Σx_i x_j − (Σx_i)(Σx_j)`, integer
+  *     sums of int8-quantized components; stored divided by N (truncating
+  *     division — a deterministic, documented rescale that leaves the
+  *     eigenvectors of the exact matrix unchanged up to the division's
+  *     rounding).
+  *   - power steps `u = S̃v` renormalized to max-abs `scale` each round;
+  *     division is SIGN-SPLIT truncating (`sign(u)·(|u|·scale div m)`),
+  *     because Spark's `div` truncates toward zero while DuckDB's `//`
+  *     floors — on negatives they disagree, on magnitudes they agree.
+  *
+  * Scale shape: the covariance aggregation has FIXED d² state — each row
+  * expands to its d² outer-product cells map-side (the vector dies at the
+  * projection; only (i, j, x·y) ints survive) and partial aggregation
+  * collapses every partition to ≤ d² cells before one tiny exchange, the
+  * same bounded-state discipline as the count-min sketch. The iteration
+  * then runs on d-row/d²-row frames: corpus size prices ONE aggregation
+  * pass, the eigensolve is corpus-free. Overflow headroom: |S̃| ≲
+  * 2N·127², so `u` stays under 64·|S̃|·scale — at 10⁹ vectors quantize
+  * the accumulation down or train on a deterministic sample, as the IVF
+  * trainer does (documented, not enforced).
+  */
+object PrincipalComponent {
+
+  /** `(i, v)` — the settled direction's integer components on the
+    * max-abs = `scale` grid, one row per dimension, after `iterations`
+    * power steps from a deterministic hash-seeded start. `vecCol` must be
+    * an `array<long>` of uniform length (quantize floats first — see
+    * e_quant_topk's int8 grid). */
+  def topComponent(vecs: DataFrame, vecCol: String,
+      iterations: Int = 12, scale: Long = 4096L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val v = col(vecCol)
+    // d² outer-product cells, produced map-side from each row alone
+    val outer = flatten(transform(v, (x, i) =>
+      transform(v, (y, j) =>
+        struct(i.as("i"), j.as("j"), (x * y).as("xy")))))
+    val prod = vecs.select(explode(outer).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.xy"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+    val means = vecs.select(posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("m"))
+    val n = vecs.agg(count(lit(1)).as("n"))
+    // S̃ = (N·Σxy − m_i·m_j) div N. Spark's `div` truncates toward zero on
+    // the (possibly negative) numerator; the oracle sign-splits its `//`
+    // (which floors) to agree — the scaladoc's portability note.
+    val sm = prod
+      .join(means.select(col("i"), col("m").as("mi")), "i")
+      .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
+      .crossJoin(broadcast(n))
+      .withColumn("num", col("n") * col("sxy") - col("mi") * col("mj"))
+      .select(col("i"), col("j"), expr("num div n").as("sv"))
+      .localCheckpoint(true) // d² rows; every round re-reads it
+    var vec = sm.select(col("i")).distinct()
+      .select(col("i"),
+        (pmod(portableHash60(concat(lit("pc0:"), col("i").cast("string"))),
+          lit(2 * scale)) - scale).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val u = sm.join(vec.select(col("i").as("j"), col("v")), "j")
+        .select(col("i"), (col("sv") * col("v")).as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      vec = u.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr(s"CASE WHEN mx = 0 THEN u ELSE (u * $scale) div mx END").as("v"))
+        .localCheckpoint(true)
+    }
+    vec
+  }
+}
