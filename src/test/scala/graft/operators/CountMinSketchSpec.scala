@@ -47,6 +47,33 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(est("definitely-absent") === 0L)
   }
 
+  test("the sketch is valid streaming state: streamed build equals batch build") {
+    // sketch() is a plain grouped integer aggregate, so it runs UNCHANGED
+    // as a Structured Streaming aggregation — the production shape for
+    // frequency monitoring on an ingest stream (bounded state, no
+    // watermark needed: the grid never grows).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = CountMinSketch.sketch(ms.toDF().withColumnRenamed("value", "t"), "t", width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+    val (h1, h2) = stream.splitAt(stream.size / 2)
+    ms.addData(h1: _*)
+    q.start().awaitTermination()
+    ms.addData(h2: _*)
+    val run2 = CountMinSketch.sketch(ms.toDF().withColumnRenamed("value", "t"), "t", width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    run2.awaitTermination()
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    val batch = CountMinSketch.sketch(stream.toDF("t"), "t", width = 64)
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("input order and partitioning never change a counter") {
     val base = estimates(64)
     assert(estimates(64, scala.util.Random.shuffle(stream)) === base)
