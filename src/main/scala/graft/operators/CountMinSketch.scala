@@ -1,9 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.portableHash60
+import graft.util.{FileLease, SwapDir}
 
 /** Count-min sketch over an item stream — frequency estimation whose STATE
   * is a fixed `depth × width` grid of counters no matter how large the
@@ -68,4 +70,53 @@ object CountMinSketch {
       .join(broadcast(sk), Seq("j", "b"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
+  // ---- Persisted lifecycle (the index-family discipline: build once,
+  // append deltas, read the standing state — never rescan the corpus) ----
+  //
+  // `dir/cells/` holds PARTIAL sketches: each append writes one ≤ d·w-row
+  // delta; [[readSketch]] merges by integer cell sums, which are exact and
+  // order-independent, so any interleaving of appends reads the same
+  // sketch. Appends run under the shared [[FileLease]] and fold the
+  // splinter files down via [[SwapDir]] past a file-count threshold, like
+  // every other persisted index here. Retry semantics are MONITORING-grade
+  // and documented, not hidden: a replayed append double-counts its batch
+  // (counts only ever over-estimate further — the sketch's one-sided error
+  // direction, never an undercount). A pipeline needing exactly-once
+  // accounting wraps appends in its own batch ledger (the curateStream
+  // marker pattern); the sketch itself stays marker-free.
+
+  /** Append one batch's counts to the sketch at `dir`. */
+  def append(items: DataFrame, itemCol: String, dir: String,
+      depth: Int = 4, width: Int = 1024,
+      compactThreshold: Int = 64): Unit = {
+    val spark = items.sparkSession
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    new FileLease(dir).withLease(f) {
+      sketch(items, itemCol, depth, width)
+        .coalesce(1).write.mode("append")
+        .parquet(new Path(dir, "cells").toString)
+      if (SwapDir.fileCount(f, new Path(dir, "cells")) > compactThreshold) {
+        val folded = readSketch(spark, dir).localCheckpoint(true)
+        SwapDir.swapIn(f, new Path(dir, "cells")) { tmp =>
+          folded.coalesce(1).write.parquet(tmp)
+        }
+      }
+    }
+  }
+
+  /** The standing sketch: partial cells merged by exact integer sums —
+    * feed straight into [[estimate]]. Readers take no lease (any
+    * completed prefix of appends is a consistent sketch; mid-compaction
+    * they resolve through the swap backup). */
+  def readSketch(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val p = SwapDir.readPath(f, new Path(dir, "cells"))
+    spark.read.parquet(p.toString)
+      .groupBy(col("j"), col("b")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

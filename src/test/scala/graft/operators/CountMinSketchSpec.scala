@@ -74,6 +74,26 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("persisted lifecycle: incremental appends merge to the one-shot sketch") {
+    val dir = GraftTestSpark.tmpDir("cms-store")
+    val (h1, h2) = stream.splitAt(stream.size / 3)
+    CountMinSketch.append(h1.toDF("t"), "t", dir, width = 64)
+    CountMinSketch.append(h2.toDF("t"), "t", dir, width = 64)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    val oneShot = cells(CountMinSketch.sketch(stream.toDF("t"), "t", width = 64))
+    assert(cells(CountMinSketch.readSketch(spark, dir)) === oneShot)
+    // estimates through the standing sketch equal the transient path
+    val est = CountMinSketch.estimate(stream.distinct.toDF("t"), "t",
+        CountMinSketch.readSketch(spark, dir), width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === estimates(64))
+    // force compaction and re-check the folded state
+    CountMinSketch.append(Seq.empty[String].toDF("t"), "t", dir,
+      width = 64, compactThreshold = 0)
+    assert(cells(CountMinSketch.readSketch(spark, dir)) === oneShot)
+  }
+
   test("input order and partitioning never change a counter") {
     val base = estimates(64)
     assert(estimates(64, scala.util.Random.shuffle(stream)) === base)
