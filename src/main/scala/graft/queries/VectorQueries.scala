@@ -348,6 +348,60 @@ object VectorQueries {
       },
       Some(s"WITH $TopPcCtes\nSELECT i, v FROM pv$PcIters")),
 
+    // Whitened cosine retrieval — the eigensolve USED: project the
+    // dominant direction out of every embedding (the standard
+    // all-but-the-top post-processing that removes anisotropy from the
+    // similarity space) and rank by cosine in the whitened space. The PC
+    // comes from e_top_pc's exact integer chain; the whitening and
+    // scoring are in-order double folds (the composed VectorFunctions
+    // form — O(rows) single-query scoring, where the discipline allows
+    // it) rounded at 6 dp only at the end, so the oracle replays the
+    // identical IEEE operation sequence.
+    Q("e_whiten_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.select(quantQ(col("embedding")).as("qv"))
+        val pc = graft.similarity.PrincipalComponent.topComponent(q, "qv", PcIters)
+        val pcArr = pc
+          .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("st"))
+          .select(transform(col("st"), x => x.getField("v").cast("double")).as("pcv"))
+        val withW = e.crossJoin(broadcast(pcArr))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("ed"),
+            col("pcv"))
+          .withColumn("f",
+            when(dot(col("pcv"), col("pcv")) === 0.0, lit(0.0))
+              .otherwise(dot(col("ed"), col("pcv")) / dot(col("pcv"), col("pcv"))))
+          .select(col("vec_id"),
+            zip_with(col("ed"), col("pcv"), (a, b) => a - col("f") * b).as("wv"))
+        val q0 = withW.filter(col("vec_id") === 0).select(col("wv").as("wq"))
+        withW.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            graft.operators.RelationalOps.round6(cosine(col("wv"), col("wq"))).as("wscore"))
+          .orderBy(col("wscore").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $TopPcCtes,
+              |wpc AS (SELECT list(CAST(v AS DOUBLE) ORDER BY i) AS pcv FROM pv$PcIters),
+              |wdf AS (
+              |  SELECT vec_id, ed, pcv,
+              |    CASE WHEN ${duckFoldSum("pcv", "pcv[i] * pcv[i]")} = 0 THEN 0.0
+              |         ELSE ${duckFoldSum("ed", "ed[i] * pcv[i]")} / ${duckFoldSum("pcv", "pcv[i] * pcv[i]")} END AS f
+              |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed, pcv
+              |        FROM embeddings, wpc)),
+              |wv AS MATERIALIZED (
+              |  SELECT vec_id, list_transform(generate_series(1, len(ed)), i -> ed[i] - f * pcv[i]) AS w
+              |  FROM wdf),
+              |wq AS (SELECT w AS qw FROM wv WHERE vec_id = 0),
+              |wsc AS (
+              |  SELECT vec_id, ${duckFoldSum("w", "w[i] * qw[i]")} AS d,
+              |    sqrt(${duckFoldSum("w", "w[i] * w[i]")}) AS na,
+              |    sqrt(${duckFoldSum("qw", "qw[i] * qw[i]")}) AS nq
+              |  FROM wv, wq WHERE vec_id <> 0)
+              |SELECT vec_id,
+              |  floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000 AS wscore
+              |FROM wsc ORDER BY wscore DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Product-quantization ADC top-10 (r9) — completes the quantization
     // family past e_quant_topk's int8 path: m=8 subspaces × 16 codes → a
     // 4-BYTE code per vector (vs 256 B float32, 64× compression), scoring
