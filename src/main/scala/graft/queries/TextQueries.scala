@@ -592,6 +592,103 @@ object TextQueries {
       Some(s"""SELECT doc_id, CAST(len(list_distinct($Shingles3)) AS BIGINT) AS n_shingles
               |FROM (SELECT doc_id, $WS AS ws FROM documents)""".stripMargin)),
 
+    // Per-doc n-gram NOVELTY: the fraction of a doc's distinct 3-grams
+    // seen nowhere else in the corpus — the memorization-risk /
+    // duplication profile (a doc of novel_frac 0 is assembled entirely
+    // from corpus-repeated n-grams; near 1 it is fresh text). Grams are
+    // HASHED before the df shuffle (portable md5 family), so only
+    // (doc_id, long) pairs cross the exchanges — the gram text never
+    // shuffles, the same discipline as the dedup candidate joins; hash
+    // collisions merge df counts and are part of the portable definition
+    // the oracle mirrors.
+    Q("t_novelty",
+      (s, dir) => {
+        val sh = docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(transform(shingles(col("text"), 3),
+            g => portableHash60(g)))).as("gh"))
+        val gdf = sh.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        val per = sh.join(gdf, "gh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("df") === 1, 1)).as("novel"))
+        docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+              .otherwise(graft.operators.RelationalOps.round6(
+                col("novel").cast("double") / col("n_grams").cast("double")))
+              .as("novel_frac"))
+      },
+      Some(s"""WITH nsh AS (
+              |  SELECT doc_id,
+              |    unnest(list_distinct(list_transform(list_distinct($Shingles3),
+              |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS gh
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
+              |ndf AS (SELECT gh, count(*) AS df FROM nsh GROUP BY gh),
+              |np AS (
+              |  SELECT doc_id, count(*) AS n_grams,
+              |    count(CASE WHEN df = 1 THEN 1 END) AS novel
+              |  FROM nsh JOIN ndf USING (gh) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(np.n_grams, 0) AS n_grams,
+              |  CASE WHEN coalesce(np.n_grams, 0) = 0 THEN 0.0
+              |       ELSE floor((CAST(novel AS DOUBLE) / n_grams) * 1000000 + 0.5) / 1000000 END AS novel_frac
+              |FROM documents d LEFT JOIN np USING (doc_id)""".stripMargin)),
+
+    // Cluster keyword extraction (c-TF-IDF, the BERTopic labeling shape):
+    // each multi-doc near-dup cluster gets its top-3 characteristic terms
+    // by cluster-level tf × smooth inverse-CLUSTER-frequency — "what is
+    // this duplicate family about", the triage view over the dedup
+    // graph. Ranking compares 6-dp-ROUNDED scores (the best-of-cluster
+    // precedent: a raw-double order would hang the winner on a final
+    // bit); tf/cdf/nc are integers and the score is a scalar function of
+    // them, so both engines compute the identical double before the
+    // shared grid rounds it.
+    Q("t_cluster_keywords",
+      (s, dir) => {
+        val cd = clusteredDocs(s, dir)
+        val multi = cd.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .where(col("sz") >= 2).select(col("cluster_id"))
+        val toks = cd.join(multi, "cluster_id")
+          .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+          .select(col("cluster_id"), explode(tokens(lower(col("text")))).as("term"))
+        val tf = toks.groupBy(col("cluster_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val cdf = toks.select(col("cluster_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+        val nc = multi.agg(count(lit(1)).as("nc"))
+        val scored = tf.join(cdf, "term").crossJoin(broadcast(nc))
+          .withColumn("score", graft.operators.RelationalOps.round6(
+            col("tf").cast("double") *
+              (log((col("nc").cast("double") + 1.0) / (col("cdf").cast("double") + 1.0)) + 1.0)))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("cluster_id"), col("rnk"), col("term"),
+            col("tf"), col("cdf"), col("score"))
+      },
+      Some(s"""WITH RECURSIVE $ClusterCtes,
+              |csz AS (SELECT cluster_id FROM clustered GROUP BY cluster_id HAVING count(*) >= 2),
+              |ctok AS (
+              |  SELECT c.cluster_id, unnest($WSL) AS term
+              |  FROM clustered c JOIN csz USING (cluster_id)
+              |  JOIN documents d ON c.doc_id = d.doc_id),
+              |ctf AS (SELECT cluster_id, term, count(*) AS tf FROM ctok GROUP BY 1, 2),
+              |ccdf AS (SELECT term, count(*) AS cdf
+              |         FROM (SELECT DISTINCT cluster_id, term FROM ctok) GROUP BY term),
+              |cnc AS (SELECT count(*) AS nc FROM csz),
+              |csc AS (
+              |  SELECT cluster_id, term, tf, cdf,
+              |    floor((CAST(tf AS DOUBLE) *
+              |      (ln((CAST(nc AS DOUBLE) + 1.0) / (CAST(cdf AS DOUBLE) + 1.0)) + 1.0))
+              |      * 1000000 + 0.5) / 1000000 AS score
+              |  FROM ctf JOIN ccdf USING (term) CROSS JOIN cnc)
+              |SELECT cluster_id, CAST(rnk AS BIGINT) AS rnk, term, tf, cdf, score FROM (
+              |  SELECT cluster_id, term, tf, cdf, score,
+              |    row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, term) AS rnk
+              |  FROM csc)
+              |WHERE rnk <= 3""".stripMargin)),
+
     // Exact n-gram Jaccard near-dup pairs via shared-shingle join, with a
     // document-frequency cap: a shingle in > maxDf docs is boilerplate and
     // contributes O(df²) join rows (quadratic blowup on real corpora), so

@@ -62,7 +62,8 @@ class PlanShapeSpec extends AnyFunSuite {
         (if (dir == sf1Dir)
            Set("t_dup_clusters", "t_split_leakfree", "t_minhash_dedup",
              "t_best_of_cluster", "t_dup_clusters_incremental",
-             "t_source_pagerank", "e_top_pc", "e_whiten_topk")
+             "t_source_pagerank", "e_top_pc", "e_whiten_topk",
+             "t_cluster_keywords")
          else Set.empty[String])
       Registry.all.filterNot(q => exempt(q.name)).foreach { q =>
         val p = plan(dir, q.name)
