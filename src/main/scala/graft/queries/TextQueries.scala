@@ -254,10 +254,14 @@ object TextQueries {
         col("start_off"), col("budget"))
   }
 
-  /** Exact 3-gram-jaccard near-dup pairs (df-capped); shared by
-    * t_jaccard_pairs (emits the pairs) and t_dup_clusters (uses them as the
-    * edge list for connected components). */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** The df-capped distinct-3-shingle universe with per-doc sizes and the
+    * shared-shingle intersection counts — the common front half of the
+    * exact near-dup family (jaccard pairs, containment pairs): a shingle
+    * in > maxDf docs is boilerplate and contributes O(df²) join rows, so
+    * it is excluded via a broadcast anti-join (the hot set is tiny by
+    * construction). Returns (pairs(a_id, b_id, inter) with a_id < b_id,
+    * cnt(doc_id, n)). */
+  private def shinglePairCounts(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val maxDf = 100
     val sh = docs(s, dir).select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 3))).as("s"))
@@ -269,6 +273,14 @@ object TextQueries {
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    (pairs, cnt)
+  }
+
+  /** Exact 3-gram-jaccard near-dup pairs (df-capped); shared by
+    * t_jaccard_pairs (emits the pairs) and t_dup_clusters (uses them as the
+    * edge list for connected components). */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (pairs, cnt) = shinglePairCounts(s, dir)
     pairs
       .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
@@ -304,10 +316,10 @@ object TextQueries {
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
   }
 
-  /** The same pairs as DuckDB CTEs ending in `jp(a_id, b_id, inter,
-    * jaccard)` — prefix for the t_jaccard_pairs and t_dup_clusters
-    * oracles. */
-  private val PairCtes = s"""sh AS (
+  /** The [[shinglePairCounts]] front half as DuckDB CTEs ending in
+    * `pairs0(a_id, b_id, inter)` + `cnt(doc_id, n)` — shared by the
+    * jaccard and containment oracles. */
+  private val ShingleUniverseCtes = s"""sh AS (
     |  SELECT doc_id, unnest(list_distinct($Shingles3)) AS s
     |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
     |shc AS (
@@ -317,7 +329,12 @@ object TextQueries {
     |pairs0 AS (
     |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
     |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
-    |  GROUP BY 1, 2),
+    |  GROUP BY 1, 2)""".stripMargin
+
+  /** The same pairs as DuckDB CTEs ending in `jp(a_id, b_id, inter,
+    * jaccard)` — prefix for the t_jaccard_pairs and t_dup_clusters
+    * oracles. */
+  private val PairCtes = s"""$ShingleUniverseCtes,
     |jp AS (
     |  SELECT a_id, b_id, inter, jaccard FROM (
     |    SELECT a_id, b_id, inter,
@@ -464,6 +481,64 @@ object TextQueries {
        |$iters""".stripMargin
   }
 
+  /** Fixed merge count shared by the Spark body and the oracle's unrolled
+    * CTE chain for t_bpe_merges. */
+  private val BpeK = 6
+
+  /** One BPE round as DuckDB CTEs: `bpr$n` (the argmax pair), then the
+    * greedy left-to-right merge application rebuilt from window functions —
+    * candidate positions, run-ids over consecutive candidates (only
+    * possible when left = right), odd-position selection within each run
+    * (exactly textbook greedy order), then the rewritten symbol lists in
+    * `bw$n`. Mirrors [[graft.operators.BpeVocab.mergePair]]'s fold. */
+  private def bpeRoundCtes(n: Int): String =
+    s"""bpr$n AS (
+       |  SELECT l, r, cnt FROM (
+       |    SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+       |    FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+       |          FROM bw${n - 1})
+       |    GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |bcp$n AS (
+       |  SELECT word, freq, i, syms[i] AS s,
+       |    (i < len(syms) AND syms[i] = (SELECT l FROM bpr$n)
+       |       AND syms[i + 1] = (SELECT r FROM bpr$n)) AS cand
+       |  FROM (SELECT word, freq, syms, unnest(generate_series(1, len(syms))) AS i
+       |        FROM bw${n - 1})),
+       |bcr$n AS (
+       |  SELECT word, freq, i, s, cand,
+       |    CASE WHEN cand THEN i - row_number() OVER (PARTITION BY word, cand ORDER BY i) END AS grp
+       |  FROM bcp$n),
+       |bcs$n AS (
+       |  SELECT word, freq, i, s,
+       |    cand AND ((row_number() OVER (PARTITION BY word, grp ORDER BY i) % 2) = 1) AS sel
+       |  FROM bcr$n),
+       |bem$n AS (
+       |  SELECT word, freq, i,
+       |    CASE WHEN sel THEN s || lead_s ELSE s END AS s2,
+       |    lag(sel, 1, false) OVER (PARTITION BY word ORDER BY i) AS psel
+       |  FROM (SELECT *, lead(s) OVER (PARTITION BY word ORDER BY i) AS lead_s
+       |        FROM bcs$n)),
+       |bw$n AS (
+       |  SELECT word, freq, list(s2 ORDER BY i) AS syms
+       |  FROM bem$n WHERE NOT psel GROUP BY word, freq)""".stripMargin
+
+  /** The full BPE pipeline as DuckDB CTEs — word frequencies, per-char
+    * initial symbols (1-based substr slicing, the same derivation the
+    * Spark side uses), then [[BpeK]] unrolled merge rounds. */
+  private val BpeCtes: String = {
+    val rounds = (1 to BpeK).map(bpeRoundCtes).mkString(",\n")
+    s"""bwf AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest($WSL) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |bw0 AS (
+       |  SELECT word, freq,
+       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+       |  FROM bwf),
+       |$rounds""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Token counting (whitespace + distinct-token stats).
@@ -570,6 +645,64 @@ object TextQueries {
               |FROM (SELECT doc_id, text, $WS AS ws FROM documents)""".stripMargin),
       headline = true),
 
+    // Model-based quality FILTER (the fastText/logreg classifier slot in a
+    // curation pipeline): a linear model over five per-doc features —
+    // length saturation, distinct-token ratio, mean token length, punct
+    // ratio, en-stopword density — with FIXED published-style weights (a
+    // stand-in for trained coefficients; the operator shape is the
+    // point: features and dot product are all codegen'd scalar built-ins
+    // over one staged token array, zero shuffle, zero UDF, so the filter
+    // runs at scan speed on 100 TB and the weight vector swaps without
+    // touching the plan). Each feature is rounded to the shared 6-dp grid
+    // FIRST, then the logit is a fixed-order affine combination of those
+    // rounded doubles — identical IEEE arithmetic in both engines — and
+    // the keep decision compares the rounded logit to 0.
+    Q("t_quality_classifier",
+      (s, dir) => {
+        val staged = docs(s, dir).select(col("doc_id"), col("text"),
+          tokens(lower(col("text"))).as("ws"))
+        val n = size(col("ws")).cast("double")
+        val feats = staged.select(
+          col("doc_id"),
+          graft.operators.RelationalOps.round6(least(n / 100.0, lit(1.0))).as("f_len"),
+          graft.operators.RelationalOps.round6(
+            size(array_distinct(col("ws"))).cast("double") / n).as("f_distinct"),
+          graft.operators.RelationalOps.round6(least(
+            (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+              / 8.0, lit(1.0))).as("f_meanlen"),
+          graft.operators.RelationalOps.round6(punctRatio(col("text"))).as("f_punct"),
+          graft.operators.RelationalOps.round6(
+            size(filter(col("ws"), w =>
+              w.isin(stopwordProfiles.head._2.map(lit(_)): _*))).cast("double") / n)
+            .as("f_stop"))
+        feats.select(col("doc_id"),
+          graft.operators.RelationalOps.round6(
+            lit(-1.5) + lit(2.0) * col("f_len") + lit(1.5) * col("f_distinct")
+              + lit(1.0) * col("f_meanlen") - lit(2.0) * col("f_punct")
+              + lit(3.0) * col("f_stop")).as("logit"))
+          .select(col("doc_id"), col("logit"),
+            (col("logit") >= 0).as("keep"))
+      },
+      Some(s"""WITH staged AS (
+              |  SELECT doc_id, text, $WSL AS ws FROM documents),
+              |feats AS (
+              |  SELECT doc_id,
+              |    floor(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 1000000 + 0.5) / 1000000 AS f_len,
+              |    floor((CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_distinct,
+              |    floor(least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              |                 / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) * 1000000 + 0.5) / 1000000 AS f_meanlen,
+              |    floor((CASE WHEN length(text) = 0 THEN 0.0
+              |          ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |               / CAST(length(text) AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS f_punct,
+              |    floor((CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+              |           / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_stop
+              |  FROM staged)
+              |SELECT doc_id, logit, logit >= 0 AS keep FROM (
+              |  SELECT doc_id,
+              |    floor((-1.5 + 2.0 * f_len + 1.5 * f_distinct + 1.0 * f_meanlen
+              |           - 2.0 * f_punct + 3.0 * f_stop) * 1000000 + 0.5) / 1000000 AS logit
+              |  FROM feats)""".stripMargin)),
+
     // Content fingerprint (md5 of normalized text).
     Q("t_fingerprint",
       (s, dir) => docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp")),
@@ -635,6 +768,26 @@ object TextQueries {
               |       ELSE floor((CAST(novel AS DOUBLE) / n_grams) * 1000000 + 0.5) / 1000000 END AS novel_frac
               |FROM documents d LEFT JOIN np USING (doc_id)""".stripMargin)),
 
+    // BPE vocabulary induction (tokenizer training): the first 6 learned
+    // merges over the corpus word-frequency table, FULL-oracle-checked
+    // with the iteration unrolled one CTE block per round (the
+    // SourceRankCtes discipline) — unusual for an iterative operator, and
+    // possible because every step is integer counts + binary-order string
+    // tie-breaks. The corpus is scanned exactly once (word counts); all 6
+    // rounds iterate on the vocab frame with localCheckpoint lineage
+    // truncation and a 1-row argmax collect per round. Eager at build
+    // time (the trigram-LM lazy-contract trade, documented on the
+    // operator). BpeVocabSpec pins the greedy merge fold against a plain
+    // Scala reference, including the overlapping-run "aaaa" cases the
+    // window-function oracle must also get right.
+    Q("t_bpe_merges",
+      (s, dir) => graft.operators.BpeVocab.merges(s, docs(s, dir), "text", BpeK),
+      Some(s"""WITH $BpeCtes
+              |SELECT CAST(rnk AS BIGINT) AS rnk, lhs, rhs, CAST(cnt AS BIGINT) AS cnt
+              |FROM (${(1 to BpeK).map(n =>
+                 s"SELECT $n AS rnk, l AS lhs, r AS rhs, cnt FROM bpr$n")
+                 .mkString("\n      UNION ALL ")})""".stripMargin)),
+
     // Cluster keyword extraction (c-TF-IDF, the BERTopic labeling shape):
     // each multi-doc near-dup cluster gets its top-3 characteristic terms
     // by cluster-level tf × smooth inverse-CLUSTER-frequency — "what is
@@ -699,6 +852,37 @@ object TextQueries {
     Q("t_jaccard_pairs",
       (s, dir) => jaccardPairs(s, dir),
       Some(s"WITH $PairCtes\nSELECT a_id, b_id, inter, jaccard FROM jp")),
+
+    // CONTAINMENT near-dup pairs (Broder's other coefficient): |A∩B| over
+    // each doc's OWN shingle count, not the union. Jaccard misses the
+    // subset case — a paragraph quoted whole inside a 100× longer doc
+    // scores j ≈ 0.01 but containment 1.0 — and that asymmetric shape
+    // (quote mining, boilerplate wrappers, truncated re-crawls) is the
+    // duplication a pair-symmetric measure cannot see. Same df-capped
+    // universe and intersection counts as t_jaccard_pairs (one shared
+    // front half, shinglePairCounts), so the marginal cost over the
+    // jaccard mine is two broadcast-sized joins; a pair is emitted when
+    // EITHER side is ≥ 90% contained in the other.
+    Q("t_containment_pairs",
+      (s, dir) => {
+        val (pairs, cnt) = shinglePairCounts(s, dir)
+        pairs
+          .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+          .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+          .withColumn("cont_a", graft.operators.RelationalOps.round6(
+            col("inter").cast("double") / col("na").cast("double")))
+          .withColumn("cont_b", graft.operators.RelationalOps.round6(
+            col("inter").cast("double") / col("nb").cast("double")))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.9)
+          .select(col("a_id"), col("b_id"), col("inter"), col("cont_a"), col("cont_b"))
+      },
+      Some(s"""WITH $ShingleUniverseCtes
+              |SELECT a_id, b_id, inter, cont_a, cont_b FROM (
+              |  SELECT a_id, b_id, inter,
+              |    floor((CAST(inter AS DOUBLE) / CAST(ca.n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cont_a,
+              |    floor((CAST(inter AS DOUBLE) / CAST(cb.n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cont_b
+              |  FROM pairs0 JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
+              |WHERE greatest(cont_a, cont_b) >= 0.9""".stripMargin)),
 
     // Query-time TEXT similarity search — "find the documents most like
     // this one" (near-dup triage, attribution, retrieval-ish grouping):

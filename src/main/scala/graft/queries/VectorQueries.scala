@@ -706,6 +706,100 @@ object VectorQueries {
         s"""WITH $SemCellCtes
            |SELECT seed_id AS cell_id, count(*) AS n FROM asg GROUP BY seed_id""".stripMargin)),
 
+    // Embedding OUTLIER audit — the data-quality pass that catches
+    // mis-encoded / corrupted / off-distribution vectors before they
+    // poison retrieval or curation: per SemDeDup cell (shared CTE — the
+    // identical deterministic assignment), each vector's L2 distance to
+    // its cell's fixed-point centroid, z-scored against the cell's own
+    // distance distribution, with the top-2 most-distant vectors per cell
+    // emitted (O(cells·k) rows at any corpus size). All cross-row sums —
+    // centroid components, squared-distance terms, distance moments —
+    // ride the e_standardize 1e-9 fixed-point grid, so they are
+    // order-independent and engine-exact; the per-cell top-2 is the
+    // TopKByScore bounded-heap AGGREGATE over the 6-dp-rounded distance
+    // (id tiebreak), not a window sort over every vector.
+    Q("e_outliers",
+      (s, dir) => {
+        val asg = graft.similarity.SemDedup.assignCells(
+          emb(s, dir), "vec_id", "embedding", nCells = 16)
+        val comp = asg
+          .select(col("vec_id"), col("cell_id"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("cell_id"),
+            col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+        val cent = comp.groupBy(col("cell_id"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("v") * 1e9).cast("long")).as("s1"))
+          .select(col("cell_id"), col("pos"),
+            (col("s1").cast("double") / (col("n").cast("double") * 1e9)).as("c"))
+        val dist = comp.join(broadcast(cent), Seq("cell_id", "pos"))
+          .withColumn("t",
+            floor((col("v") - col("c")) * (col("v") - col("c")) * 1e9).cast("long"))
+          .groupBy(col("vec_id"), col("cell_id"))
+          .agg(sum(col("t")).as("d2e9"))
+          .withColumn("dist", graft.operators.RelationalOps.round6(
+            sqrt(col("d2e9").cast("double") / 1e9)))
+        val moms = dist.groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("dist") * 1e9).cast("long")).as("s1"),
+            sum(floor(col("dist") * col("dist") * 1e9).cast("long")).as("s2"))
+          .withColumn("mu", col("s1").cast("double") / (col("n").cast("double") * 1e9))
+          .withColumn("sigma", sqrt(greatest(
+            col("s2").cast("double") / (col("n").cast("double") * 1e9) -
+              col("mu") * col("mu"), lit(0.0))))
+          .select(col("cell_id"), col("mu"), col("sigma"))
+        dist.groupBy(col("cell_id"))
+          .agg(graft.expressions.TopKByScore(col("dist"), col("vec_id"), 2).as("topk"))
+          .select(col("cell_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+          .select(col("cell_id"), (col("pos") + 1).cast("long").as("rnk"),
+            col("e.id").as("vec_id"), col("e.score").as("dist"))
+          .join(broadcast(moms), "cell_id")
+          .select(col("cell_id"), col("rnk"), col("vec_id"), col("dist"),
+            graft.operators.RelationalOps.round6(
+              when(col("sigma") === 0.0, 0.0)
+                .otherwise((col("dist") - col("mu")) / col("sigma"))).as("z"))
+      },
+      Some(
+        s"""WITH $SemCellCtes,
+           |ocomp AS (
+           |  SELECT vec_id, seed_id AS cell_id, CAST(idx - 1 AS BIGINT) AS pos,
+           |    CAST(v AS DOUBLE) AS v
+           |  FROM (SELECT vec_id, seed_id, unnest(embedding) AS v,
+           |          generate_subscripts(embedding, 1) AS idx FROM asg)),
+           |ocent AS (
+           |  SELECT cell_id, pos,
+           |    CAST(sum(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE)
+           |      / (CAST(count(*) AS DOUBLE) * 1e9) AS c
+           |  FROM ocomp GROUP BY 1, 2),
+           |odist AS (
+           |  SELECT vec_id, cell_id,
+           |    floor(sqrt(CAST(sum(CAST(floor((v - c) * (v - c) * 1e9) AS BIGINT)) AS DOUBLE)
+           |               / 1e9) * 1000000 + 0.5) / 1000000 AS dist
+           |  FROM ocomp JOIN ocent USING (cell_id, pos)
+           |  GROUP BY 1, 2),
+           |omom AS (
+           |  SELECT cell_id, count(*) AS n,
+           |    sum(CAST(floor(dist * 1e9) AS BIGINT)) AS s1,
+           |    sum(CAST(floor(dist * dist * 1e9) AS BIGINT)) AS s2
+           |  FROM odist GROUP BY 1),
+           |omz AS (
+           |  SELECT cell_id,
+           |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mu,
+           |    sqrt(greatest(
+           |      CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) -
+           |        (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) *
+           |        (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)), 0.0)) AS sigma
+           |  FROM omom)
+           |SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(rn AS BIGINT) AS rnk,
+           |  vec_id, dist,
+           |  floor((CASE WHEN sigma = 0 THEN 0.0
+           |              ELSE (dist - mu) / sigma END) * 1000000 + 0.5) / 1000000 AS z
+           |FROM (SELECT cell_id, vec_id, dist,
+           |        row_number() OVER (PARTITION BY cell_id
+           |          ORDER BY dist DESC, vec_id) AS rn
+           |      FROM odist) r JOIN omz USING (cell_id)
+           |WHERE rn <= 2""".stripMargin)),
+
     // Cross-modal COVERAGE audit — the data-quality gate before any
     // id-aligned multimodal training run: how many documents have an
     // embedding, how many are text-only, how many embeddings are orphaned

@@ -49,7 +49,12 @@ class DedupeSchedulerSpec extends AnyFunSuite {
       new StateStore(spark, s"$dir/s"), reg = reg)
     val sched = new DedupeScheduler(job, incrementalRateMs = 10, fullRateMs = 100000)
     sched.start()
-    Thread.sleep(300)
+    // Poll, don't sleep a fixed interval: the tick's Spark job can take
+    // well over 300 ms to fail under a loaded suite JVM, and asserting
+    // mid-flight reads the counter before `counted` increments it.
+    val deadline = System.currentTimeMillis() + 60000
+    while (reg.get(Metrics.DedupeFailures) == 0 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
     sched.stop()
     assert(reg.get(Metrics.DedupeFailures) > 0, "failures must be counted")
   }
