@@ -17,7 +17,13 @@ object Verify {
     // one query's single-task stages don't serialize the whole dump.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names) for fast single-query
+    // oracle iteration; the driver runs without it and gets the full battery.
+    val only: Option[Set[String]] = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -59,6 +65,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -95,6 +95,56 @@ object VectorQueries {
        |$iters""".stripMargin
   }
 
+  /** Sizing shared by the e_kmeans Spark body and its unrolled oracle. */
+  private val KmK = 8
+  private val KmIters = 4
+
+  /** graft.similarity.KMeans' Lloyd's rounds as DuckDB CTEs ending in
+    * `kasg${KmIters+1}(vec_id, cid, score)` — the final assignment against
+    * the round-`KmIters` centroids. Each round k: `ksc`/`kasg` replay the
+    * argmax of the 6-dp-rounded cosine (in-order fold ≡ the fused Spark
+    * kernel bit-for-bit; cid tiebreak), `kcs`/`kc` rebuild centroids as
+    * elementwise SUMS of 1e-9-grid BIGINT components (cosine is
+    * scale-invariant, so the sum IS the mean direction — exact integers,
+    * no truncating-division portability hazard). Empty cells drop out of
+    * the group-by in both engines. MATERIALIZED for the TopPcCtes reason:
+    * inlining an unrolled chain re-evaluates upstream rounds per
+    * reference. */
+  private val KMeansCtes: String = {
+    val dotEC = duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * cv[i]")
+    val normC = s"sqrt(${duckFoldSum("cv", "cv[i] * cv[i]")})"
+    def asg(k: Int) =
+      s"""ksc$k AS (
+         |  SELECT vec_id, cid, embedding,
+         |    floor((CASE WHEN ne * nc = 0 THEN 0.0 ELSE d / (ne * nc) END) * 1000000 + 0.5) / 1000000 AS score
+         |  FROM (SELECT e.vec_id, c.cid, e.embedding,
+         |          $dotEC AS d, $NormE AS ne, $normC AS nc
+         |        FROM embeddings e CROSS JOIN kc${k - 1} c)),
+         |kasg$k AS MATERIALIZED (
+         |  SELECT vec_id, cid, embedding, score FROM (
+         |    SELECT vec_id, cid, embedding, score,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |    FROM ksc$k)
+         |  WHERE rn = 1)"""
+    def upd(k: Int) =
+      s"""kcs$k AS (
+         |  SELECT cid, idx, CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS s
+         |  FROM (SELECT cid, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS idx
+         |        FROM kasg$k)
+         |  GROUP BY 1, 2),
+         |kc$k AS MATERIALIZED (
+         |  SELECT cid, list(CAST(s AS DOUBLE) ORDER BY idx) AS cv FROM kcs$k GROUP BY cid)"""
+    val rounds = (1 to KmIters).map(k => asg(k) + ",\n" + upd(k)).mkString(",\n")
+    s"""kc0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE)) AS cv
+       |  FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+       |  LIMIT $KmK),
+       |$rounds,
+       |${asg(KmIters + 1)}""".stripMargin
+  }
+
   /** Geometry of the portable-LSH twins — shared by the Spark builders and
     * the SQL replay below so they can never drift. */
   private val PortableLsh = SimilaritySearch.PortableLshConfig(
@@ -564,6 +614,59 @@ object VectorQueries {
              |              generate_subscripts(embedding, 1) AS idx
              |            FROM embeddings)
              |      GROUP BY 1, 2)""".stripMargin)),
+
+    // Spherical k-means (Lloyd's, cosine objective) — the trainable
+    // clusterer above SemDedup's single-pass hash quantizer, and the
+    // producer of the "k-means seeds" its production sizing calls for.
+    // Fully oracle-checked THROUGH the iterations (rare for a clusterer)
+    // because every round is deterministic and portable: hash-chosen
+    // init, argmax on the 6-dp-rounded cosine with cid tiebreak, and
+    // centroid updates as elementwise 1e-9-grid integer SUMS (cosine's
+    // scale-invariance makes the sum the exact mean direction — no
+    // division anywhere, so no truncation to disagree on). The oracle
+    // unrolls all KmIters rounds as CTEs; KMeansSpec pins the quality
+    // contract the oracle can't see (objective monotonicity, recovery of
+    // planted clusters, partitioning invariance).
+    Q("e_kmeans",
+      (s, dir) => graft.similarity.KMeans.fit(
+        emb(s, dir), "vec_id", "embedding",
+        graft.similarity.KMeans.Config(k = KmK, iterations = KmIters)),
+      Some(
+        s"""WITH $KMeansCtes
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, score
+           |FROM kasg${KmIters + 1}""".stripMargin)),
+
+    // SemDeDup over TRAINED cells — the production wiring the SemDedup
+    // scaladoc prescribes ("seeds from a k-means pass"): Lloyd's-trained
+    // centroids replace the single-pass hash seeds, so cells track the
+    // corpus's actual density and the quadratic pair stage runs inside
+    // tighter, better-balanced blocks. Still a FULL oracle — the k-means
+    // chain is byte-portable (e_kmeans) and the pair/verdict stage is
+    // e_semdedup's — which is the point: even the trained variant of the
+    // clusterer-dedup composition stays engine-checkable end to end.
+    Q("e_semdedup_km",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val asg = graft.similarity.KMeans.assign(e, "vec_id", "embedding",
+            graft.similarity.KMeans.centroids(e, "vec_id", "embedding",
+              graft.similarity.KMeans.Config(k = KmK, iterations = KmIters)))
+          .select(col("vec_id"), col("cid").as("cell_id"), col("embedding"))
+        graft.similarity.SemDedup.semDedupOnAssignment(
+          asg, "vec_id", "embedding", threshold = 0.4)
+      },
+      Some(
+        s"""WITH $KMeansCtes,
+           |kmasg AS (SELECT vec_id, cid AS cell_id, embedding FROM kasg${KmIters + 1}),
+           |kmps AS (
+           |  SELECT b_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM (
+           |    SELECT b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb
+           |    FROM kmasg a JOIN kmasg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)),
+           |kmdrp AS (
+           |  SELECT DISTINCT b_id AS vec_id FROM kmps
+           |  WHERE floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 >= 0.4)
+           |SELECT g.vec_id, CAST(g.cell_id AS BIGINT) AS cell_id,
+           |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM kmasg g LEFT JOIN kmdrp d ON d.vec_id = g.vec_id""".stripMargin)),
 
     // Per-dimension z-score standardization — the feature-normalization
     // pass before distance-based ops on heterogeneous embeddings (a

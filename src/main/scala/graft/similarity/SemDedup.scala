@@ -150,8 +150,18 @@ object SemDedup {
     * The registry entry runs uncapped so the oracle sees the full
     * semantics; production at corpus scale runs capped. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String, cfg: Config,
-      maxCellSize: Option[Int] = None): DataFrame = {
-    val asgAll = assignCells(emb, idCol, vecCol, cfg.nCells)
+      maxCellSize: Option[Int] = None): DataFrame =
+    semDedupOnAssignment(assignCells(emb, idCol, vecCol, cfg.nCells),
+      idCol, vecCol, cfg.threshold, maxCellSize)
+
+  /** [[semDedup]] over a caller-supplied cell assignment
+    * `(idCol, cell_id, vecCol)` — the hook for TRAINED cells: the scaladoc
+    * above prescribes "seeds from a k-means pass" at production sizing,
+    * and [[KMeans.assign]] produces exactly this frame. Semantics, the
+    * hot-cell cap, and the keep-verdict contract are identical to the
+    * hash-seeded path (which now delegates here). */
+  def semDedupOnAssignment(asgAll: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxCellSize: Option[Int] = None): DataFrame = {
     val asg = maxCellSize match {
       case None => asgAll
       case Some(cap) =>
@@ -165,7 +175,7 @@ object SemDedup {
     val b = asg.select(col("cell_id"), col(idCol).as("b_id"), col(vecCol).as("vb"))
     val dropped = a.join(b, Seq("cell_id"))
       .filter(col("a_id") < col("b_id"))
-      .filter(round6(cosine(col("va"), col("vb"))) >= cfg.threshold)
+      .filter(round6(cosine(col("va"), col("vb"))) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
     // verdicts over asgAll, not asg: members of an over-cap cell were never
     // examined, so they keep — excluding them from the OUTPUT would instead

@@ -21,6 +21,18 @@ class SimilaritySpec extends AnyFunSuite {
     both.foreach { case (f, c) => assert(f === c) }
   }
 
+  test("fused cosine accepts array<double> per side; float widening is exact") {
+    val both = emb.limit(50)
+      .select(col("embedding"),
+        transform(col("embedding"), _.cast("double")).as("emb_d"))
+      .select(
+        SimilaritySearch.cosine(col("embedding"), col("embedding")).as("ff"),
+        SimilaritySearch.cosine(col("embedding"), col("emb_d")).as("fd"),
+        SimilaritySearch.cosine(col("emb_d"), col("emb_d")).as("dd"))
+      .as[(Double, Double, Double)].collect()
+    both.foreach { case (ff, fd, dd) => assert(ff === fd); assert(fd === dd) }
+  }
+
   test("cosine of a vector with itself is 1") {
     val got = emb.limit(20)
       .select(SimilaritySearch.cosine(col("embedding"), col("embedding")))
