@@ -113,6 +113,22 @@ object BpeVocab {
     out.result().toDF("rnk", "lhs", "rhs", "cnt") // k rows — a driver-built local relation
   }
 
+  /** Distributed corpus encoding under a FIXED learned merge list — the
+    * inference half at scale. The corpus is touched ONCE (the same
+    * word-count pass as training); the k-merge rewrite then runs per
+    * DISTINCT word via the native [[graft.expressions.BpeEncode]] kernel
+    * (never per occurrence — at 100 TB the vocab is millions of rows while
+    * the corpus is billions), and occurrence-weighting rides the integer
+    * `freq`. Returns corpus token counts (token, cnt). A per-document
+    * token sequence, when needed, is a broadcast word→tokens map join
+    * against this same vocab-sized frame. */
+  def encodeTokens(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    wordFreqs(docs, textCol)
+      .select(explode(graft.expressions.BpeEncode(col("word"), merges)).as("token"),
+        col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+
   /** Re-tokenize a word with a learned merge list (applied in rank order)
     * — the inference half, used by the spec to assert round-trip
     * consistency with the training rewrite. Plain Scala (driver/test

@@ -490,9 +490,13 @@ object TextQueries {
     * candidate positions, run-ids over consecutive candidates (only
     * possible when left = right), odd-position selection within each run
     * (exactly textbook greedy order), then the rewritten symbol lists in
-    * `bw$n`. Mirrors [[graft.operators.BpeVocab.mergePair]]'s fold. */
+    * `bw$n`. Mirrors [[graft.operators.BpeVocab.mergePair]]'s fold.
+    * MATERIALIZED is load-bearing (the TopPcCtes reason): each round
+    * reads the previous `bw` twice and its `bpr` twice, so inlining
+    * re-evaluates the upstream chain ~2x per round — measured minutes at
+    * sf0.01 for the t_bpe_encode final-state read vs seconds pinned. */
   private def bpeRoundCtes(n: Int): String =
-    s"""bpr$n AS (
+    s"""bpr$n AS MATERIALIZED (
        |  SELECT l, r, cnt FROM (
        |    SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
        |    FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
@@ -519,7 +523,7 @@ object TextQueries {
        |    lag(sel, 1, false) OVER (PARTITION BY word ORDER BY i) AS psel
        |  FROM (SELECT *, lead(s) OVER (PARTITION BY word ORDER BY i) AS lead_s
        |        FROM bcs$n)),
-       |bw$n AS (
+       |bw$n AS MATERIALIZED (
        |  SELECT word, freq, list(s2 ORDER BY i) AS syms
        |  FROM bem$n WHERE NOT psel GROUP BY word, freq)""".stripMargin
 
@@ -532,7 +536,7 @@ object TextQueries {
        |  SELECT word, count(*) AS freq
        |  FROM (SELECT unnest($WSL) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |bw0 AS (
+       |bw0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
        |  FROM bwf),
@@ -787,6 +791,29 @@ object TextQueries {
               |FROM (${(1 to BpeK).map(n =>
                  s"SELECT $n AS rnk, l AS lhs, r AS rhs, cnt FROM bpr$n")
                  .mkString("\n      UNION ALL ")})""".stripMargin)),
+
+    // BPE inference — corpus token counts under the learned merge list
+    // (the tokenizer-application pass that prices a corpus in REAL tokens,
+    // not the bpeish regex proxy). Training and encoding agree by the
+    // defining BPE property: applying the merges in rank order to the
+    // initial char symbols reproduces the training rewrite, so the oracle
+    // simply reads the unrolled chain's FINAL vocab state (bw6) — no new
+    // SQL machinery. Spark side: merges are a bounded k-row driver
+    // collect bound into the native BpeEncode kernel; the k greedy passes
+    // run per DISTINCT word (vocab-sized, never corpus-sized) and
+    // occurrence weights ride the integer freq. Eager at build (the
+    // merges() trade documented on the operator).
+    Q("t_bpe_encode",
+      (s, dir) => {
+        val m = graft.operators.BpeVocab.merges(s, docs(s, dir), "text", BpeK)
+          .orderBy(col("rnk")).select(col("lhs"), col("rhs"))
+          .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+        graft.operators.BpeVocab.encodeTokens(docs(s, dir), "text", m)
+      },
+      Some(s"""WITH $BpeCtes
+              |SELECT s AS token, CAST(sum(freq) AS BIGINT) AS cnt
+              |FROM (SELECT freq, unnest(syms) AS s FROM bw$BpeK)
+              |GROUP BY s""".stripMargin)),
 
     // Cluster keyword extraction (c-TF-IDF, the BERTopic labeling shape):
     // each multi-doc near-dup cluster gets its top-3 characteristic terms

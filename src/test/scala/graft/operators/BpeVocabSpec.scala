@@ -89,6 +89,35 @@ class BpeVocabSpec extends AnyFunSuite {
     assert(BpeVocab.encodeWord("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
   }
 
+  test("native BpeEncode kernel == encodeWord on every trained-corpus word") {
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "aaaa aaa banana bandana")
+    val merges = sparkMerges(docs, 5).map(t => (t._1, t._2))
+    val words = wordFreqsOf(docs).keys.toSeq.sorted
+    val got = words.toDF("word")
+      .select(col("word"), graft.expressions.BpeEncode(col("word"), merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w) === BpeVocab.encodeWord(w, merges), s"word=$w merges=$merges")
+    }
+  }
+
+  test("encodeTokens conserves occurrence-weighted token mass") {
+    val docs = Seq("low lower lowest low low", "new newer newest new")
+    val merges = sparkMerges(docs, 4).map(t => (t._1, t._2))
+    val counts = BpeVocab.encodeTokens(docs.toDF("text"), "text", merges)
+      .as[(String, Long)].collect().toMap
+    val expected = scala.collection.mutable.Map[String, Long]()
+    wordFreqsOf(docs).foreach { case (w, f) =>
+      BpeVocab.encodeWord(w, merges).foreach { t =>
+        expected(t) = expected.getOrElse(t, 0L) + f
+      }
+    }
+    assert(counts === expected.toMap)
+  }
+
   test("merge counts are frequency-weighted, not type-weighted") {
     // 'ab' occurs 5 times as one word type; 'cd' in two types once each.
     // (a,b) count 5 must beat (c,d) count 2.
