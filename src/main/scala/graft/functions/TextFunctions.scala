@@ -111,11 +111,23 @@ object TextFunctions {
         "(reserved for this builder's staged token/hit attributes)")
     val keep = df.columns.map(col).toSeq
     val ws = df.select(keep :+ tokens(lower(col(textCol))).as("__lg_ws"): _*)
+    withLangGuessFromTokens(ws, "__lg_ws", out, keep)
+  }
+
+  /** [[withLangGuess]] over an ALREADY-BOUND lowercased token-array column —
+    * for pipeline stages that tokenize once and feed several scorers (e.g.
+    * lang-ID + the quality classifier in one pass). `keep` selects the
+    * output columns (defaults to everything except the token column). */
+  def withLangGuessFromTokens(df: org.apache.spark.sql.DataFrame, wsCol: String,
+      out: String, keepCols: Seq[Column] = Nil): org.apache.spark.sql.DataFrame = {
+    val keep =
+      if (keepCols.nonEmpty) keepCols
+      else df.columns.filter(_ != wsCol).map(col).toSeq
     val hitCols = stopwordProfiles.map { case (lang, stop) =>
-      size(filter(col("__lg_ws"), w => w.isin(stop.map(lit(_)): _*)))
+      size(filter(col(wsCol), w => w.isin(stop.map(lit(_)): _*)))
         .cast("long").as(s"__lg_$lang")
     }
-    val hits = ws.select(keep ++ hitCols: _*)
+    val hits = df.select(keep ++ hitCols: _*)
     val best = langArgmax(stopwordProfiles.map { case (lang, _) =>
       lang -> col(s"__lg_$lang") })
     hits.select(keep :+ best.as(out): _*)
@@ -140,6 +152,29 @@ object TextFunctions {
       lit(0.4) * least(n / 100.0, lit(1.0)) +
         lit(0.3) * distinctRatio +
         lit(0.3) * least(meanLen / 8.0, lit(1.0)))
+  }
+
+  /** The t_quality_classifier linear model's 6-dp-rounded logit over an
+    * already-bound lowercased token array (stage with
+    * `tokens(lower(text)).as(...)`) — extracted so pipeline compositions
+    * reuse the EXACT registry formula: each feature rounds to the shared
+    * 6-dp grid FIRST, then the logit is a fixed-order affine combination
+    * of those rounded doubles (identical IEEE arithmetic in any engine).
+    * Keep decision = rounded logit >= 0. */
+  def qualityClassifierLogit(text: Column, ws: Column): Column = {
+    import graft.operators.RelationalOps.round6
+    val n = size(ws).cast("double")
+    val fLen = round6(least(n / 100.0, lit(1.0)))
+    val fDistinct = round6(size(array_distinct(ws)).cast("double") / n)
+    val fMeanLen = round6(least(
+      (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / n) / 8.0,
+      lit(1.0)))
+    val fPunct = round6(punctRatio(text))
+    val fStop = round6(
+      size(filter(ws, w => w.isin(stopwordProfiles.head._2.map(lit(_)): _*)))
+        .cast("double") / n)
+    round6(lit(-1.5) + lit(2.0) * fLen + lit(1.5) * fDistinct
+      + lit(1.0) * fMeanLen - lit(2.0) * fPunct + lit(3.0) * fStop)
   }
 
   /** Punctuation-character ratio (fixed class, identical across engines). */

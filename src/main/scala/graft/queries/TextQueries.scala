@@ -350,9 +350,13 @@ object TextQueries {
     * Shared by t_minhash_pairs (emits the pairs) and t_minhash_dedup (uses
     * them as the cluster edge list). Mirrors MinHashConfig(numPerm = 64,
     * bands = 16, maxBucket = 64, jaccardThreshold = 0.4) exactly. */
-  private val MinhashCtes = s"""md AS (
+  /** The MinHash pipeline CTEs (signatures → bands → capped buckets →
+    * candidate pairs → exact-Jaccard `mjp`) rooted at `src` — parameterized
+    * so the composed curation-pipeline oracle replays the IDENTICAL chain
+    * over its filtered survivor set. */
+  private def minhashCtes(src: String): String = s"""md AS (
     |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
-    |  FROM documents),
+    |  FROM $src),
     |msh AS (
     |  SELECT doc_id,
     |    list_transform(
@@ -390,6 +394,47 @@ object TextQueries {
     |    floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1000000 + 0.5) / 1000000 AS jaccard
     |  FROM miv JOIN mcnt ca ON a_id = ca.doc_id JOIN mcnt cb ON b_id = cb.doc_id
     |  WHERE floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1000000 + 0.5) / 1000000 >= 0.4)""".stripMargin
+
+  private val MinhashCtes = minhashCtes("documents")
+
+  /** The t_quality_classifier logit as a (doc_id, logit) subquery over
+    * `src` — shared with the curation-pipeline oracle. */
+  private def qualityLogitSql(src: String): String =
+    s"""SELECT doc_id,
+       |    floor((-1.5 + 2.0 * f_len + 1.5 * f_distinct + 1.0 * f_meanlen
+       |           - 2.0 * f_punct + 3.0 * f_stop) * 1000000 + 0.5) / 1000000 AS logit
+       |  FROM (
+       |  SELECT doc_id,
+       |    floor(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 1000000 + 0.5) / 1000000 AS f_len,
+       |    floor((CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_distinct,
+       |    floor(least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+       |                 / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) * 1000000 + 0.5) / 1000000 AS f_meanlen,
+       |    floor((CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |               / CAST(length(text) AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS f_punct,
+       |    floor((CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+       |           / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_stop
+       |  FROM (SELECT doc_id, text, $WSL AS ws FROM $src))""".stripMargin
+
+  /** The t_lang_guess argmax as a (doc_id, lang_guess) subquery over
+    * `src` — shared with the curation-pipeline oracle. */
+  private def langGuessSql(src: String): String = {
+    val hits = graft.functions.TextFunctions.stopwordProfiles.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, w -> w IN ($inList))) AS ${lang}_h"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  CASE WHEN m <= 0 THEN 'und'
+       |       WHEN en_h = m THEN 'en'
+       |       WHEN fr_h = m THEN 'fr'
+       |       WHEN es_h = m THEN 'es'
+       |       ELSE 'de' END AS lang_guess
+       |FROM (SELECT doc_id, en_h, fr_h, es_h, de_h,
+       |        greatest(en_h, fr_h, es_h, de_h) AS m
+       |      FROM (SELECT doc_id,
+       |  $hits
+       |            FROM (SELECT doc_id, $WSL AS ws FROM $src)))""".stripMargin
+  }
 
   /** The native winnowing fingerprint pipeline as DuckDB CTEs ending in
     * `wf(doc_id, fp)` (distinct) — the oracle counterpart of
@@ -617,23 +662,7 @@ object TextQueries {
     Q("t_lang_guess",
       (s, dir) => withLangGuess(docs(s, dir), "text", "lang_guess")
         .select(col("doc_id"), col("lang_guess")),
-      Some {
-        val hits = stopwordProfiles.map { case (lang, ws) =>
-          val inList = ws.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(ws, w -> w IN ($inList))) AS ${lang}_h"
-        }.mkString(",\n  ")
-        s"""SELECT doc_id,
-           |  CASE WHEN m <= 0 THEN 'und'
-           |       WHEN en_h = m THEN 'en'
-           |       WHEN fr_h = m THEN 'fr'
-           |       WHEN es_h = m THEN 'es'
-           |       ELSE 'de' END AS lang_guess
-           |FROM (SELECT doc_id, en_h, fr_h, es_h, de_h,
-           |        greatest(en_h, fr_h, es_h, de_h) AS m
-           |      FROM (SELECT doc_id,
-           |  $hits
-           |            FROM (SELECT doc_id, $WSL AS ws FROM documents)))""".stripMargin
-      }),
+      Some(langGuessSql("documents"))),
 
     // Quality scoring: token count, distinct ratio, mean token length.
     Q("t_quality",
@@ -662,50 +691,13 @@ object TextQueries {
     // rounded doubles — identical IEEE arithmetic in both engines — and
     // the keep decision compares the rounded logit to 0.
     Q("t_quality_classifier",
-      (s, dir) => {
-        val staged = docs(s, dir).select(col("doc_id"), col("text"),
-          tokens(lower(col("text"))).as("ws"))
-        val n = size(col("ws")).cast("double")
-        val feats = staged.select(
-          col("doc_id"),
-          graft.operators.RelationalOps.round6(least(n / 100.0, lit(1.0))).as("f_len"),
-          graft.operators.RelationalOps.round6(
-            size(array_distinct(col("ws"))).cast("double") / n).as("f_distinct"),
-          graft.operators.RelationalOps.round6(least(
-            (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
-              / 8.0, lit(1.0))).as("f_meanlen"),
-          graft.operators.RelationalOps.round6(punctRatio(col("text"))).as("f_punct"),
-          graft.operators.RelationalOps.round6(
-            size(filter(col("ws"), w =>
-              w.isin(stopwordProfiles.head._2.map(lit(_)): _*))).cast("double") / n)
-            .as("f_stop"))
-        feats.select(col("doc_id"),
-          graft.operators.RelationalOps.round6(
-            lit(-1.5) + lit(2.0) * col("f_len") + lit(1.5) * col("f_distinct")
-              + lit(1.0) * col("f_meanlen") - lit(2.0) * col("f_punct")
-              + lit(3.0) * col("f_stop")).as("logit"))
-          .select(col("doc_id"), col("logit"),
-            (col("logit") >= 0).as("keep"))
-      },
-      Some(s"""WITH staged AS (
-              |  SELECT doc_id, text, $WSL AS ws FROM documents),
-              |feats AS (
-              |  SELECT doc_id,
-              |    floor(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 1000000 + 0.5) / 1000000 AS f_len,
-              |    floor((CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_distinct,
-              |    floor(least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-              |                 / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) * 1000000 + 0.5) / 1000000 AS f_meanlen,
-              |    floor((CASE WHEN length(text) = 0 THEN 0.0
-              |          ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-              |               / CAST(length(text) AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS f_punct,
-              |    floor((CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
-              |           / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_stop
-              |  FROM staged)
-              |SELECT doc_id, logit, logit >= 0 AS keep FROM (
-              |  SELECT doc_id,
-              |    floor((-1.5 + 2.0 * f_len + 1.5 * f_distinct + 1.0 * f_meanlen
-              |           - 2.0 * f_punct + 3.0 * f_stop) * 1000000 + 0.5) / 1000000 AS logit
-              |  FROM feats)""".stripMargin)),
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("ws"))
+        .select(col("doc_id"),
+          qualityClassifierLogit(col("text"), col("ws")).as("logit"))
+        .select(col("doc_id"), col("logit"), (col("logit") >= 0).as("keep")),
+      Some(s"""SELECT doc_id, logit, logit >= 0 AS keep FROM (
+              |${qualityLogitSql("documents")})""".stripMargin)),
 
     // Content fingerprint (md5 of normalized text).
     Q("t_fingerprint",
@@ -1075,6 +1067,65 @@ object TextQueries {
               |SELECT d.doc_id, d.source, d.lang
               |FROM documents d JOIN mclustered c ON d.doc_id = c.doc_id
               |WHERE c.cluster_id = c.doc_id""".stripMargin)),
+
+    // The composed END-TO-END curation run (quality gate → lang gate →
+    // exact dedup → MinHash near-dup dedup → split), emitting the
+    // per-document audit trail: first failing gate, split for keepers.
+    // Each stage is an existing oracle-checked operator at its registry
+    // parameters; the entry checks the COMPOSITION — gate ordering,
+    // dedup-on-the-filtered-subset rooting, and the id-only assembly —
+    // byte-for-byte. The oracle reuses the same shared SQL fragments the
+    // standalone entries compile from (qualityLogitSql/langGuessSql/
+    // minhashCtes parameterized by source relation), so the pipeline and
+    // its stages cannot drift apart.
+    Q("t_curation_pipeline",
+      (s, dir) => graft.operators.CurationPipeline.audit(docs(s, dir), "doc_id", "text"),
+      Some {
+        s"""WITH RECURSIVE
+           |cpq AS (${qualityLogitSql("documents")}),
+           |cpl AS (${langGuessSql("documents")}),
+           |cps1 AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM documents d JOIN cpq USING (doc_id) JOIN cpl USING (doc_id)
+           |  WHERE cpq.logit >= 0 AND cpl.lang_guess = 'en'),
+           |cpfp AS (
+           |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           |  FROM cps1),
+           |cpek AS (
+           |  SELECT f.doc_id, f.doc_id = m.keep_id AS e_keep
+           |  FROM cpfp f JOIN (SELECT fp, min(doc_id) AS keep_id FROM cpfp GROUP BY fp) m USING (fp)),
+           |cps2 AS (
+           |  SELECT s.doc_id, s.text FROM cps1 s JOIN cpek k USING (doc_id) WHERE k.e_keep),
+           |${minhashCtes("cps2")},
+           |cpedges AS (SELECT a_id AS u, b_id AS v FROM mjp UNION SELECT b_id, a_id FROM mjp),
+           |cpreach(u, v) AS (
+           |  SELECT u, v FROM cpedges
+           |  UNION
+           |  SELECT r.u, e.v FROM cpreach r JOIN cpedges e ON r.v = e.u),
+           |cpclust AS (
+           |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+           |  FROM cps2 d LEFT JOIN cpreach r ON d.doc_id = r.u
+           |  GROUP BY d.doc_id),
+           |cpkept AS (SELECT doc_id FROM cpclust WHERE cluster_id = doc_id)
+           |SELECT doc_id, verdict,
+           |  CASE WHEN verdict = 'kept' THEN
+           |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+           |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+           |         ELSE 'test' END
+           |  END AS split
+           |FROM (
+           |  SELECT b.doc_id,
+           |    CASE WHEN q.logit < 0 THEN 'quality'
+           |         WHEN l.lang_guess <> 'en' THEN 'lang'
+           |         WHEN NOT k.e_keep THEN 'exact_dup'
+           |         WHEN n.doc_id IS NULL THEN 'near_dup'
+           |         ELSE 'kept' END AS verdict
+           |  FROM documents b
+           |  JOIN cpq q USING (doc_id)
+           |  JOIN cpl l USING (doc_id)
+           |  LEFT JOIN cpek k USING (doc_id)
+           |  LEFT JOIN cpkept n USING (doc_id))""".stripMargin
+      }),
 
     // Winnowed rolling-hash fingerprints, FULL-ORACLE against the NATIVE
     // hash family: the polynomial mod-2^64 char-gram hash and the
