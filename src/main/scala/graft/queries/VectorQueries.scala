@@ -145,6 +145,41 @@ object VectorQueries {
        |${asg(KmIters + 1)}""".stripMargin
   }
 
+  /** graft.similarity.ProductQuantizer's encode + query-LUT chain as
+    * DuckDB CTEs ending in `pqcodes(vec_id, j, code_id)` and
+    * `pqlut(j, code_id, lf)` (fixed-point subspace dot products for the
+    * vec_id=0 query) — shared by e_pq_topk and the IVF-PQ composition so
+    * the two entries' quantization can never drift. Names are pq-prefixed
+    * because the composition also inlines SemCellCtes (which owns `sc`).
+    */
+  private val PqCtes: String = {
+    def sfold(expr: String) =
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(j * 8 + 1, j * 8 + 8), i -> $expr)), (a, b) -> a + b)"
+    val dist = sfold("(CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)) * " +
+      "(CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE))")
+    val qdot = sfold("CAST(qv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
+    s"""pseeds AS (
+       |  SELECT vec_id AS code_id, embedding AS sv FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |           vec_id
+       |  LIMIT 16),
+       |pqsub AS (SELECT unnest(generate_series(0, 7)) AS j),
+       |pqd AS (
+       |  SELECT e.vec_id, j, code_id,
+       |    floor(($dist) * 1000000 + 0.5) / 1000000 AS dist
+       |  FROM embeddings e CROSS JOIN pqsub CROSS JOIN pseeds),
+       |pqcodes AS (
+       |  SELECT vec_id, j, code_id FROM (
+       |    SELECT vec_id, j, code_id,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code_id) AS rn
+       |    FROM pqd) WHERE rn = 1),
+       |pqlut AS (
+       |  SELECT j, code_id, CAST(floor(($qdot) * 1e9) AS BIGINT) AS lf
+       |  FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |       CROSS JOIN pqsub CROSS JOIN pseeds)""".stripMargin
+  }
+
   /** Geometry of the portable-LSH twins — shared by the Spark builders and
     * the SQL replay below so they can never drift. */
   private val PortableLsh = SimilaritySearch.PortableLshConfig(
@@ -466,40 +501,45 @@ object VectorQueries {
     Q("e_pq_topk",
       (s, dir) => graft.similarity.ProductQuantizer.pqTopK(
         emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10),
-      Some {
-        def sfold(expr: String) =
-          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-            s"list_transform(generate_series(j * 8 + 1, j * 8 + 8), i -> $expr)), (a, b) -> a + b)"
-        val dist = sfold("(CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)) * " +
-          "(CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE))")
-        val qdot = sfold("CAST(qv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
-        s"""WITH pseeds AS (
-           |  SELECT vec_id AS code_id, embedding AS sv FROM embeddings
-           |  ORDER BY ('0x' || substr(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-           |           vec_id
-           |  LIMIT 16),
-           |sub AS (SELECT unnest(generate_series(0, 7)) AS j),
-           |d AS (
-           |  SELECT e.vec_id, j, code_id,
-           |    floor(($dist) * 1000000 + 0.5) / 1000000 AS dist
-           |  FROM embeddings e CROSS JOIN sub CROSS JOIN pseeds),
-           |codes AS (
-           |  SELECT vec_id, j, code_id FROM (
-           |    SELECT vec_id, j, code_id,
-           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code_id) AS rn
-           |    FROM d) WHERE rn = 1),
-           |lut AS (
-           |  SELECT j, code_id, CAST(floor(($qdot) * 1e9) AS BIGINT) AS lf
-           |  FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-           |       CROSS JOIN sub CROSS JOIN pseeds),
-           |sc AS (
-           |  SELECT c.vec_id, sum(l.lf) AS sfp
-           |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
-           |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
-           |SELECT vec_id,
+      Some(
+        s"""WITH $PqCtes
+           |SELECT c.vec_id,
            |  floor((CAST(sfp AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS pq_score
-           |FROM sc ORDER BY pq_score DESC, vec_id LIMIT 10""".stripMargin
-      }),
+           |FROM (SELECT c.vec_id, sum(l.lf) AS sfp
+           |      FROM pqcodes c JOIN pqlut l ON c.j = l.j AND c.code_id = l.code_id
+           |      WHERE c.vec_id <> 0 GROUP BY c.vec_id) c
+           |ORDER BY pq_score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // IVF-PQ — the IVFADC composition (Jégou et al. §IV): the SemCell
+    // coarse quantizer prunes candidates to the query's 4 nearest cells,
+    // PQ-ADC scores only what's left. The billion-vector operating point:
+    // IVF bounds the compute, PQ bounds the memory, and because BOTH
+    // stages are the repo's deterministic hash-seed constructions the
+    // whole two-layer approximation replays byte-for-byte in SQL
+    // (shared SemCellCtes + PqCtes — the same fragments the standalone
+    // entries compile from, so the composition cannot drift from its
+    // parts). ProductQuantizerSpec measures the recall price of the cell
+    // pruning against plain PQ and the exact baseline.
+    Q("e_ivfpq_topk",
+      (s, dir) => graft.similarity.ProductQuantizer.ivfPqTopK(
+        emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10),
+      Some(
+        s"""WITH $SemCellCtes,
+           |$PqCtes,
+           |iprobe AS (
+           |  SELECT seed_id AS cell_id FROM sc WHERE vec_id = 0
+           |  ORDER BY score DESC, seed_id LIMIT 4),
+           |icand AS (
+           |  SELECT a.vec_id FROM asg a JOIN iprobe p ON a.seed_id = p.cell_id
+           |  WHERE a.vec_id <> 0)
+           |SELECT c.vec_id,
+           |  floor((CAST(sfp AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS pq_score
+           |FROM (SELECT c.vec_id, sum(l.lf) AS sfp
+           |      FROM pqcodes c
+           |      JOIN icand USING (vec_id)
+           |      JOIN pqlut l ON c.j = l.j AND c.code_id = l.code_id
+           |      GROUP BY c.vec_id) c
+           |ORDER BY pq_score DESC, vec_id LIMIT 10""".stripMargin)),
 
     // Exact counterpart of e_dup_pairs: all-pairs cosine ≥ threshold.
     // Quadratic by construction — the recall baseline for bounded corpora,

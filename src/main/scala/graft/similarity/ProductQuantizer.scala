@@ -101,7 +101,48 @@ object ProductQuantizer {
     * (vec_id, pq_score), score = Σⱼ LUT on the 1e-9 fixed-point grid,
     * 6-dp rounded, id tiebreak. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int, cfg: Config = Config()): DataFrame = {
+      k: Int, cfg: Config = Config()): DataFrame =
+    adcTopK(emb, idCol, vecCol, queryId, k, cfg, candidates = None)
+
+  /** IVF-PQ (the IVFADC composition, Jégou et al. §IV): the SemCell coarse
+    * quantizer restricts ADC scoring to the query's `nProbe` nearest
+    * cells, so a search touches O(nProbe/nCells) of the code table instead
+    * of all of it — the standard memory-AND-compute operating point for
+    * billion-vector corpora (IVF prunes the candidates, PQ shrinks what
+    * remains to bytes). Both stages are the repo's deterministic
+    * hash-seed constructions, so the WHOLE composition is
+    * full-oracle-able (e_ivfpq_topk): probe cells are the top-nProbe
+    * 6-dp-rounded seed cosines (seed-id tiebreak — the assignCells
+    * score), candidates are their members, scores are the fixed-point ADC
+    * sums. Approximation is two-layer (cell pruning may drop true
+    * neighbors; ADC scores are quantized) — ProductQuantizerSpec measures
+    * recall against both the exact baseline and plain PQ. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, nProbe: Int = 4, nCells: Int = 16,
+      cfg: Config = Config()): DataFrame = {
+    val e = normalized(emb, idCol, vecCol)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    // Top-nProbe cells by the same rounded score assignCells ranks with.
+    val probe = SemDedup.seeds(emb, idCol, vecCol, nCells)
+      .crossJoin(broadcast(q))
+      .select(col("seed_id").as("cell_id"), graft.operators.RelationalOps.round6(
+        SimilaritySearch.cosine(col("qv"), col("sv"))).as("s"))
+      .orderBy(col("s").desc, col("cell_id"))
+      .limit(nProbe)
+      .select(col("cell_id"))
+    val cand = SemDedup.assignCells(emb, idCol, vecCol, nCells)
+      .select(col(idCol).as("vec_id"), col("cell_id"))
+      .join(broadcast(probe), Seq("cell_id"))
+      .select(col("vec_id"))
+    adcTopK(emb, idCol, vecCol, queryId, k, cfg, candidates = Some(cand))
+  }
+
+  /** ADC top-k over the full corpus or a candidate id set. The candidate
+    * join is a LEFT SEMI on ids — at production sizing the probed subset
+    * is corpus/nCells·nProbe (not broadcastable); AQE picks the join. */
+  private def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, cfg: Config,
+      candidates: Option[DataFrame]): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
     val sd = seeds(e, cfg)
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
@@ -109,8 +150,11 @@ object ProductQuantizer {
       .select(col("j"), col("code_id"),
         floor(subDot(col("qv"), col("sv"), col("j"), cfg.subDim) * 1e9)
           .cast("long").as("lf"))
-    encode(emb, idCol, vecCol, cfg)
+    val codes = encode(emb, idCol, vecCol, cfg)
       .filter(col("vec_id") =!= queryId)
+    val scoped = candidates.fold(codes)(c =>
+      codes.join(c, Seq("vec_id"), "left_semi"))
+    scoped
       .join(broadcast(lut), Seq("j", "code_id"))
       .groupBy(col("vec_id")).agg(sum(col("lf")).as("sfp"))
       .select(col("vec_id"), graft.operators.RelationalOps.round6(

@@ -73,6 +73,27 @@ class ProductQuantizerSpec extends AnyFunSuite {
       f"rerank recall@10 $rRerank%.2f below floor — codebooks degenerate?")
   }
 
+  test("ivf-pq results live in the probed cells and recall clears the floor") {
+    val k = 10
+    val ivfpq = ProductQuantizer.ivfPqTopK(emb, "vec_id", "embedding", 0L, k)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfpq.size === k)
+    // subset contract: every result sits in one of the query's 4 nearest cells
+    val cells = SemDedup.assignCells(emb, "vec_id", "embedding", 16)
+      .select(col("vec_id").cast("long"), col("cell_id")).as[(Long, Long)]
+      .collect().toMap
+    val probed = {
+      val qCell = Set(cells(0L)) // the query's own cell is its nearest
+      ivfpq.map(cells).diff(qCell)
+    }
+    assert(probed.size <= 3, s"results span >4 cells: ${ivfpq.map(cells)}")
+    // recall floor vs the exact baseline: pruning + ADC quantization may
+    // drop true neighbors, but on sf0.001 it must keep a useful fraction
+    val exact = exactTopK(0L, k).toSet
+    val recall = (ivfpq & exact).size.toDouble / k
+    assert(recall >= 0.3, s"ivf-pq recall=$recall")
+  }
+
   test("rerank scores ARE the exact cosines, ranked densely") {
     val got = ProductQuantizer
       .pqTopKReranked(emb, "vec_id", "embedding", 0L, 5, shortlist = 64, cfg)
