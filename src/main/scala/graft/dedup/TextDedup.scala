@@ -160,6 +160,42 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs — FUZZY decontamination: where
+    * t_decontaminate catches exact n-gram overlap, this catches a
+    * training doc that is a paraphrase-level near-dup of an eval doc
+    * (reworded benchmarks are the leak exact matching misses). Each
+    * output row is a verified pair (l_id from `left`, r_id from `right`,
+    * inter, jaccard ≥ threshold). Same LSH shape as
+    * [[nearDuplicatePairs]], with the band join CROSS-SIDED: band rows
+    * are computed per side, the bucket census (and `maxBucket` cap) runs
+    * over the UNION — a bucket's fan-out is |L∩bucket|·|R∩bucket|, so the
+    * cap must see both sides — and only left×right bucket-mates become
+    * candidates (same-side pairs never form, so a 10⁹-doc corpus checked
+    * against a 10⁵-doc eval suite prices candidates by the eval side).
+    * Empty-shingle docs are excluded before banding on both sides (the
+    * nearDuplicatePairs NaN guard). */
+  def crossNearDupPairs(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val ls = signatures(left, idCol, textCol, cfg).filter(size(col("sh")) > 0).cache()
+    val rs = signatures(right, idCol, textCol, cfg).filter(size(col("sh")) > 0).cache()
+    val lb = bandRows(ls, cfg).withColumnRenamed("doc_id", "l_id")
+    val rb = bandRows(rs, cfg).withColumnRenamed("doc_id", "r_id")
+    val ok = lb.select(col("band_key")).unionAll(rb.select(col("band_key")))
+      .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cfg.maxBucket).select(col("band_key"))
+    val cand = lb.join(broadcast(ok), Seq("band_key"))
+      .join(rb, Seq("band_key"))
+      .select(col("l_id"), col("r_id")).distinct()
+    cand
+      .join(ls.select(col("doc_id").as("l_id"), col("sh").as("sh_l")), "l_id")
+      .join(rs.select(col("doc_id").as("r_id"), col("sh").as("sh_r")), "r_id")
+      .withColumn("inter", size(array_intersect(col("sh_l"), col("sh_r"))).cast("long"))
+      .withColumn("jaccard", graft.operators.RelationalOps.round6(col("inter").cast("double") /
+        (size(col("sh_l")) + size(col("sh_r")) - col("inter")).cast("double")))
+      .filter(!isnan(col("jaccard")) && col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("l_id"), col("r_id"), col("inter"), col("jaccard"))
+  }
+
   /** Near-dup pairs collapsed to a survivor set: ONE representative (the
     * min id) per connected component of the near-dup graph
     * ([[ConnectedComponents]]), so chained relations (A~B~C with A!~C)

@@ -170,4 +170,32 @@ object RelationalOps {
     */
   def round6(c: Column): Column =
     (floor(c * 1000000.0 + lit(0.5)).cast(DoubleType) / 1000000.0).cast(DoubleType)
+
+  /** Exact discrete (type-1) quantiles per key via a VALUE HISTOGRAM —
+    * the scale path Spark's `percentile` aggregate is not: `percentile`
+    * buffers EVERY value per group in executor memory (a
+    * TypedImperativeAggregate whose state is the group itself), while
+    * this shape's only corpus-sized operation is a partial-aggregable
+    * count over (key, value) — the shuffle carries one row per DISTINCT
+    * value, and the cumulative-sum window runs on that already-aggregated
+    * histogram, never the corpus. Integer-exact end to end: the p-th
+    * quantile is the smallest value whose cumulative count reaches
+    * ceil(p·n) (ranks via integer `div`, no float thresholds), so any
+    * engine reproduces it byte-for-byte. Requires an integer-ordered
+    * `valCol` (char counts, token counts, byte sizes — the curation
+    * metrics this exists for). Output: (key, p25, p50, p75, n). */
+  def histogramQuantiles(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byKey.orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(byKey))
+    cum.groupBy(col(keyCol), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))).as("p25"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("p50"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))).as("p75"))
+      .select(col(keyCol), col("p25"), col("p50"), col("p75"), col("n"))
+  }
 }

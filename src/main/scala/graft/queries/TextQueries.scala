@@ -1444,6 +1444,32 @@ object TextQueries {
               |SELECT doc_id, count(*) AS n_contaminated
               |FROM tr JOIN ev USING (g) GROUP BY doc_id""".stripMargin)),
 
+    // FUZZY decontamination — the near-dup leak exact n-gram matching
+    // misses: training docs that are paraphrase-level MinHash near-dups
+    // of an eval doc (same split rule as t_decontaminate: doc_id % 20).
+    // The cross-sided LSH band join prices candidates by the EVAL side
+    // (same-side pairs never form); the bucket census/cap runs over the
+    // union because a bucket's fan-out is |train∩bucket|·|eval∩bucket|.
+    // The oracle reuses the whole-corpus MinhashCtes chain verbatim —
+    // train and eval partition the corpus, so cross-side pairs are
+    // exactly mjp's rows with one member per side, reoriented.
+    Q("t_decontaminate_fuzzy",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.dedup.TextDedup.crossNearDupPairs(
+            d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text",
+            graft.dedup.TextDedup.MinHashConfig(jaccardThreshold = 0.4, portable = true))
+          .select(col("l_id").as("doc_id"), col("r_id").as("eval_id"),
+            col("inter"), col("jaccard"))
+      },
+      Some(s"""WITH $MinhashCtes
+              |SELECT CASE WHEN a_id % 20 <> 0 THEN a_id ELSE b_id END AS doc_id,
+              |  CASE WHEN a_id % 20 = 0 THEN a_id ELSE b_id END AS eval_id,
+              |  inter, jaccard
+              |FROM mjp
+              |WHERE (a_id % 20 = 0) <> (b_id % 20 = 0)""".stripMargin)),
+
     // Bloom-prefiltered decontamination — identical OUTPUT to
     // t_decontaminate (the oracle is literally the same SQL), different
     // LARGE-EVAL-regime plan. When the eval suite outgrows the broadcast
@@ -1697,6 +1723,33 @@ object TextQueries {
              |  floor(quantile_cont(n_chars, 0.75) * 1000000 + 0.5) / 1000000 AS p75,
              |  count(*) AS n_docs
              |FROM documents GROUP BY lang""".stripMargin)),
+
+    // Exact discrete quantiles via VALUE HISTOGRAM — the scale twin of
+    // t_quality_quantiles: `percentile` buffers every group member in
+    // executor memory (its aggregation state IS the group), which at
+    // 100 TB is the operator that dies first; the histogram shape's only
+    // corpus-sized op is a partial-aggregable (key, value) count, with
+    // the cumulative window running on the aggregated histogram. Type-1
+    // quantiles (smallest value whose cumulative count reaches ceil(p·n),
+    // integer ranks via div) — integer-exact in any engine, unlike
+    // percentile's interpolated doubles.
+    Q("t_quantile_hist",
+      (s, dir) => graft.operators.RelationalOps.histogramQuantiles(
+        docs(s, dir), "lang", "n_chars"),
+      Some("""WITH h AS (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |cw AS (
+             |  SELECT lang, v, c,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             |    sum(c) OVER (PARTITION BY lang) AS n
+             |  FROM h)
+             |SELECT lang,
+             |  min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS p25,
+             |  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+             |  min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS p75,
+             |  CAST(n AS BIGINT) AS n
+             |FROM cw GROUP BY lang, n""".stripMargin)),
 
     // PII redaction: regexp-rewrite emails to a placeholder. The synthetic
     // corpus is PII-free, so the query PLANTS a deterministic email per doc

@@ -47,6 +47,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!ids.exists { case (a, b) => a > 3 && b > 3 })
   }
 
+  test("cross-corpus near-dup pairs: planted paraphrase leaks are found, same-side pairs never form") {
+    val c = corpus()
+    // eval = docs 1 and 3 (near-identical to each other); train = the rest,
+    // including doc 2 (a paraphrase of eval doc 1) — the fuzzy leak.
+    val eval = c.filter(col("doc_id").isin(1L, 3L))
+    val train = c.filter(!col("doc_id").isin(1L, 3L))
+    val pairs = crossNearDupPairs(train, eval, "doc_id", "text",
+        MinHashConfig(jaccardThreshold = 0.3))
+      .as[(Long, Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((2L, 1L)), s"paraphrase leak 2~1 missed: $ids")
+    assert(ids.contains((2L, 3L)), s"leak vs the eval exact-dup missed: $ids")
+    // left side only from train, right side only from eval — the eval pair
+    // (1,3) must NOT appear even though it is a true near-dup
+    assert(pairs.forall { case (l, r, _, j) =>
+      !Set(1L, 3L).contains(l) && Set(1L, 3L).contains(r) && j >= 0.3
+    }, s"same-side or sub-threshold pair leaked through: ${pairs.toSeq}")
+  }
+
   test("minhash dedup drops near-dup losers, keeps the rest") {
     val kept = minHashDedup(corpus(), "doc_id", "text",
       MinHashConfig(jaccardThreshold = 0.3))
