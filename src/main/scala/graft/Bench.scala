@@ -221,6 +221,20 @@ object Bench {
     // r9 top-PC eigensolve: one d²-cell covariance pass over the corpus +
     // corpus-free integer power iterations (PrincipalComponent).
     val topPcSec = timedExtra("e_top_pc")
+    // r9 late wave: spherical k-means (4 Lloyd's rounds, one corpus scan
+    // each), its trained-cell SemDedup composition, the composed curation
+    // run (gates → exact dedup → minhash dedup → split), IVF-PQ search,
+    // BPE corpus encoding (merges train + vocab-sized k-pass rewrite),
+    // fuzzy train/eval decontamination, feature hashing, and the
+    // histogram-quantile scale path.
+    val kmeansSec = timedExtra("e_kmeans")
+    val semdedupKmSec = timedExtra("e_semdedup_km")
+    val curationPipelineSec = timedExtra("t_curation_pipeline")
+    val ivfpqSec = timedExtra("e_ivfpq_topk")
+    val bpeEncodeSec = timedExtra("t_bpe_encode")
+    val fuzzyDeconSec = timedExtra("t_decontaminate_fuzzy")
+    val hashingTfSec = timedExtra("t_hashing_tf")
+    val quantileHistSec = timedExtra("t_quantile_hist")
     val pagerankSec = try {
       import org.apache.spark.sql.functions.{col, lit}
       val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
@@ -519,6 +533,14 @@ object Bench {
       "extra:pagerank" -> (pagerankSec < 0),
       "extra:t_heavy_hitters_cms" -> (cmsSec < 0),
       "extra:e_top_pc" -> (topPcSec < 0),
+      "extra:e_kmeans" -> (kmeansSec < 0),
+      "extra:e_semdedup_km" -> (semdedupKmSec < 0),
+      "extra:t_curation_pipeline" -> (curationPipelineSec < 0),
+      "extra:e_ivfpq_topk" -> (ivfpqSec < 0),
+      "extra:t_bpe_encode" -> (bpeEncodeSec < 0),
+      "extra:t_decontaminate_fuzzy" -> (fuzzyDeconSec < 0),
+      "extra:t_hashing_tf" -> (hashingTfSec < 0),
+      "extra:t_quantile_hist" -> (quantileHistSec < 0),
       "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
@@ -570,6 +592,14 @@ object Bench {
       s""""pagerank_sec":${f"$pagerankSec%.3f"},""" +
       s""""cms_heavy_hitters_sec":${f"$cmsSec%.3f"},""" +
       s""""top_pc_sec":${f"$topPcSec%.3f"},""" +
+      s""""kmeans_sec":${f"$kmeansSec%.3f"},""" +
+      s""""semdedup_km_sec":${f"$semdedupKmSec%.3f"},""" +
+      s""""curation_pipeline_sec":${f"$curationPipelineSec%.3f"},""" +
+      s""""ivfpq_sec":${f"$ivfpqSec%.3f"},""" +
+      s""""bpe_encode_sec":${f"$bpeEncodeSec%.3f"},""" +
+      s""""fuzzy_decon_sec":${f"$fuzzyDeconSec%.3f"},""" +
+      s""""hashing_tf_sec":${f"$hashingTfSec%.3f"},""" +
+      s""""quantile_hist_sec":${f"$quantileHistSec%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

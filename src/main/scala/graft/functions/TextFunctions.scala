@@ -211,4 +211,24 @@ object TextFunctions {
     */
   def portableHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Signed feature hashing (Weinberger et al. 2009, the HashingTF
+    * shape): token → bucket via the portable 60-bit hash, ±1 sign from an
+    * independent hash, summed per (doc, bucket) — a fixed-`dim` sparse
+    * document vector with integer weights, no vocabulary pass at all
+    * (the property that makes it THE text-featurizer at corpus scale:
+    * TF-IDF needs the df table; this needs nothing). Emits nonzero
+    * buckets only: (doc, bucket, w). One partial-aggregable shuffle of
+    * O(nnz) integer rows; the sign makes bucket collisions cancel in
+    * expectation instead of accumulating bias. */
+  def hashedTf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol),
+        pmod(portableHash60(concat(lit("htf:"), col("tok"))), lit(dim.toLong)).as("bucket"),
+        when(pmod(portableHash60(concat(lit("hsg:"), col("tok"))), lit(2L)) === 0L,
+          1L).otherwise(-1L).as("sgn"))
+      .groupBy(col(idCol), col("bucket")).agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0L)
 }

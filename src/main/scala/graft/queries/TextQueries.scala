@@ -1751,6 +1751,26 @@ object TextQueries {
              |  CAST(n AS BIGINT) AS n
              |FROM cw GROUP BY lang, n""".stripMargin)),
 
+    // Signed feature hashing (the HashingTF shape) — fixed-dim sparse doc
+    // vectors with NO vocabulary pass: bucket and ±1 sign from independent
+    // portable hashes, integer weights summed per (doc, bucket). The
+    // vocabulary-free property is what makes it the corpus-scale text
+    // featurizer (t_tfidf needs the df table; this needs nothing), and
+    // the bridge from the text family to the vector family (hashed
+    // vectors feed the ANN/kmeans operators directly). One
+    // partial-aggregable O(nnz) shuffle.
+    Q("t_hashing_tf",
+      (s, dir) => graft.functions.TextFunctions.hashedTf(docs(s, dir), "doc_id", "text", 64),
+      Some(s"""SELECT doc_id, bucket, w FROM (
+              |  SELECT doc_id,
+              |    ('0x' || substr(md5('htf:' || tok), 1, 15))::BIGINT % 64 AS bucket,
+              |    sum(CASE WHEN ('0x' || substr(md5('hsg:' || tok), 1, 15))::BIGINT % 2 = 0
+              |             THEN 1 ELSE -1 END) AS w
+              |  FROM (SELECT doc_id, unnest($WSL) AS tok FROM documents)
+              |  WHERE tok <> ''
+              |  GROUP BY 1, 2)
+              |WHERE w <> 0""".stripMargin)),
+
     // PII redaction: regexp-rewrite emails to a placeholder. The synthetic
     // corpus is PII-free, so the query PLANTS a deterministic email per doc
     // before redacting — the redaction kernel (pattern + rewrite) is the
