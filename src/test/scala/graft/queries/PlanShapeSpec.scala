@@ -129,6 +129,32 @@ class PlanShapeSpec extends AnyFunSuite {
         "t_bm25: the query-term set must broadcast")
     }
 
+    test(s"late-wave shapes: scoped ADC, single-pass featurizer, histogram window above the aggregate$tag") {
+      // e_ivfpq_topk: the LUT/codebook joins are map-side and the top-k
+      // never global-sorts — the candidate scoping must not change the
+      // plain-PQ plan family
+      val ipq = plan(dir, "e_ivfpq_topk")
+      assert(ipq.contains("BroadcastHashJoin"), s"ivf-pq: LUT must broadcast:\n$ipq")
+      assert(ipq.contains("TakeOrderedAndProject"),
+        "ivf-pq: top-k must be TakeOrderedAndProject")
+      // t_hashing_tf: the vocabulary-free featurizer is ONE partial
+      // aggregate over the token explode — no join anywhere, no window
+      val htf = plan(dir, "t_hashing_tf")
+      assert(htf.contains("HashAggregate") && !htf.contains("Window") &&
+        !htf.contains("Join"), s"hashing-tf must be a pure aggregate:\n$htf")
+      // t_quantile_hist: the cumulative window must sit ABOVE the value
+      // histogram's hash aggregate (the corpus-sized op is the partial-agg
+      // count; the window sorts only the aggregated histogram)
+      val qh = plan(dir, "t_quantile_hist")
+      assert(qh.contains("HashAggregate") && qh.contains("Window"),
+        s"quantile-hist shape drifted:\n$qh")
+      // e_kmeans's final assignment: broadcast centroid array, no
+      // sort-merge join, no window anywhere in the assembled plan
+      val km = plan(dir, "e_kmeans")
+      assert(!km.contains("SortMergeJoin") && !km.contains("Window"),
+        s"kmeans assignment must stay a broadcast map:\n$km")
+    }
+
     test(s"span dedup: equi-join on gram hashes, explode below the spread exchange$tag") {
       Seq("t_dup_spans", "t_dup_spans_anchored", "t_substring_dedup").foreach { q =>
         val p = plan(dir, q)
