@@ -228,6 +228,24 @@ object Bench {
     // fuzzy train/eval decontamination, feature hashing, and the
     // histogram-quantile scale path.
     val kmeansSec = timedExtra("e_kmeans")
+    // Production sizing for the trained clusterer (the semdedup_prod
+    // rule): k ≈ corpus/125 cells, 2 Lloyd's rounds — the configuration a
+    // SemDedup/IVF training pass actually runs. fit() executes its
+    // per-round jobs eagerly, so the timing brackets the whole train +
+    // final assignment.
+    val kmeansProdSec = try {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val k = math.max(16L, emb.count() / 125L).toInt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.similarity.KMeans.fit(emb, "vec_id", "embedding",
+            graft.similarity.KMeans.Config(k = k, iterations = 2))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once()
+    } catch { case e: Throwable => failed("extra:kmeans_prod", e); -1.0 }
     val semdedupKmSec = timedExtra("e_semdedup_km")
     val curationPipelineSec = timedExtra("t_curation_pipeline")
     val ivfpqSec = timedExtra("e_ivfpq_topk")
@@ -534,6 +552,7 @@ object Bench {
       "extra:t_heavy_hitters_cms" -> (cmsSec < 0),
       "extra:e_top_pc" -> (topPcSec < 0),
       "extra:e_kmeans" -> (kmeansSec < 0),
+      "extra:kmeans_prod" -> (kmeansProdSec < 0),
       "extra:e_semdedup_km" -> (semdedupKmSec < 0),
       "extra:t_curation_pipeline" -> (curationPipelineSec < 0),
       "extra:e_ivfpq_topk" -> (ivfpqSec < 0),
@@ -593,6 +612,7 @@ object Bench {
       s""""cms_heavy_hitters_sec":${f"$cmsSec%.3f"},""" +
       s""""top_pc_sec":${f"$topPcSec%.3f"},""" +
       s""""kmeans_sec":${f"$kmeansSec%.3f"},""" +
+      s""""kmeans_prod_sec":${f"$kmeansProdSec%.3f"},""" +
       s""""semdedup_km_sec":${f"$semdedupKmSec%.3f"},""" +
       s""""curation_pipeline_sec":${f"$curationPipelineSec%.3f"},""" +
       s""""ivfpq_sec":${f"$ivfpqSec%.3f"},""" +
