@@ -122,15 +122,18 @@ object ProductQuantizer {
       cfg: Config = Config()): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    // One seed derivation (a corpus TakeOrdered) feeds BOTH the probe
+    // ranking and the cell assignment.
+    val sd = SemDedup.seeds(emb, idCol, vecCol, nCells)
     // Top-nProbe cells by the same rounded score assignCells ranks with.
-    val probe = SemDedup.seeds(emb, idCol, vecCol, nCells)
+    val probe = sd
       .crossJoin(broadcast(q))
       .select(col("seed_id").as("cell_id"), graft.operators.RelationalOps.round6(
         SimilaritySearch.cosine(col("qv"), col("sv"))).as("s"))
       .orderBy(col("s").desc, col("cell_id"))
       .limit(nProbe)
       .select(col("cell_id"))
-    val cand = SemDedup.assignCells(emb, idCol, vecCol, nCells)
+    val cand = SemDedup.assignCellsTo(emb, idCol, vecCol, sd)
       .select(col(idCol).as("vec_id"), col("cell_id"))
       .join(broadcast(probe), Seq("cell_id"))
       .select(col("vec_id"))

@@ -61,8 +61,16 @@ object SemDedup {
     * 1-row broadcast array; the argmax is a per-row `array_max` over a
     * struct of (rounded score, -seed_id) — max score wins, ties fall to the
     * smaller seed id. Zero shuffles, zero windows. */
-  def assignCells(emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
-    val seedArr = seeds(emb, idCol, vecCol, nCells)
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    assignCellsTo(emb, idCol, vecCol, seeds(emb, idCol, vecCol, nCells))
+
+  /** [[assignCells]] against a caller-supplied seed frame
+    * `(seed_id, sv)` — for callers that already derived the seeds (the
+    * IVF-PQ probe ranks the same frame: one corpus TakeOrdered instead of
+    * two). */
+  def assignCellsTo(emb: DataFrame, idCol: String, vecCol: String,
+      seedsDf: DataFrame): DataFrame = {
+    val seedArr = seedsDf
       .agg(sort_array(collect_list(struct(col("seed_id"), col("sv")))).as("seed_arr"))
     val best: Column = array_max(transform(col("seed_arr"), s =>
       struct(round6(cosine(col(vecCol), s.getField("sv"))).as("score"),
