@@ -253,6 +253,12 @@ object Bench {
     val fuzzyDeconSec = timedExtra("t_decontaminate_fuzzy")
     val hashingTfSec = timedExtra("t_hashing_tf")
     val quantileHistSec = timedExtra("t_quantile_hist")
+    // r9 additions: rank-ensemble quality filter (histogram CDFs broadcast
+    // onto the probe scan) and the incremental additive rollup view (the
+    // registry entry replays its whole two-batch-plus-redelivery lifecycle
+    // including the swap writes, so this times MAINTENANCE, not a query).
+    val qualityEnsembleSec = timedExtra("t_quality_ensemble")
+    val rollupIncrementalSec = timedExtra("h_day_rollup_incremental")
     val pagerankSec = try {
       import org.apache.spark.sql.functions.{col, lit}
       val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
@@ -560,6 +566,8 @@ object Bench {
       "extra:t_decontaminate_fuzzy" -> (fuzzyDeconSec < 0),
       "extra:t_hashing_tf" -> (hashingTfSec < 0),
       "extra:t_quantile_hist" -> (quantileHistSec < 0),
+      "extra:t_quality_ensemble" -> (qualityEnsembleSec < 0),
+      "extra:h_day_rollup_incremental" -> (rollupIncrementalSec < 0),
       "extra:span_dedup" -> (spanDedupSec < 0 || spanDedupExactSec < 0),
       "extra:e_semdedup" -> (semdedupSec < 0),
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
@@ -620,6 +628,8 @@ object Bench {
       s""""fuzzy_decon_sec":${f"$fuzzyDeconSec%.3f"},""" +
       s""""hashing_tf_sec":${f"$hashingTfSec%.3f"},""" +
       s""""quantile_hist_sec":${f"$quantileHistSec%.3f"},""" +
+      s""""quality_ensemble_sec":${f"$qualityEnsembleSec%.3f"},""" +
+      s""""rollup_incremental_sec":${f"$rollupIncrementalSec%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

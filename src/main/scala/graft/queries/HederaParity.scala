@@ -165,6 +165,41 @@ object HederaParity {
              |  event_type, count(*) AS n,
              |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // A5+J1 composed as MAINTENANCE: the day rollup kept current by folding
+    // per-batch partial aggregates into a persisted additive view
+    // (graft.operators.IncrementalRollup) instead of rescanning events per
+    // schedule — the engine face of the reference's scheduled re-aggregation
+    // jobs (AbstractDeduplication.java's timer-driven MERGE discipline, but
+    // O(batch + view) per fire instead of O(fact table)). The oracle is
+    // h_day_rollup's SQL VERBATIM over a three-apply build — two halves by
+    // event-id parity plus a forced REDELIVERY of the first batch — so the
+    // byte match is simultaneously the incremental ≡ one-shot proof and the
+    // exactly-once-under-replay proof at the gate (a double-count would
+    // shift every even-batch n and total).
+    Q("h_day_rollup_incremental",
+      (s, dir) => {
+        val work = s"${sys.props("java.io.tmpdir")}/graft-rindex-rollup-" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val f = new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(work), true)
+        val ev = events(s, dir).select(
+          date_format(timestamp_micros(tsUs), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value"), col("event_id"))
+        val keys = Seq("day", "event_type")
+        val even = ev.where(pmod(col("event_id"), lit(2)) === 0)
+        graft.operators.IncrementalRollup.applyBatch(s, work, even, 0L, keys, "value")
+        graft.operators.IncrementalRollup.applyBatch(s, work,
+          ev.where(pmod(col("event_id"), lit(2)) === 1), 1L, keys, "value")
+        graft.operators.IncrementalRollup.applyBatch(s, work, even, 0L, keys, "value")
+        graft.operators.IncrementalRollup.read(s, work)
+          .select(col("day"), col("event_type"), col("n"), col("total_value"))
+      },
+      Some("""SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d') AS day,
+             |  event_type, count(*) AS n,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -1751,6 +1751,91 @@ object TextQueries {
              |  CAST(n AS BIGINT) AS n
              |FROM cw GROUP BY lang, n""".stripMargin)),
 
+    // Rank-ensemble quality FILTER — the multi-signal curation gate (no
+    // single heuristic is trusted; each signal is rank-normalized to a
+    // percentile and the percentiles are blended). Rank normalization
+    // without a corpus sort: each signal maps to a FIXED 4096-bucket
+    // histogram (the t_quantile_hist discipline applied to percentiles),
+    // so the only corpus-sized ops are one scan computing the three
+    // per-doc signals and one partial-aggregable (signal, bucket) count;
+    // the cumulative-distribution window runs on ≤3·4096 aggregated rows,
+    // which then BROADCAST back onto the probe scan — zero shuffle of the
+    // corpus at any size. The blend stays integer to the end: a doc's
+    // blended rank is (cum₁+cum₂+cum₃)/(3N) — three exact cumulative
+    // counts summed as longs, ONE double division, so the score is
+    // order-independent under any merge schedule. Signals: token count
+    // (length prior), distinct-token ratio (repetition prior), mean token
+    // length (gibberish prior). Signal doubles are ratios of exact longs
+    // — both engines compute the identical IEEE quotient, so the bucket
+    // floor can never straddle.
+    Q("t_quality_ensemble",
+      (s, dir) => {
+        val sg = docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("nt"),
+            size(array_distinct(col("ws"))).cast("long").as("nd"),
+            aggregate(col("ws"), lit(0L), (a, t) => a + length(t).cast("long")).as("sl"))
+          .select(col("doc_id"),
+            least(col("nt"), lit(4095L)).as("b1"),
+            when(col("nt") === 0, lit(0L)).otherwise(least(
+              floor(col("nd").cast("double") / col("nt").cast("double") * 4096.0)
+                .cast("long"), lit(4095L))).as("b2"),
+            when(col("nt") === 0, lit(0L)).otherwise(least(
+              floor(col("sl").cast("double") / col("nt").cast("double") * 100.0)
+                .cast("long"), lit(4095L))).as("b3"))
+        val cum = sg
+          .select(col("doc_id"), explode(array(
+            struct(lit(1).as("sig"), col("b1").as("b")),
+            struct(lit(2).as("sig"), col("b2").as("b")),
+            struct(lit(3).as("sig"), col("b3").as("b")))).as("sb"))
+          .select(col("sb.sig").as("sig"), col("sb.b").as("b"))
+          .groupBy(col("sig"), col("b")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("sig")).orderBy(col("b"))))
+        def cdf(i: Int, bcol: String, out: String) = broadcast(
+          cum.filter(col("sig") === i)
+            .select(col("b").as(bcol), col("cum").as(out)))
+        val n = docs(s, dir).agg(count(lit(1)).as("n"))
+        sg.join(cdf(1, "b1", "c1"), Seq("b1"))
+          .join(cdf(2, "b2", "c2"), Seq("b2"))
+          .join(cdf(3, "b3", "c3"), Seq("b3"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), graft.operators.RelationalOps.round6(
+            (col("c1") + col("c2") + col("c3")).cast("double") /
+              (col("n").cast("double") * 3.0)).as("blend"))
+          .select(col("doc_id"), col("blend"), (col("blend") >= 0.5).as("keep"))
+      },
+      Some(s"""WITH eq AS (
+              |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS nt,
+              |    CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+              |    CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS BIGINT) AS sl
+              |  FROM (SELECT doc_id, $WS AS ws FROM documents)),
+              |sg AS (
+              |  SELECT doc_id, least(nt, 4095) AS b1,
+              |    CASE WHEN nt = 0 THEN 0 ELSE least(CAST(floor(
+              |      CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) * 4096.0) AS BIGINT), 4095) END AS b2,
+              |    CASE WHEN nt = 0 THEN 0 ELSE least(CAST(floor(
+              |      CAST(sl AS DOUBLE) / CAST(nt AS DOUBLE) * 100.0) AS BIGINT), 4095) END AS b3
+              |  FROM eq),
+              |melt AS (
+              |  SELECT doc_id, 1 AS sig, b1 AS b FROM sg
+              |  UNION ALL SELECT doc_id, 2, b2 FROM sg
+              |  UNION ALL SELECT doc_id, 3, b3 FROM sg),
+              |cw AS (
+              |  SELECT sig, b, CAST(sum(c) OVER (PARTITION BY sig ORDER BY b) AS BIGINT) AS cum
+              |  FROM (SELECT sig, b, count(*) AS c FROM melt GROUP BY 1, 2)),
+              |nn AS (SELECT count(*) AS n FROM documents)
+              |SELECT doc_id, blend, blend >= 0.5 AS keep FROM (
+              |  SELECT sg.doc_id,
+              |    floor(CAST(c1.cum + c2.cum + c3.cum AS DOUBLE)
+              |          / (CAST(nn.n AS DOUBLE) * 3.0) * 1000000 + 0.5) / 1000000 AS blend
+              |  FROM sg
+              |  JOIN cw c1 ON c1.sig = 1 AND c1.b = sg.b1
+              |  JOIN cw c2 ON c2.sig = 2 AND c2.b = sg.b2
+              |  JOIN cw c3 ON c3.sig = 3 AND c3.b = sg.b3
+              |  CROSS JOIN nn)""".stripMargin)),
+
     // Signed feature hashing (the HashingTF shape) — fixed-dim sparse doc
     // vectors with NO vocabulary pass: bucket and ±1 sign from independent
     // portable hashes, integer weights summed per (doc, bucket). The

@@ -155,6 +155,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"kmeans assignment must stay a broadcast map:\n$km")
     }
 
+    test(s"rank-ensemble filter: CDFs broadcast back onto the probe scan$tag") {
+      // t_quality_ensemble's corpus-sized ops are one signal scan and one
+      // partial-aggregable (signal, bucket) count; the three cumulative-
+      // distribution frames (≤4096 rows each) must BROADCAST onto the
+      // probe side — a sort-merge join here means the corpus is being
+      // shuffled by bucket, and a missing Window means the CDF stopped
+      // being cumulative.
+      val qe = plan(dir, "t_quality_ensemble")
+      assert("BroadcastHashJoin".r.findAllIn(qe).size >= 3,
+        s"quality-ensemble: the three CDF joins must broadcast:\n$qe")
+      assert(!qe.contains("SortMergeJoin"),
+        s"quality-ensemble: corpus must not shuffle on the bucket key:\n$qe")
+      assert(qe.contains("HashAggregate") && qe.contains("Window"),
+        s"quality-ensemble: histogram/CDF shape drifted:\n$qe")
+    }
+
     test(s"span dedup: equi-join on gram hashes, explode below the spread exchange$tag") {
       Seq("t_dup_spans", "t_dup_spans_anchored", "t_substring_dedup").foreach { q =>
         val p = plan(dir, q)
