@@ -82,7 +82,13 @@ object IncrementalRollup {
 
   /** Fold one batch into the view rooted at `dir` (created on first call).
     * Idempotent on `batchId`: a redelivered batch is a no-op. Returns true
-    * when the batch was applied, false when the ledger already had it. */
+    * when the batch was applied, false when the ledger already had it.
+    *
+    * The ledger keeps EVERY applied id (one decimal line each): the batch
+    * API accepts arbitrary ids, so no tail-pruning rule is sound here —
+    * and the cost is honest: a year of 1-minute micro-batches is ~0.5 M
+    * lines / a few MB, parsed once per apply. A deployment that outgrows
+    * that is batching too finely for a persisted-view sink. */
   def applyBatch(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long, keys: Seq[String], valueCol: String,
       outFiles: Int = 1): Boolean = {

@@ -229,8 +229,12 @@ object TextQueries {
 
   /** Token-budget mixture sampling (t_mix_sample's engine), extracted so
     * the spec can drive it over adversarial corpora (hot source). See the
-    * registry entry's comment for the two-phase design rationale. */
-  private[queries] def mixSample(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * registry entry's comment for the two-phase design rationale.
+    * `budgets` overrides the per-source token budget (a tiny
+    * (source, budget) frame, broadcast); None keeps t_mix_sample's
+    * hash-derived stand-in budgets as an inline expression. */
+  private[queries] def mixSample(d: org.apache.spark.sql.DataFrame,
+      budgets: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     val base = d.select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tokens"),
         portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
@@ -244,14 +248,37 @@ object TextQueries {
     val wIn = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(off), Seq("source", "bucket"))
+    val offsets = base.join(broadcast(off), Seq("source", "bucket"))
       .withColumn("start_off",
         col("bucket_off") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
-      .withColumn("budget",
+    val budgeted = budgets match {
+      case Some(b) => offsets.join(broadcast(b), Seq("source"))
+      case None => offsets.withColumn("budget",
         pmod(portableHash60(concat(lit("budget:"), col("source"))), lit(800L)) + 200L)
+    }
+    budgeted
       .filter(col("start_off") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("start_off"), col("budget"))
+  }
+
+  /** √-temperature per-source budgets (UniMax/multilingual-mixing shape,
+    * τ = 1/2): budget_s ∝ √(token mass of s), so over-represented sources
+    * are down-weighted sub-linearly instead of capped. Integer-exact end
+    * to end: w_s = floor(√m_s) (an exact-integer sqrt — m_s < 2⁵² is
+    * exactly representable, the correctly-rounded IEEE √ is within 2⁻²⁰
+    * of the true value at any warehouse-sized mass, and floor can never
+    * straddle the integer boundary), then budget_s = T·w_s div Σw —
+    * multiply/truncating-divide on longs, identical in any engine. One
+    * extra partial-aggregable mass pass; the budget frame is
+    * sources-sized and broadcasts. */
+  private[queries] def temperatureBudgets(d: org.apache.spark.sql.DataFrame,
+      totalBudget: Long): org.apache.spark.sql.DataFrame = {
+    val w = d.select(col("source"), tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("mass"))
+      .select(col("source"), floor(sqrt(col("mass").cast("double"))).cast("long").as("w"))
+    w.crossJoin(broadcast(w.agg(sum(col("w")).as("tw"))))
+      .select(col("source"), expr(s"${totalBudget}L * w div tw").as("budget"))
   }
 
   /** The df-capped distinct-3-shingle universe with per-doc sizes and the
@@ -2098,6 +2125,37 @@ object TextQueries {
               |  FROM b)
               |SELECT doc_id, source, n_tokens, start_off, budget
               |FROM r WHERE start_off < budget""".stripMargin)),
+
+    // Temperature-scaled mixture sampling — t_mix_sample's selection
+    // machinery under DATA-DERIVED budgets: budget_s ∝ √(source token
+    // mass) (τ=1/2 temperature sampling, the UniMax/multilingual-mixing
+    // shape — big sources down-weighted sub-linearly, never hard-capped).
+    // The whole budget derivation is integer arithmetic (see
+    // temperatureBudgets), so a SAMPLING POLICY computed from corpus
+    // statistics still byte-matches the oracle; the budget frame is
+    // sources-sized and broadcasts onto the same two-phase prefix-sum
+    // selection.
+    Q("t_mix_temperature",
+      (s, dir) => mixSample(docs(s, dir),
+        budgets = Some(temperatureBudgets(docs(s, dir), 8000L))),
+      Some(s"""WITH b AS (
+              |  SELECT doc_id, source,
+              |    CAST(len($WS) AS BIGINT) AS n_tokens,
+              |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              |  FROM documents),
+              |mw AS (
+              |  SELECT source,
+              |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+              |  FROM b GROUP BY source),
+              |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM mw),
+              |bud AS (SELECT source, CAST(8000 * w // tw AS BIGINT) AS budget FROM mw, tw),
+              |r AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off
+              |  FROM b)
+              |SELECT r.doc_id, r.source, r.n_tokens, r.start_off, bud.budget
+              |FROM r JOIN bud USING (source) WHERE r.start_off < bud.budget""".stripMargin)),
 
     // Character-trigram LM familiarity — the statistical-LM quality signal
     // (the integer-exact core of a KenLM-style char-model filter): score

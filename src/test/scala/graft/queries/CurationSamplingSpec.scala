@@ -115,6 +115,53 @@ class CurationSamplingSpec extends AnyFunSuite {
     } finally twoPhase.unpersist()
   }
 
+  test("temperatureBudgets: √-proportional, integer-exact, and sums within the total") {
+    // 100× the token mass must earn ~10× (√100) the budget — NOT 100×
+    // (that would be proportional sampling) and NOT ~1× (a hard cap).
+    import spark.implicits._
+    val synth = ((1 to 2000).map(i => (i.toLong, "big", s"a b c d e f g h $i")) ++
+      (1 to 20).map(i => ((90000 + i).toLong, "small", s"a b c d e f g h $i")))
+      .toDF("doc_id", "source", "text")
+    val buds = TextQueries.temperatureBudgets(synth, 9000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = buds("big").toDouble / buds("small").toDouble
+    assert(ratio > 8.0 && ratio < 12.0,
+      s"√-temperature ratio drifted: $ratio (budgets $buds)")
+    // truncating division can only under-spend, never over-spend
+    assert(buds.values.sum <= 9000L)
+    // integer determinism: a second derivation is bit-identical
+    val again = TextQueries.temperatureBudgets(synth.repartition(7), 9000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === buds)
+  }
+
+  test("mixSample under temperature budgets admits exactly the per-source prefix") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val synth = ((1 to 500).map(i => (i.toLong, "big", s"a b c d $i")) ++
+      (1 to 40).map(i => ((90000 + i).toLong, s"small${i % 2}", s"x y $i")))
+      .toDF("doc_id", "source", "text")
+    val buds = TextQueries.temperatureBudgets(synth, 600L)
+    val got = TextQueries.mixSample(synth, budgets = Some(buds))
+      .select(col("doc_id"), col("start_off")).cache()
+    try {
+      val base = synth.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        portableHash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flat = base
+        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .join(buds, Seq("source"))
+        .filter(col("start_off") < col("budget"))
+        .select(col("doc_id"), col("start_off"))
+      assert(got.count() == flat.count() && got.count() > 0L)
+      assert(got.as("a").join(flat.as("b"), Seq("doc_id"))
+        .filter(col("a.start_off") =!= col("b.start_off")).count() == 0L)
+    } finally got.unpersist()
+  }
+
   test("x_pair_contrastive: one pair per doc, negative never the positive, deterministic") {
     val df = run("x_pair_contrastive").cache()
     try {
