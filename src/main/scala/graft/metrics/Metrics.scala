@@ -44,6 +44,14 @@ object Metrics {
   val DedupeDelay = "dedupe.delay"
   val DuplicatesCount = "dedupe.duplicates.count"
 
+  /** Rows silently discarded by stateful operators because they arrived
+    * behind the watermark (extension metric): the ONE data-loss channel a
+    * watermarked streaming pipeline has that no batch replay repairs —
+    * late rows never reach the sink OR the dead-letter table, so without
+    * this counter the loss is invisible. Fed from each progress event's
+    * per-operator `numRowsDroppedByWatermark`. */
+  val LateRowsDropped = "streaming.late.dropped"
+
   /** Per-day ingested-row counter name (extension metric, not a reference
     * name): fed by the ingest `observe()` pass's map-typed
     * [[graft.expressions.CountByKey]] aggregate — one counter per event
@@ -60,6 +68,8 @@ object Metrics {
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       reg.inc("ingest.batches")
       reg.inc("ingest.rows", event.progress.numInputRows)
+      val late = event.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (late > 0) reg.inc(LateRowsDropped, late)
     }
   }
 

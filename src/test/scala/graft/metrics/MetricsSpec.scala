@@ -83,4 +83,37 @@ class MetricsSpec extends AnyFunSuite {
     assert(reg.snapshot().keys.exists(_.startsWith("dedupe.job.runtime.repair")))
     assert(reg.get("dedupe.job.rows.repair") === 2)
   }
+
+  test("watermark-dropped late rows reach the LateRowsDropped counter") {
+    // Late-row loss is the one streaming data-loss channel with no
+    // dead-letter record; the listener must surface it. Plant a row two
+    // minutes behind the advanced watermark and assert the counter moved
+    // (and that on-time rows don't).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = new MetricsRegistry
+    val listener = new Metrics.IngestListener(reg)
+    spark.streams.addListener(listener)
+    try {
+      val ms = MemoryStream[(java.sql.Timestamp, String)]
+      val counts = graft.streaming.StreamOps.tumblingCounts(
+        ms.toDF().toDF("ts", "k"), "ts", "1 minute", Some("10 seconds"), "k")
+      val q = counts.writeStream.format("memory").queryName("late_counts")
+        .outputMode("append").start()
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      try {
+        ms.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 10:05:00"), "a"))
+        q.processAllAvailable() // watermark advances to 10:04:50
+        assert(reg.get(Metrics.LateRowsDropped) === 0L)
+        ms.addData((t("2024-01-01 10:02:30"), "late"))
+        q.processAllAvailable()
+        // listener events are async; processAllAvailable flushes progress
+        // but the bus delivery can trail it
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (reg.get(Metrics.LateRowsDropped) == 0L && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(reg.get(Metrics.LateRowsDropped) === 1L)
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
 }
