@@ -180,6 +180,79 @@ object VectorQueries {
        |       CROSS JOIN pqsub CROSS JOIN pseeds)""".stripMargin
   }
 
+  /** Sizing of the MMR registry slice, shared by the Spark body and the
+    * unrolled oracle below. */
+  private val MmrQueries = 8
+  private val MmrShort = 16
+  private val MmrK = 5
+  private val MmrLambda = 700 // λ = 0.7 as the rational 700/1000
+
+  /** [[graft.similarity.Mmr.diversifiedTopK]]'s full pipeline as DuckDB
+    * CTEs ending in `mselu$MmrK(query_id, cand_id, rel, rnk)` — relevance
+    * grid, per-query shortlist, pairwise-sim grid, and the greedy MMR
+    * selection UNROLLED round by round (the KMeansCtes discipline: an
+    * iterative operator's oracle replays each round exactly; MATERIALIZED
+    * because every round references the cumulative selection twice).
+    * Round 1's objective is λ·rel alone (no selected set yet); round t
+    * maximizes λnum·rel − (1000−λnum)·max-sim-to-selected over the
+    * unselected shortlist — exact BIGINTs on the 1e6 grid, id tiebreak. */
+  private val MmrCtes: String = {
+    val lb = 1000 - MmrLambda
+    val rounds = (2 to MmrK).map { t =>
+      s"""msel$t AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel, $t AS rnk FROM (
+         |    SELECT s.query_id, s.cand_id, s.rel,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY $MmrLambda * s.rel - $lb * ms.msim DESC, s.cand_id) AS rn
+         |    FROM msl s
+         |    JOIN (SELECT p.query_id, p.ca AS cand_id, max(p.sim) AS msim
+         |          FROM mps p JOIN mselu${t - 1} u
+         |            ON p.query_id = u.query_id AND p.cb = u.cand_id
+         |          GROUP BY 1, 2) ms
+         |      ON s.query_id = ms.query_id AND s.cand_id = ms.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM mselu${t - 1} u2
+         |                      WHERE u2.query_id = s.query_id
+         |                        AND u2.cand_id = s.cand_id))
+         |  WHERE rn = 1),
+         |mselu$t AS MATERIALIZED (
+         |  SELECT * FROM mselu${t - 1} UNION ALL SELECT * FROM msel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""mq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $MmrQueries),
+       |msc AS (
+       |  SELECT query_id, cand_id, cv,
+       |    CAST(floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END)
+       |               * 1000000 + 0.5) AS BIGINT) AS rel
+       |  FROM (SELECT query_id, cand_id, embedding AS cv,
+       |          $DotQ AS d, $NormE AS na, $NormQ AS nq
+       |        FROM (SELECT mq.query_id, e.vec_id AS cand_id, e.embedding, mq.qv
+       |              FROM embeddings e CROSS JOIN mq
+       |              WHERE e.vec_id <> mq.query_id))),
+       |msl AS MATERIALIZED (
+       |  SELECT query_id, cand_id, cv, rel FROM (
+       |    SELECT query_id, cand_id, cv, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, cand_id) AS rn
+       |    FROM msc) WHERE rn <= $MmrShort),
+       |mps AS MATERIALIZED (
+       |  SELECT query_id, ca, cb,
+       |    CAST(floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END)
+       |               * 1000000 + 0.5) AS BIGINT) AS sim
+       |  FROM (SELECT query_id, ca, cb, $DotAB AS d, $NormA AS na, $NormB AS nb
+       |        FROM (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |                a.cv AS ea, b.cv AS eb
+       |              FROM msl a JOIN msl b
+       |                ON a.query_id = b.query_id AND a.cand_id <> b.cand_id))),
+       |msel1 AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel, 1 AS rnk FROM (
+       |    SELECT query_id, cand_id, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, cand_id) AS rn
+       |    FROM msl) WHERE rn = 1),
+       |mselu1 AS MATERIALIZED (SELECT * FROM msel1),
+       |$rounds""".stripMargin
+  }
+
   /** Geometry of the portable-LSH twins — shared by the Spark builders and
     * the SQL replay below so they can never drift. */
   private val PortableLsh = SimilaritySearch.PortableLshConfig(
@@ -1005,6 +1078,30 @@ object VectorQueries {
              |  FROM pos p, n)
              |SELECT neg.doc_id, neg.lang, neg.pos_label, neg.neg_vec_id,
              |  ne.label AS neg_label
-             |FROM neg JOIN embeddings ne ON ne.vec_id = neg.neg_vec_id""".stripMargin))
+             |FROM neg JOIN embeddings ne ON ne.vec_id = neg.neg_vec_id""".stripMargin)),
+
+    // MMR-diversified retrieval — greedy maximal-marginal-relevance rerank
+    // between the relevance stage and a RAG prompt (Carbonell & Goldstein
+    // 1998): per query, pick MmrK of the top-MmrShort exact-cosine
+    // candidates maximizing λ·rel − (1−λ)·max-sim-to-selected. The greedy
+    // is sequential in k, so it runs INSIDE one bounded-state aggregate
+    // evaluation per query (expressions.MmrSelect) — one groupBy whose
+    // exchange carries O(queries·shortlist); the oracle unrolls the same
+    // selection round by round on the shared 1e6 integer grid (λ rational
+    // 700/1000 — exact BIGINT objective, id tiebreaks), so an inherently
+    // iterative rerank is still byte-checked end to end.
+    Q("e_mmr_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        graft.similarity.Mmr.diversifiedTopK(
+          e.filter(col("vec_id") < MmrQueries), e, "vec_id", "embedding",
+          shortlist = MmrShort, k = MmrK, lambdaNum = MmrLambda,
+          excludeSelf = true)
+      },
+      Some(
+        s"""WITH $MmrCtes
+           |SELECT query_id, cand_id, CAST(rel AS DOUBLE) / 1000000 AS rel,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM mselu$MmrK""".stripMargin))
   )
 }
