@@ -348,6 +348,38 @@ object Relational {
              |      FROM events)
              |GROUP BY event_type""".stripMargin)),
 
+    // Z-order layout key — the multi-column locality clustering behind
+    // sources.ZOrderLayout.write (Delta/Iceberg OPTIMIZE ZORDER's core):
+    // each clustered column min/max-scales to a 16-bit bucket (one 1-row
+    // stats broadcast, then a pure per-row map) and the buckets
+    // bit-interleave into the Morton key whose sorted layout makes parquet
+    // row-group stats prune on EVERY clustered column (measured from real
+    // footers in ZOrderSpec). Exact-integer double operands + an unrolled
+    // shift/mask chain shared with the oracle via interleaveSql — the
+    // layout key is byte-checked, so two engines cluster identically.
+    Q("q_zorder_key",
+      (s, dir) => graft.sources.ZOrderLayout.withZKey(
+          t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), bits = 16)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("zkey")),
+      Some(
+        s"""WITH zst AS (
+           |  SELECT CAST(min(l_partkey) AS DOUBLE) AS mnp,
+           |         CAST(max(l_partkey) AS DOUBLE) AS mxp,
+           |         CAST(min(l_suppkey) AS DOUBLE) AS mns,
+           |         CAST(max(l_suppkey) AS DOUBLE) AS mxs
+           |  FROM lineitem),
+           |zb AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) * 65536.0
+           |               / (mxp - mnp + 1.0)) AS BIGINT) AS b0,
+           |    CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) * 65536.0
+           |               / (mxs - mns + 1.0)) AS BIGINT) AS b1
+           |  FROM lineitem, zst)
+           |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |  ${graft.sources.ZOrderLayout.interleaveSql(Seq("b0", "b1"), 16)} AS zkey
+           |FROM zb""".stripMargin)),
+
     // As-of join: each event attached to the customer's latest order at or
     // before the event time — the time-series enrichment operator Spark
     // lacks natively (RelationalOps.asOfJoin: one-shuffle union-window
