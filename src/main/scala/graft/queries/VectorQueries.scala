@@ -180,6 +180,18 @@ object VectorQueries {
        |       CROSS JOIN pqsub CROSS JOIN pseeds)""".stripMargin
   }
 
+  /** DuckDB in-order left fold over the FIRST `n` elements (the matryoshka
+    * prefix image of [[duckFoldSum]]). */
+  private def duckFoldSumN(n: Int, expr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $n), i -> $expr)), (a, b) -> a + b)"
+
+  /** Sizing of the matryoshka registry slice, shared Spark/oracle. */
+  private val MkQueries = 4
+  private val MkPrefix = 16
+  private val MkShort = 32
+  private val MkK = 10
+
   /** Sizing of the MMR registry slice, shared by the Spark body and the
     * unrolled oracle below. */
   private val MmrQueries = 8
@@ -1102,6 +1114,61 @@ object VectorQueries {
         s"""WITH $MmrCtes
            |SELECT query_id, cand_id, CAST(rel AS DOUBLE) / 1000000 AS rel,
            |  CAST(rnk AS BIGINT) AS rnk
-           |FROM mselu$MmrK""".stripMargin))
+           |FROM mselu$MmrK""".stripMargin)),
+
+    // Matryoshka two-stage k-NN — prefix-dimension shortlist, exact
+    // full-dimension rerank (the adaptive-retrieval pattern for
+    // MRL-trained embeddings: Kusupati et al. 2022). Stage 1 folds
+    // MkPrefix of 64 components — a 4x FLOP/bandwidth cut on the
+    // corpus-sized scan, exchange = the bounded-heap top-shortlist; stage 2
+    // touches full vectors for shortlist ids only. Both stages are
+    // deterministic, so unlike the LSH/IVF families this ANN path carries
+    // a DIRECT full oracle — no portable twin needed.
+    Q("e_matryoshka_topk",
+      (s, dir) => SimilaritySearch.knnPrefixRerank(
+        emb(s, dir).filter(col("vec_id") < MkQueries), emb(s, dir),
+        "vec_id", "embedding", prefixDim = MkPrefix, shortlist = MkShort,
+        k = MkK),
+      Some {
+        val dotP = duckFoldSumN(MkPrefix,
+          "CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")
+        val normEP = s"sqrt(${duckFoldSumN(MkPrefix,
+          "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)")})"
+        val normQP = s"sqrt(${duckFoldSumN(MkPrefix,
+          "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")})"
+        s"""WITH mkq AS (SELECT vec_id AS query_id, embedding AS qv
+           |             FROM embeddings WHERE vec_id < $MkQueries),
+           |mk1 AS (
+           |  SELECT query_id, cand_id,
+           |    floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END)
+           |          * 1000000 + 0.5) / 1000000 AS pscore
+           |  FROM (SELECT query_id, cand_id,
+           |          $dotP AS d, $normEP AS na, $normQP AS nq
+           |        FROM (SELECT mkq.query_id, e.vec_id AS cand_id,
+           |                e.embedding, mkq.qv
+           |              FROM embeddings e CROSS JOIN mkq
+           |              WHERE e.vec_id <> mkq.query_id))),
+           |mksl AS MATERIALIZED (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pscore DESC, cand_id) AS rn
+           |    FROM mk1) WHERE rn <= $MkShort),
+           |mk2 AS (
+           |  SELECT query_id, cand_id,
+           |    floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END)
+           |          * 1000000 + 0.5) / 1000000 AS score
+           |  FROM (SELECT query_id, cand_id,
+           |          $DotQ AS d, $NormE AS na, $NormQ AS nq
+           |        FROM (SELECT s.query_id, s.cand_id, e.embedding, q.qv
+           |              FROM mksl s
+           |              JOIN embeddings e ON e.vec_id = s.cand_id
+           |              JOIN mkq q ON q.query_id = s.query_id)))
+           |SELECT query_id, cand_id, score, CAST(rn AS BIGINT) AS rnk
+           |FROM (SELECT query_id, cand_id, score,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score DESC, cand_id) AS rn
+           |      FROM mk2) WHERE rn <= $MkK""".stripMargin
+      })
   )
 }

@@ -47,6 +47,44 @@ object SimilaritySearch {
       .filter(col("rnk") <= k)
   }
 
+  /** Matryoshka two-stage k-NN: a cheap PREFIX-dimension cosine pass picks a
+    * per-query shortlist, then the exact full-dimension cosine reranks it —
+    * the adaptive-retrieval pattern for matryoshka-trained embeddings
+    * (Kusupati et al. 2022: MRL fronts the information mass in the leading
+    * dims, so a 16-of-768 prefix scan recovers most of the true top-k; on
+    * non-MRL embeddings recall degrades gracefully — measured in
+    * MatryoshkaSpec, both cases deterministic).
+    *
+    * Scale shape: stage 1 folds `prefixDim` components instead of `dim` —
+    * a dim/prefixDim FLOP and memory-bandwidth cut on the corpus-sized
+    * scan (in production, store the prefix as its own column so the scan
+    * also READS 4·prefixDim bytes/row); its exchange is the bounded-heap
+    * top-shortlist, O(queries·shortlist). Stage 2 touches full vectors for
+    * shortlist ids only (one id equi-join). Every stage is deterministic —
+    * `e_matryoshka_topk` carries a full DuckDB oracle, unlike the
+    * LSH/IVF families whose candidate sets need portable twins. */
+  def knnPrefixRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, prefixDim: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    require(prefixDim >= 1 && shortlist >= k && k >= 1)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val stage1 = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.operators.RelationalOps.round6(cosine(
+          slice(col("cv"), 1, prefixDim), slice(col("qv"), 1, prefixDim)))
+          .as("pscore"))
+    val sl = topKPerKey(stage1, "query_id", "pscore", "cand_id", shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val scored = sl.join(c, Seq("cand_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.operators.RelationalOps.round6(cosine(col("cv"), col("qv")))
+          .as("score"))
+    topKPerKey(scored, "query_id", "score", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
+  }
+
   /** Band geometry default (32 bands × 6 bits): for neighbors at cosine
     * ~0.4 (hard, near-random case) the per-band collision rate is ~6%, so 32
     * bands give ~0.87 recall; clustered real-world embeddings (neighbor
