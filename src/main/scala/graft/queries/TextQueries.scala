@@ -2340,6 +2340,49 @@ object TextQueries {
               |    row_number() OVER (PARTITION BY cluster_id
               |                       ORDER BY quality DESC, doc_id) AS rn,
               |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
-              |  FROM jc) WHERE rn = 1""".stripMargin))
+              |  FROM jc) WHERE rn = 1""".stripMargin)),
+
+    // Cross-source overlap matrix — the inter-dataset contamination audit
+    // run before mixing corpora into a training blend: for every source
+    // pair, the jaccard between the sources' distinct 3-shingle SETS (how
+    // much of one feed is already in another — mirror detection, scraped
+    // re-posts, vendor overlap). Distinct from t_decontaminate (train vs
+    // one eval suite): this is all-pairs over the source dimension.
+    // Scale shape: one shingle explode collapses to DISTINCT (source,
+    // shingle) rows — the only corpus-sized shuffle, partial-aggregable;
+    // the self-join fans out per shingle by the number of sources sharing
+    // it (bounded by the source count, typically dozens), never by df; the
+    // result is sources² rows.
+    Q("t_source_overlap",
+      (s, dir) => {
+        val ss = docs(s, dir).select(col("source"),
+            explode(array_distinct(shingles(col("text"), 3))).as("s"))
+          .distinct()
+        val n = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        ss.as("x").join(ss.as("y"),
+            col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(n.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+          .join(n.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("inter"),
+            graft.operators.RelationalOps.round6(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double"))
+              .as("jaccard"))
+      },
+      Some(s"""WITH ss AS (
+              |  SELECT DISTINCT source, s FROM (
+              |    SELECT source, unnest(list_distinct($Shingles3)) AS s
+              |    FROM (SELECT source, $WS AS ws FROM documents))),
+              |ns AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+              |iv AS (
+              |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+              |  FROM ss x JOIN ss y ON x.s = y.s AND x.source < y.source
+              |  GROUP BY 1, 2)
+              |SELECT src_a, src_b, inter,
+              |  floor(CAST(inter AS DOUBLE) / (na.n + nb.n - inter)
+              |        * 1000000 + 0.5) / 1000000 AS jaccard
+              |FROM iv JOIN ns na ON src_a = na.source
+              |        JOIN ns nb ON src_b = nb.source""".stripMargin))
   )
 }
