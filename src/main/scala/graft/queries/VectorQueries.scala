@@ -1169,6 +1169,107 @@ object VectorQueries {
            |        row_number() OVER (PARTITION BY query_id
            |          ORDER BY score DESC, cand_id) AS rn
            |      FROM mk2) WHERE rn <= $MkK""".stripMargin
+      }),
+
+    // Retrieval evaluation — nDCG@10 / MRR / precision / recall of the
+    // prefix-16 (matryoshka stage-1) ranking judged against the exact
+    // full-dimension top-10 as graded qrels (rel = 11 − true rank): the
+    // metrics loop a user runs after every index or recall change. The
+    // log2 discounts are computed ONCE in the JVM on the 1e6 grid and
+    // rendered into the oracle as a literal VALUES table
+    // (RetrievalMetrics.discountValuesSql), so DCG is an exact BIGINT dot
+    // product in both engines — no cross-libm log hazard.
+    Q("e_eval_metrics",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qf = e.filter(col("vec_id") < MmrQueries)
+          .select(col("vec_id").cast("long").as("query_id"),
+            col("embedding").as("qv"))
+        val c = e.select(col("vec_id").cast("long").as("cand_id"),
+          col("embedding").as("cv"))
+        import graft.operators.RelationalOps.round6
+        def ranked(score: org.apache.spark.sql.Column, name: String) =
+          SimilaritySearch.topKPerKey(
+            c.crossJoin(broadcast(qf))
+              .filter(col("query_id") =!= col("cand_id"))
+              .select(col("query_id"), col("cand_id"), score.as(name)),
+            "query_id", name, "cand_id", MkK)
+        val results = ranked(round6(SimilaritySearch.cosine(
+            slice(col("cv"), 1, MkPrefix), slice(col("qv"), 1, MkPrefix))),
+          "pscore").select(col("query_id"), col("cand_id"), col("rnk"))
+        val qrels = ranked(round6(
+            SimilaritySearch.cosine(col("cv"), col("qv"))), "score")
+          .select(col("query_id"), col("cand_id"),
+            (lit(MkK + 1L) - col("rnk")).as("rel"))
+        graft.retrieval.RetrievalMetrics.evaluate(results, qrels, MkK)
+      },
+      Some {
+        val dotP = duckFoldSumN(MkPrefix,
+          "CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")
+        val normEP = s"sqrt(${duckFoldSumN(MkPrefix,
+          "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)")})"
+        val normQP = s"sqrt(${duckFoldSumN(MkPrefix,
+          "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)")})"
+        s"""WITH evq AS (SELECT vec_id AS query_id, embedding AS qv
+           |             FROM embeddings WHERE vec_id < $MmrQueries),
+           |evb AS MATERIALIZED (
+           |  SELECT evq.query_id, e.vec_id AS cand_id, e.embedding, evq.qv
+           |  FROM embeddings e CROSS JOIN evq
+           |  WHERE e.vec_id <> evq.query_id),
+           |res AS MATERIALIZED (
+           |  SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rnk FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY pscore DESC, cand_id) AS rn
+           |    FROM (SELECT query_id, cand_id,
+           |            floor((CASE WHEN na * nq = 0 THEN 0.0
+           |                        ELSE d / (na * nq) END) * 1000000 + 0.5)
+           |              / 1000000 AS pscore
+           |          FROM (SELECT query_id, cand_id,
+           |                  $dotP AS d, $normEP AS na, $normQP AS nq
+           |                FROM evb))) WHERE rn <= $MkK),
+           |qrels AS MATERIALIZED (
+           |  SELECT query_id, cand_id, CAST(${MkK + 1} - rn AS BIGINT) AS rel
+           |  FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+           |    FROM (SELECT query_id, cand_id,
+           |            floor((CASE WHEN na * nq = 0 THEN 0.0
+           |                        ELSE d / (na * nq) END) * 1000000 + 0.5)
+           |              / 1000000 AS score
+           |          FROM (SELECT query_id, cand_id,
+           |                  $DotQ AS d, $NormE AS na, $NormQ AS nq
+           |                FROM evb))) WHERE rn <= $MkK),
+           |disc(rnk, disc6) AS (
+           |  ${graft.retrieval.RetrievalMetrics.discountValuesSql(MkK)}),
+           |sc AS (
+           |  SELECT r.query_id,
+           |    CAST(sum(coalesce(q.rel, 0) * d.disc6) AS BIGINT) AS dcg6,
+           |    CAST(sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS hits,
+           |    min(CASE WHEN coalesce(q.rel, 0) > 0 THEN r.rnk END) AS first_hit
+           |  FROM res r JOIN disc d ON r.rnk = d.rnk
+           |  LEFT JOIN qrels q
+           |    ON q.query_id = r.query_id AND q.cand_id = r.cand_id
+           |  GROUP BY 1),
+           |idl AS (
+           |  SELECT query_id, CAST(sum(rel * disc6) AS BIGINT) AS idcg6
+           |  FROM (SELECT query_id, rel, row_number() OVER (
+           |          PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+           |        FROM qrels) i JOIN disc d ON i.rn = d.rnk
+           |  WHERE rn <= $MkK GROUP BY 1),
+           |tot AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1)
+           |SELECT i.query_id,
+           |  floor(CAST(dcg6 AS DOUBLE) / CAST(idcg6 AS DOUBLE)
+           |        * 1000000 + 0.5) / 1000000 AS ndcg,
+           |  floor((CASE WHEN first_hit IS NULL THEN 0.0
+           |              ELSE 1.0 / CAST(first_hit AS DOUBLE) END)
+           |        * 1000000 + 0.5) / 1000000 AS mrr,
+           |  floor(CAST(hits AS DOUBLE) / $MkK * 1000000 + 0.5) / 1000000
+           |    AS precision_at_k,
+           |  floor(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+           |        * 1000000 + 0.5) / 1000000 AS recall_at_k,
+           |  hits
+           |FROM idl i JOIN tot USING (query_id) JOIN sc USING (query_id)""".stripMargin
       })
   )
 }
