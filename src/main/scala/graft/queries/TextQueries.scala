@@ -369,6 +369,43 @@ object TextQueries {
     |    FROM pairs0 JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id)
     |  WHERE jaccard >= 0.4)""".stripMargin
 
+  /** Rounds of the label-propagation registry slice, shared Spark/oracle. */
+  private val LpRounds = 3
+
+  /** [[graft.operators.LabelProp.propagate]] over the jaccard edges as
+    * DuckDB CTEs ending in `ll$LpRounds(doc_id, label)` — symmetrized
+    * edges, clamped seeds (every 5th doc labeled with its lang), and each
+    * synchronous majority round UNROLLED: vote counts are integers and the
+    * argmax tiebreak is (count DESC, label lexicographic), so no engine
+    * can disagree. MATERIALIZED because round t reads ll(t−1) twice (vote
+    * join + seed-clamp anti-membership). */
+  private val LabelPropCtes: String = {
+    val rounds = (1 to LpRounds).map { t =>
+      s"""lv$t AS (
+         |  SELECT s.dst AS doc_id, l.label, count(*) AS cnt
+         |  FROM lsym s JOIN ll${t - 1} l ON s.src = l.doc_id
+         |  GROUP BY 1, 2),
+         |la$t AS (
+         |  SELECT doc_id, label FROM (
+         |    SELECT doc_id, label,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cnt DESC, label) AS rn
+         |    FROM lv$t) WHERE rn = 1),
+         |ll$t AS MATERIALIZED (
+         |  SELECT doc_id, label FROM ll0
+         |  UNION ALL
+         |  SELECT doc_id, label FROM la$t
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ll0))""".stripMargin
+    }.mkString(",\n")
+    s"""$PairCtes,
+       |lsym AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM jp),
+       |ll0 AS MATERIALIZED (
+       |  SELECT doc_id, lang AS label FROM documents WHERE doc_id % 5 = 0),
+       |$rounds""".stripMargin
+  }
+
   /** The portable-family MinHash-LSH pipeline as DuckDB CTEs ending in
     * `mjp(a_id, b_id, inter, jaccard)` — the oracle counterpart of
     * [[TextDedup.nearDuplicatePairs]] with `portable = true`: md5-prefix
@@ -2383,6 +2420,30 @@ object TextQueries {
               |  floor(CAST(inter AS DOUBLE) / (na.n + nb.n - inter)
               |        * 1000000 + 0.5) / 1000000 AS jaccard
               |FROM iv JOIN ns na ON src_a = na.source
-              |        JOIN ns nb ON src_b = nb.source""".stripMargin))
+              |        JOIN ns nb ON src_b = nb.source""".stripMargin)),
+
+    // Label propagation over the near-dup graph — semi-supervised label
+    // spreading (clamped-seed synchronous majority LPA): every 5th doc is
+    // "hand-labeled" with its lang; LpRounds rounds spread those labels
+    // through the exact-jaccard edges; unreached docs surface as NULL (the
+    // needs-human-review set). Completes the graph family: CC = membership,
+    // PageRank = centrality, LPA = class. Integer vote counts with a
+    // lexicographic label tiebreak make every round engine-exact — the
+    // oracle unrolls each round (the KMeans/PageRank discipline).
+    Q("t_label_prop",
+      (s, dir) => {
+        val seeds = docs(s, dir)
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), col("lang").as("label"))
+        val labeled = graft.operators.LabelProp.propagate(
+          jaccardPairs(s, dir).select(col("a_id"), col("b_id")),
+          seeds, rounds = LpRounds)
+        docs(s, dir).select(col("doc_id"))
+          .join(labeled, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("label"))
+      },
+      Some(s"""WITH $LabelPropCtes
+              |SELECT d.doc_id, l.label
+              |FROM documents d LEFT JOIN ll$LpRounds l USING (doc_id)""".stripMargin))
   )
 }
