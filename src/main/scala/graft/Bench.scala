@@ -259,6 +259,39 @@ object Bench {
     // including the swap writes, so this times MAINTENANCE, not a query).
     val qualityEnsembleSec = timedExtra("t_quality_ensemble")
     val rollupIncrementalSec = timedExtra("h_day_rollup_incremental")
+    // r9 tail wave: MMR rerank, matryoshka two-stage search, cross-source
+    // overlap audit, retrieval eval metrics, and the z-order layout key.
+    val mmrSec = timedExtra("e_mmr_topk")
+    val matryoshkaSec = timedExtra("e_matryoshka_topk")
+    val sourceOverlapSec = timedExtra("t_source_overlap")
+    val evalMetricsSec = timedExtra("e_eval_metrics")
+    val zorderKeySec = timedExtra("q_zorder_key")
+    val labelPropSec = timedExtra("t_label_prop")
+    // The clustered WRITE plus the thing it buys: footer-measured fraction
+    // of row groups a 1/8-of-domain predicate must read on EACH clustered
+    // column (1.0 = no pruning; a linear sort would score ~1.0 on its
+    // non-leading column). 32 output files ≈ one row group each at this SF.
+    val (zorderWriteSec, zorderPruneX, zorderPruneY) = try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.sources.ZOrderLayout.write(
+            li, Seq("l_partkey", "l_suppkey"), dir, numFiles = 32)
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val t = once()
+        def frac(c: String): Double = {
+          val rs = graft.sources.ZOrderLayout.rowGroupRanges(spark, dir, c)
+          val mn = rs.map(_._1).min
+          val hi = mn + (rs.map(_._2).max - mn) / 8
+          graft.sources.ZOrderLayout.pruneFraction(spark, dir, c, mn, hi)
+        }
+        (t, frac("l_partkey"), frac("l_suppkey"))
+      } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+    } catch { case e: Throwable => failed("zorder_write", e); (-1.0, -1.0, -1.0) }
     val pagerankSec = try {
       import org.apache.spark.sql.functions.{col, lit}
       val pairs = graft.queries.TextQueries.benchJaccardPairs(spark, sfDir)
@@ -630,6 +663,15 @@ object Bench {
       s""""quantile_hist_sec":${f"$quantileHistSec%.3f"},""" +
       s""""quality_ensemble_sec":${f"$qualityEnsembleSec%.3f"},""" +
       s""""rollup_incremental_sec":${f"$rollupIncrementalSec%.3f"},""" +
+      s""""mmr_sec":${f"$mmrSec%.3f"},""" +
+      s""""matryoshka_sec":${f"$matryoshkaSec%.3f"},""" +
+      s""""source_overlap_sec":${f"$sourceOverlapSec%.3f"},""" +
+      s""""eval_metrics_sec":${f"$evalMetricsSec%.3f"},""" +
+      s""""zorder_key_sec":${f"$zorderKeySec%.3f"},""" +
+      s""""label_prop_sec":${f"$labelPropSec%.3f"},""" +
+      s""""zorder_write_sec":${f"$zorderWriteSec%.3f"},""" +
+      s""""zorder_prune_frac_x":${f"$zorderPruneX%.3f"},""" +
+      s""""zorder_prune_frac_y":${f"$zorderPruneY%.3f"},""" +
       s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
       s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
       s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +

@@ -63,7 +63,10 @@ object Mmr {
     * by a bounded probe (the contaminationCounts guard discipline): past
     * `maxQueries` the right tool is an ANN shortlist into [[rerank]], and
     * this throws saying so rather than launching a quadratic join it can't
-    * broadcast. */
+    * broadcast. The probe runs at CONSTRUCTION time (one scan job bounded
+    * at maxQueries+1 rows — the TextSearch.knn guard's documented trade):
+    * plan inspection of this operator is not free, but the probe never
+    * re-executes an aggregate, only a bounded slice of the query scan. */
   def diversifiedTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       shortlist: Int, k: Int, lambdaNum: Int,

@@ -99,4 +99,39 @@ object ZOrderLayout {
       .sortWithinPartitions("zkey")
       .drop("zkey")
       .write.mode("overwrite").parquet(dir)
+
+  /** Layout introspection: per-row-group (min, max) of an integer column
+    * across every parquet file under `dir`, straight from the footers —
+    * what the scan's row-group pruning will see. Feeds the measured
+    * prune-fraction evidence (ZOrderSpec, the bench's zorder section);
+    * driver-side metadata reads only, one footer per file. */
+  def rowGroupRanges(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $column in ${s.getPath}"))
+          val st = cc.getStatistics
+          (st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong)
+        } finally r.close()
+      }
+  }
+
+  /** Fraction of row groups a `[lo, hi]` predicate on `column` must read —
+    * 1.0 means the layout gives that predicate nothing. */
+  def pruneFraction(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String, lo: Long, hi: Long): Double = {
+    val rs = rowGroupRanges(spark, dir, column)
+    require(rs.nonEmpty, s"no row groups under $dir")
+    rs.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / rs.size
+  }
 }

@@ -230,6 +230,38 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("Window"), "no window in the sketch pipeline")
     }
 
+    test(s"r9 tail wave: MMR/matryoshka stay bounded-heap aggregates, z-key is a pure map, eval metrics broadcast the discount table$tag") {
+      // e_mmr_topk: shortlist AND greedy selection are both
+      // TypedImperativeAggregates — one groupBy exchange each, never a
+      // window sort; the only join is the broadcast of the 8-row query set
+      val mmr = plan(dir, "e_mmr_topk")
+      assert(mmr.contains("ObjectHashAggregate"),
+        s"mmr: shortlist/selection must be bounded-heap aggregates:\n$mmr")
+      assert(!mmr.contains("Window") && !mmr.contains("SortMergeJoin"),
+        s"mmr plan drifted:\n$mmr")
+      // e_matryoshka_topk: both stages' top-k are the bounded-heap
+      // aggregate; stage 2's vector attach is an id equi-join
+      val mk = plan(dir, "e_matryoshka_topk")
+      assert(mk.contains("ObjectHashAggregate") && !mk.contains("Window"),
+        s"matryoshka top-k must stay aggregate-shaped:\n$mk")
+      // q_zorder_key: one lineitem scan + a 1-row stats broadcast + a pure
+      // per-row key map — no shuffle of the data, no window, no sort
+      val zk = plan(dir, "q_zorder_key")
+      assert(!zk.contains("SortMergeJoin") && !zk.contains("Window") &&
+        !zk.contains("ShuffledHashJoin"),
+        s"z-order key must not shuffle the table:\n$zk")
+      // e_eval_metrics: the k-row discount table must broadcast; qrels-side
+      // windows are queries*k-sized by construction
+      val ev = plan(dir, "e_eval_metrics")
+      assert(ev.contains("BroadcastHashJoin"),
+        s"eval metrics: discount table must broadcast:\n$ev")
+      // t_source_overlap: the corpus-sized op is a partial-aggregable
+      // distinct; the pair join is an equi-join on the shingle key
+      val so = plan(dir, "t_source_overlap")
+      assert(so.contains("HashAggregate") && !so.contains("Window"),
+        s"source overlap must stay aggregate-shaped:\n$so")
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
       // phase before the exchange — the O(groups·k) shuffle property; the

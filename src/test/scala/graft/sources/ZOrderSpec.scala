@@ -1,13 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.GraftTestSpark
-
-import scala.jdk.CollectionConverters._
 
 /** The z-order key must equal an independent bit-interleave reference, and
   * the clustered WRITE must deliver the thing it exists for: parquet
@@ -66,31 +61,14 @@ class ZOrderSpec extends AnyFunSuite {
 
   // --- the actual point: multi-column row-group pruning ---
 
-  /** Per-row-group (min, max) of an int column across every parquet file
-    * under `dir`, straight from the footers. */
-  private def groupRanges(dir: String, column: String): Seq[(Long, Long)] = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .flatMap { s =>
-        val in = HadoopInputFile.fromStatus(s, fs.getConf)
-        val r = ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val cc = b.getColumns.asScala
-            .find(_.getPath.toDotString == column)
-            .getOrElse(fail(s"no column $column in footer"))
-          val st = cc.getStatistics
-          (st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong)
-        } finally r.close()
-      }
-  }
-
-  /** Fraction of row groups a [lo, hi] predicate on `column` must read. */
+  /** Fraction of row groups a [lo, hi] predicate on `column` must read
+    * (the shared [[ZOrderLayout.pruneFraction]] introspection, with a
+    * density floor so the measurement is meaningful). */
   private def overlapFraction(dir: String, column: String,
       lo: Long, hi: Long): Double = {
-    val rs = groupRanges(dir, column)
-    assert(rs.size >= 8, s"need enough row groups to measure, got ${rs.size}")
-    rs.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / rs.size
+    assert(ZOrderLayout.rowGroupRanges(spark, dir, column).size >= 8,
+      "need enough row groups to measure")
+    ZOrderLayout.pruneFraction(spark, dir, column, lo, hi)
   }
 
   test("z-order prunes row groups on BOTH columns; linear sort only on its leading one") {
