@@ -267,6 +267,7 @@ object Bench {
     val evalMetricsSec = timedExtra("e_eval_metrics")
     val zorderKeySec = timedExtra("q_zorder_key")
     val labelPropSec = timedExtra("t_label_prop")
+    val dataCardSec = timedExtra("t_data_card")
     // The clustered WRITE plus the thing it buys: footer-measured fraction
     // of row groups a 1/8-of-domain predicate must read on EACH clustered
     // column (1.0 = no pruning; a linear sort would score ~1.0 on its
@@ -669,6 +670,7 @@ object Bench {
       s""""eval_metrics_sec":${f"$evalMetricsSec%.3f"},""" +
       s""""zorder_key_sec":${f"$zorderKeySec%.3f"},""" +
       s""""label_prop_sec":${f"$labelPropSec%.3f"},""" +
+      s""""data_card_sec":${f"$dataCardSec%.3f"},""" +
       s""""zorder_write_sec":${f"$zorderWriteSec%.3f"},""" +
       s""""zorder_prune_frac_x":${f"$zorderPruneX%.3f"},""" +
       s""""zorder_prune_frac_y":${f"$zorderPruneY%.3f"},""" +

@@ -2422,6 +2422,48 @@ object TextQueries {
               |FROM iv JOIN ns na ON src_a = na.source
               |        JOIN ns nb ON src_b = nb.source""".stripMargin)),
 
+    // Per-source data card — the release-notes table shipped with every
+    // corpus drop (dataset-card staple): per source, document and token
+    // mass, language spread, and the dominant language with its share
+    // inputs. All exact integers (sums, counts, an argmax with the
+    // lexicographic tiebreak), so the card a reader audits is
+    // byte-reproducible in any engine. One corpus scan: a per-source
+    // partial aggregate + a (source, lang)-grained count whose argmax
+    // window runs on the aggregated (sources x langs) frame, never rows.
+    Q("t_data_card",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val base = d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        val lc = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))
+        val top = lc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"),
+            col("n").as("top_lang_n"))
+        base.join(top, Seq("source"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT source, count(*) AS n_docs,
+              |    CAST(sum(len($WS)) AS BIGINT) AS n_tokens,
+              |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              |  FROM documents GROUP BY source),
+              |lc AS (SELECT source, lang, count(*) AS n
+              |       FROM documents GROUP BY 1, 2),
+              |top AS (
+              |  SELECT source, lang AS top_lang, n AS top_lang_n FROM (
+              |    SELECT source, lang, n,
+              |      row_number() OVER (PARTITION BY source
+              |        ORDER BY n DESC, lang) AS rn
+              |    FROM lc) WHERE rn = 1)
+              |SELECT b.source, b.n_docs, b.n_tokens, b.n_langs,
+              |  t.top_lang, t.top_lang_n
+              |FROM base b JOIN top t USING (source)""".stripMargin)),
+
     // Label propagation over the near-dup graph — semi-supervised label
     // spreading (clamped-seed synchronous majority LPA): every 5th doc is
     // "hand-labeled" with its lang; LpRounds rounds spread those labels
