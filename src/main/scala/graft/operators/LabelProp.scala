@@ -26,12 +26,20 @@ import org.apache.spark.sql.functions._
   * partial-aggregable count over the symmetrized edge join — and one
   * argmax window over the per-node vote lists (votes are
   * O(edges·labels-per-neighborhood), never corpus×labels). Labels are
-  * id-sized rows; the edge frame is symmetrized and hash-pre-partitioned
-  * ONCE on the probe key so every round's join rides a ReusedExchange (the
-  * ConnectedComponents discipline). Lineage stays LINEAR in rounds (each
-  * round reads the previous labels exactly once), so no per-round
-  * checkpoint is needed at these round counts; for rounds ≫ 10 apply the
-  * CC localCheckpoint pattern.
+  * id-sized rows; the edge frame is MATERIALIZED before the symmetrizing
+  * union (eager localCheckpoint — the ConnectedComponents discipline),
+  * then pre-partitioned on the probe key and materialized again: the
+  * caller's edge pipeline is often expensive (a shingle-join near-dup
+  * computation), the union has two branches, and a lazy input would
+  * execute that pipeline once per branch per round — measured at sf1
+  * over the jaccard edges: 51 s lazy → the cost of ONE edge-pipeline
+  * pass + ~3 s for the 3 label rounds (recorded as `label_prop_sec` in
+  * the bench). Edge blocks are two longs per edge,
+  * ContextCleaner-collected; the eager build cost is the trade the
+  * CC/KMeans iterative family already documents. Lineage stays LINEAR in
+  * rounds (each round reads the previous labels exactly once), so labels
+  * themselves need no per-round checkpoint at these round counts; for
+  * rounds ≫ 10 checkpoint labels too.
   */
 object LabelProp {
 
@@ -48,10 +56,16 @@ object LabelProp {
     require(rounds >= 0, "rounds must be >= 0")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    // symmetrize + pre-partition once: every round's vote join probes by src
-    val sym = edges.select(a.as("src"), b.as("dst"))
-      .union(edges.select(b.as("src"), a.as("dst")))
+    // materialize the one-sided edges FIRST: the symmetrizing union has two
+    // branches, and unioning the raw input would execute the caller's edge
+    // pipeline once per branch (see class doc); then pre-partition the
+    // symmetrized frame on the probe key and materialize that, so every
+    // round's vote join reads shuffled blocks
+    val oneSided = edges.select(a.as("src"), b.as("dst")).localCheckpoint(true)
+    val sym = oneSided
+      .union(oneSided.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
+      .localCheckpoint(true)
     val seed = seeds.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("string").as("label"))
     var labels = seed
