@@ -2464,6 +2464,37 @@ object TextQueries {
               |  t.top_lang, t.top_lang_n
               |FROM base b JOIN top t USING (source)""".stripMargin)),
 
+    // Incrementally-maintained data card — the additive half of t_data_card
+    // (doc counts, token mass per source) kept as a persisted view through
+    // operators.IncrementalRollup: per-release batches fold in O(batch),
+    // the corpus is never rescanned, and a redelivered batch is a ledger
+    // no-op (the build below re-applies batch 0 to prove it). The oracle is
+    // the one-shot aggregate over the full table — a byte match IS the
+    // incremental ≡ one-shot proof, the h_day_rollup_incremental discipline
+    // applied to release reporting. (Non-additive card columns — distinct
+    // langs, top lang — stay on the one-shot t_data_card.)
+    Q("t_data_card_incremental",
+      (s, dir) => {
+        val work = s"${sys.props("java.io.tmpdir")}/graft-rindex-dcard-" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val f = new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(work), true)
+        val d = docs(s, dir).select(col("source"), col("doc_id"),
+          tokenCount(col("text")).as("tok"))
+        val keys = Seq("source")
+        val even = d.where(pmod(col("doc_id"), lit(2)) === 0).drop("doc_id")
+        val odd = d.where(pmod(col("doc_id"), lit(2)) === 1).drop("doc_id")
+        graft.operators.IncrementalRollup.applyBatch(s, work, even, 0L, keys, "tok")
+        graft.operators.IncrementalRollup.applyBatch(s, work, odd, 1L, keys, "tok")
+        graft.operators.IncrementalRollup.applyBatch(s, work, even, 0L, keys, "tok")
+        graft.operators.IncrementalRollup.read(s, work, "n_tokens")
+          .select(col("source"), col("n").as("n_docs"), col("n_tokens"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |  CAST(CAST(SUM(CAST(len($WS) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS n_tokens
+              |FROM documents GROUP BY source""".stripMargin)),
+
     // Label propagation over the near-dup graph — semi-supervised label
     // spreading (clamped-seed synchronous majority LPA): every 5th doc is
     // "hand-labeled" with its lang; LpRounds rounds spread those labels

@@ -132,6 +132,36 @@ class MmrSpec extends AnyFunSuite {
         c.getMessage.contains("maxCandidates")))
   }
 
+  test("production path: an ANN (LSH) shortlist feeds rerank directly") {
+    // the scale composition — approximate shortlist, exact-grid MMR on top:
+    // knnJoinLSH emits (query_id, cand_id, score, rnk); grid the score,
+    // attach vectors, rerank. Contract checks: k rows per query (when the
+    // shortlist has them), rnk 1..k, every pick a member of its own
+    // shortlist, and the top pick = the shortlist's best rel (λ round 1).
+    val e = graft.Tables.load(spark, GraftTestSpark.sfDir, "embeddings")
+    val sl = SimilaritySearch.knnJoinLSH(
+      e.filter(col("vec_id") < 4), e, "vec_id", "embedding",
+      k = 12, SimilaritySearch.LshConfig(dim = 64))
+      .select(col("query_id"), col("cand_id"),
+        Mmr.grid6(col("score")).as("rel"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        Seq("cand_id"))
+    val slRows = sl.select(col("query_id"), col("cand_id"), col("rel"))
+      .as[(Long, Long, Long)].collect()
+    val got = Mmr.rerank(sl, k = 4, lambdaNum = 700)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+      .as[(Long, Long, Long)].collect()
+    val byQuery = got.groupBy(_._1)
+    byQuery.foreach { case (q, picks) =>
+      val shortlist = slRows.filter(_._1 == q)
+      assert(picks.length === math.min(4, shortlist.length))
+      assert(picks.map(_._3).sorted.toSeq === (1L to picks.length).toSeq)
+      assert(picks.map(_._2).toSet.subsetOf(shortlist.map(_._2).toSet))
+      val bestRel = shortlist.minBy(r => (-r._3, r._2))
+      assert(picks.find(_._3 == 1L).get._2 === bestRel._2)
+    }
+  }
+
   test("diversifiedTopK end-to-end equals reference over the embeddings table") {
     val e = graft.Tables.load(spark, GraftTestSpark.sfDir, "embeddings")
     val got = Mmr.diversifiedTopK(
