@@ -285,10 +285,12 @@ object Bench {
         once()
         val t = once()
         def frac(c: String): Double = {
+          // one footer sweep per column: derive the predicate bounds AND
+          // the overlap count from the same ranges
           val rs = graft.sources.ZOrderLayout.rowGroupRanges(spark, dir, c)
           val mn = rs.map(_._1).min
           val hi = mn + (rs.map(_._2).max - mn) / 8
-          graft.sources.ZOrderLayout.pruneFraction(spark, dir, c, mn, hi)
+          rs.count { case (a, b) => b >= mn && a <= hi }.toDouble / rs.size
         }
         (t, frac("l_partkey"), frac("l_suppkey"))
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))

@@ -129,9 +129,19 @@ object MmrSelect {
     containsNull = false)
 
   /** 1e6-grid fixed-point of the in-order-fold cosine — bit-identical to
-    * the oracle's `floor(list_reduce(...)-based cosine · 1e6 + 0.5)`. */
+    * the oracle's `floor(list_reduce(...)-based cosine · 1e6 + 0.5)`.
+    * Equal-dimension vectors are the CONTRACT (mixed lengths would put
+    * relevance and diversity on inconsistent grids — the fused
+    * CosineSimilarity folds over the shorter prefix, the SQL folds over
+    * full lists); violating it fails loudly instead of silently
+    * mis-ranking. */
   private def simInt(a: Array[Float], b: Array[Float]): Long = {
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length)
+      throw new IllegalStateException(
+        s"mmr_select saw vectors of different lengths (${a.length} vs " +
+          s"${b.length}) in one group — MMR requires one embedding space " +
+          "per shortlist")
+    val n = a.length
     var d = 0.0
     var i = 0
     while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }

@@ -66,8 +66,13 @@ object LabelProp {
       .union(oneSided.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .localCheckpoint(true)
+    // seeds are referenced ~2x per round (vote lineage + the clamp
+    // anti-join) plus the final union — materialize them too, for the
+    // same per-branch re-execution reason as the edges (the frame is
+    // judgment-sized: id + label)
     val seed = seeds.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("string").as("label"))
+      .localCheckpoint(true)
     var labels = seed
     for (_ <- 1 to rounds) {
       val votes = sym

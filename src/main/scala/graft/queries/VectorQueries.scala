@@ -1259,17 +1259,19 @@ object VectorQueries {
            |  WHERE rn <= $MkK GROUP BY 1),
            |tot AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1)
            |SELECT i.query_id,
-           |  floor(CAST(dcg6 AS DOUBLE) / CAST(idcg6 AS DOUBLE)
+           |  floor(CAST(COALESCE(dcg6, 0) AS DOUBLE) / CAST(idcg6 AS DOUBLE)
            |        * 1000000 + 0.5) / 1000000 AS ndcg,
            |  floor((CASE WHEN first_hit IS NULL THEN 0.0
            |              ELSE 1.0 / CAST(first_hit AS DOUBLE) END)
            |        * 1000000 + 0.5) / 1000000 AS mrr,
-           |  floor(CAST(hits AS DOUBLE) / $MkK * 1000000 + 0.5) / 1000000
-           |    AS precision_at_k,
-           |  floor(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+           |  floor(CAST(COALESCE(hits, 0) AS DOUBLE) / $MkK
+           |        * 1000000 + 0.5) / 1000000 AS precision_at_k,
+           |  floor(CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
            |        * 1000000 + 0.5) / 1000000 AS recall_at_k,
-           |  hits
-           |FROM idl i JOIN tot USING (query_id) JOIN sc USING (query_id)""".stripMargin
+           |  COALESCE(hits, 0) AS hits
+           |-- LEFT join: a judged query with no in-rank results must emit a
+           |-- zero row, exactly as evaluate()'s left-join + zero-fill does
+           |FROM idl i JOIN tot USING (query_id) LEFT JOIN sc USING (query_id)""".stripMargin
       })
   )
 }

@@ -64,24 +64,31 @@ object ZOrderLayout {
       .mkString(" + ")
   }
 
-  /** min/max bucket scaling to [0, 2^bits): exact-integer double operands,
-    * so the floor is the same in any IEEE engine. */
+  /** min/max bucket scaling to [0, 2^bits): pure double arithmetic (NO
+    * long truncation — fractional columns scale by value), the same IEEE
+    * ops in any engine; for integer columns below 2⁵³ the operands are
+    * exact, which is what lets q_zorder_key carry a byte oracle. */
   def bucket(v: Column, mn: Column, mx: Column, bits: Int): Column =
     floor((v.cast("double") - mn.cast("double")) * (1L << bits).toDouble /
       (mx.cast("double") - mn.cast("double") + 1.0)).cast("long")
 
-  /** Append a z-order key over `cols` (numeric): one global min/max
-    * aggregate broadcasts back, the key itself is a pure per-row map. */
+  /** Append a z-order key over `cols` (numeric — fractional values scale
+    * without truncation): one global min/max aggregate broadcasts back,
+    * the key itself is a pure per-row map. Refuses an input that already
+    * has a `keyName` column rather than silently replacing it. */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 16,
       keyName: String = "zkey"): DataFrame = {
     require(cols.nonEmpty, "need at least one z-order column")
+    require(!df.columns.contains(keyName),
+      s"input already has a '$keyName' column — pass a different keyName " +
+        "instead of silently overwriting it")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("long").as(s"__mn_$i"),
-        max(col(c)).cast("long").as(s"__mx_$i"))
+      Seq(min(col(c)).cast("double").as(s"__mn_$i"),
+        max(col(c)).cast("double").as(s"__mx_$i"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      bucket(col(c).cast("long"), col(s"__mn_$i"), col(s"__mx_$i"), bits)
+      bucket(col(c), col(s"__mn_$i"), col(s"__mx_$i"), bits)
     }
     df.crossJoin(broadcast(stats))
       .withColumn(keyName, interleave(buckets, bits))
@@ -93,11 +100,11 @@ object ZOrderLayout {
     * is derivable). `numFiles` sizes the output — at 100 TB pick
     * bytes/file ÷ target file size, exactly like any sorted write. */
   def write(df: DataFrame, cols: Seq[String], dir: String, numFiles: Int,
-      bits: Int = 16): Unit =
-    withZKey(df, cols, bits)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions("zkey")
-      .drop("zkey")
+      bits: Int = 16, keyName: String = "zkey"): Unit =
+    withZKey(df, cols, bits, keyName)
+      .repartitionByRange(numFiles, col(keyName))
+      .sortWithinPartitions(keyName)
+      .drop(keyName)
       .write.mode("overwrite").parquet(dir)
 
   /** Layout introspection: per-row-group (min, max) of an integer column

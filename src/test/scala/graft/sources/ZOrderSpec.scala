@@ -61,14 +61,14 @@ class ZOrderSpec extends AnyFunSuite {
 
   // --- the actual point: multi-column row-group pruning ---
 
-  /** Fraction of row groups a [lo, hi] predicate on `column` must read
-    * (the shared [[ZOrderLayout.pruneFraction]] introspection, with a
-    * density floor so the measurement is meaningful). */
+  /** Fraction of row groups a [lo, hi] predicate on `column` must read —
+    * one footer sweep (with a density floor so the measurement is
+    * meaningful); equals [[ZOrderLayout.pruneFraction]] by construction. */
   private def overlapFraction(dir: String, column: String,
       lo: Long, hi: Long): Double = {
-    assert(ZOrderLayout.rowGroupRanges(spark, dir, column).size >= 8,
-      "need enough row groups to measure")
-    ZOrderLayout.pruneFraction(spark, dir, column, lo, hi)
+    val rs = ZOrderLayout.rowGroupRanges(spark, dir, column)
+    assert(rs.size >= 8, "need enough row groups to measure")
+    rs.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / rs.size
   }
 
   test("z-order prunes row groups on BOTH columns; linear sort only on its leading one") {
