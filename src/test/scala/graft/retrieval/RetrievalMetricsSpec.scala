@@ -75,6 +75,25 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(got.head._6 === 0L)              // the rank-5 hit is past k=3
   }
 
+  test("a real engine ranking judged against itself scores 1.0 across the board") {
+    // cross-family composition: the exact-cosine ranking from the
+    // similarity family is both the results AND the graded qrels — every
+    // metric must hit its ceiling on real engine outputs, not just
+    // hand-built frames
+    val emb = graft.Tables.load(spark, graft.GraftTestSpark.sfDir, "embeddings")
+    val ranking = graft.similarity.SimilaritySearch.knnJoinBrute(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    val qrels = ranking.select(col("query_id"), col("cand_id"),
+      (lit(6L) - col("rnk")).as("rel"))
+    val got = RetrievalMetrics.evaluate(ranking, qrels, 5)
+      .as[(Long, Double, Double, Double, Double, Long)].collect()
+    assert(got.length === 3)
+    got.foreach { case (_, ndcg, mrr, p, r, hits) =>
+      assert(ndcg === 1.0 && mrr === 1.0 && p === 1.0 && r === 1.0 && hits === 5L)
+    }
+  }
+
   test("partition-count invariant") {
     // deterministic key construction: cand ids are distinct per query on
     // both frames, so the inputs are identical across runs by value
