@@ -201,8 +201,12 @@ object MmrSelect {
         var i = 0
         while (i < n) {
           if (!picked(i)) {
+            // Round 1 is a pure relevance argmax regardless of λ (identical
+            // ordering to λ·rel for λ>0; for λ=0 it keeps "pure diversity"
+            // from degenerating into smallest-id — there is nothing selected
+            // yet to be diverse FROM).
             val s =
-              if (t == 0) lambdaNum * rels(i)
+              if (t == 0) rels(i)
               else lambdaNum * rels(i) - lb * msim(i)
             if (best < 0 || s > bestScore ||
                 (s == bestScore && ids(i) < ids(best))) {

@@ -371,10 +371,8 @@ object Relational {
            |  FROM lineitem),
            |zb AS (
            |  SELECT l_orderkey, l_linenumber,
-           |    CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) * 65536.0
-           |               / (mxp - mnp + 1.0)) AS BIGINT) AS b0,
-           |    CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) * 65536.0
-           |               / (mxs - mns + 1.0)) AS BIGINT) AS b1
+           |    ${graft.sources.ZOrderLayout.bucketSql("l_partkey", "mnp", "mxp", 16)} AS b0,
+           |    ${graft.sources.ZOrderLayout.bucketSql("l_suppkey", "mns", "mxs", 16)} AS b1
            |  FROM lineitem, zst)
            |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            |  ${graft.sources.ZOrderLayout.interleaveSql(Seq("b0", "b1"), 16)} AS zkey

@@ -1913,8 +1913,8 @@ object TextQueries {
       Some(s"""SELECT doc_id, bucket, w FROM (
               |  SELECT doc_id,
               |    ('0x' || substr(md5('htf:' || tok), 1, 15))::BIGINT % 64 AS bucket,
-              |    sum(CASE WHEN ('0x' || substr(md5('hsg:' || tok), 1, 15))::BIGINT % 2 = 0
-              |             THEN 1 ELSE -1 END) AS w
+              |    CAST(sum(CASE WHEN ('0x' || substr(md5('hsg:' || tok), 1, 15))::BIGINT % 2 = 0
+              |             THEN 1 ELSE -1 END) AS BIGINT) AS w
               |  FROM (SELECT doc_id, unnest($WSL) AS tok FROM documents)
               |  WHERE tok <> ''
               |  GROUP BY 1, 2)

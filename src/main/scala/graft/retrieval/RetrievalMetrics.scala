@@ -58,14 +58,23 @@ object RetrievalMetrics {
     import spark.implicits._
     val disc = broadcast(discounts6(k).toDF("rnk", "disc6"))
 
+    // Duplicate (query_id, cand_id) rows on either side would fan out the
+    // rel join and silently inflate hits/DCG/recall — collapse them
+    // deterministically (best rank on the result side, highest grade on
+    // the qrels side) so malformed input degrades loudly-documented, not
+    // silently-wrong.
     val res = results
       .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"))
       .filter(col("rnk") <= k)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("rnk")).as("rnk"))
     // rel ≥ 1 is the qrels contract; a rel-0 judgment is "not relevant" and
     // must not inflate n_rel or zero the ideal DCG
     val qr = qrels.select(col("query_id"), col("cand_id"),
       col("rel").cast("long").as("rel"))
       .filter(col("rel") > 0)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("rel")).as("rel"))
 
     // realized DCG + hit stats over the ranked list
     val scored = res

@@ -80,8 +80,13 @@ object Mmr {
         s"diversifiedTopK saw more than $maxQueries queries: brute-force " +
           "relevance is quadratic — shortlist via an ANN path " +
           "(knnJoinLSH/knnJoinIVF) and feed Mmr.rerank instead")
+    // A corpus with duplicate ids would fan out both the scored cross join
+    // (burning shortlist slots on copies) and the vector re-attach join
+    // below (feeding duplicate candidates into MmrSelect, where they burn
+    // k slots and can trip maxCandidates with a misleading message) —
+    // collapse to one row per id up front.
     val c = corpus.select(col(idCol).cast("long").as("cand_id"),
-      col(vecCol).as("cv"))
+      col(vecCol).as("cv")).dropDuplicates("cand_id")
     val self =
       if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true)
     val scored = c.crossJoin(broadcast(q)).filter(self)

@@ -67,10 +67,29 @@ object ZOrderLayout {
   /** min/max bucket scaling to [0, 2^bits): pure double arithmetic (NO
     * long truncation — fractional columns scale by value), the same IEEE
     * ops in any engine; for integer columns below 2⁵³ the operands are
-    * exact, which is what lets q_zorder_key carry a byte oracle. */
-  def bucket(v: Column, mn: Column, mx: Column, bits: Int): Column =
-    floor((v.cast("double") - mn.cast("double")) * (1L << bits).toDouble /
-      (mx.cast("double") - mn.cast("double") + 1.0)).cast("long")
+    * exact, which is what lets q_zorder_key carry a byte oracle. Scales by
+    * the true range (mx − mn), clamped at 2^bits − 1 — a "+1" fudge in the
+    * denominator would collapse fractional domains whose range ≪ 1 into
+    * bucket 0, silently dropping the column from the key. A constant
+    * column (mx = mn) buckets to 0. */
+  def bucket(v: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val top = (1L << bits) - 1L
+    when(mx.cast("double") === mn.cast("double"), lit(0L)).otherwise(
+      least(
+        floor((v.cast("double") - mn.cast("double")) * (1L << bits).toDouble /
+          (mx.cast("double") - mn.cast("double"))).cast("long"),
+        lit(top)))
+  }
+
+  /** The same bucket scaling as ANSI SQL over pre-cast DOUBLE min/max
+    * column names — kept next to the Column form (like interleaveSql) so
+    * the q_zorder_key byte oracle can never drift from bucket(). */
+  def bucketSql(v: String, mn: String, mx: String, bits: Int): String = {
+    val top = (1L << bits) - 1L
+    s"""CASE WHEN $mx = $mn THEN 0 ELSE least(
+       |  CAST(floor((CAST($v AS DOUBLE) - $mn) * ${(1L << bits).toDouble}
+       |             / ($mx - $mn)) AS BIGINT), $top) END""".stripMargin
+  }
 
   /** Append a z-order key over `cols` (numeric — fractional values scale
     * without truncation): one global min/max aggregate broadcasts back,

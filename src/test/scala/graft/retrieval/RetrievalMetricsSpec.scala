@@ -44,6 +44,25 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(hits === 2L)
   }
 
+  test("duplicate (query_id, cand_id) rows do not fan out the metrics") {
+    // duplicate qrels (same pair judged twice, once at a lower grade) and a
+    // duplicate result row: metrics must equal the clean single-row input —
+    // the old left join fanned out and inflated hits/DCG/recall
+    val results = Seq((1L, 20L, 1L), (1L, 99L, 2L), (1L, 10L, 3L),
+      (1L, 10L, 3L)) // dup result row
+      .toDF("query_id", "cand_id", "rnk")
+    val qrels = Seq((1L, 10L, 3L), (1L, 10L, 1L), // dup judgment, lower grade
+      (1L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("query_id", "cand_id", "rel")
+    val cleanR = Seq((1L, 20L, 1L), (1L, 99L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "cand_id", "rnk")
+    val cleanQ = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("query_id", "cand_id", "rel")
+    val got = RetrievalMetrics.evaluate(results, qrels, 3).collect().toSeq
+    val want = RetrievalMetrics.evaluate(cleanR, cleanQ, 3).collect().toSeq
+    assert(got === want)
+  }
+
   test("perfect ranking scores 1.0 across the board") {
     val qrels = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L))
       .toDF("query_id", "cand_id", "rel")

@@ -38,7 +38,7 @@ class MmrSpec extends AnyFunSuite {
     while (t <= k && remaining.nonEmpty) {
       val best = remaining.minBy { case (id, rel, v) =>
         val obj =
-          if (selected.isEmpty) lambdaNum * rel
+          if (selected.isEmpty) rel // round 1: pure relevance argmax, any λ
           else lambdaNum * rel - lb * selected.map(s => simInt(v, s._3)).max
         (-obj, id)
       }
@@ -92,6 +92,31 @@ class MmrSpec extends AnyFunSuite {
         .map { case ((id, _, _), i) => (q, id, (i + 1).toLong) }
     }.toSet
     assert(got === expected)
+  }
+
+  test("lambda = 0 is pure diversity, but round 1 still picks the most relevant") {
+    // With λ=0 the old code scored round 1 as 0 for every candidate and
+    // picked the smallest id; the contract is that round 1 is an argmax
+    // over relevance (there is nothing selected yet to be diverse from).
+    val v0 = Array(1.0f, 0.0f, 0.0f)   // most relevant, NOT smallest id
+    val v1 = Array(0.99f, 0.1f, 0.0f)  // near-dup of v0
+    val v2 = Array(0.0f, 1.0f, 0.0f)   // orthogonal
+    val sl = Seq(
+      (0L, 5L, 990000L, v0), (0L, 1L, 980000L, v1), (0L, 2L, 500000L, v2)
+    ).toDF("query_id", "cand_id", "rel", "cv")
+    val got = Mmr.rerank(sl, k = 2, lambdaNum = 0)
+      .select(col("cand_id"), col("rnk")).as[(Long, Long)].collect().toSet
+    // round 1: cand 5 (highest rel); round 2: cand 2 (farthest from 5)
+    assert(got === Set((5L, 1L), (2L, 2L)))
+    // and it still matches the independent reference
+    val qs = (0L until 3L).map(q => q -> randomCands(12, 6, seed = 40 + q.toInt))
+    val ref = qs.flatMap { case (q, cs) =>
+      refMmr(cs, 4, 0).map { case (id, rel, rnk) => (q, id, rnk.toLong) }
+    }.toSet
+    val full = Mmr.rerank(shortlistDf(qs), k = 4, lambdaNum = 0)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === ref)
   }
 
   test("diversifies: a planted near-duplicate of the top hit is deferred") {

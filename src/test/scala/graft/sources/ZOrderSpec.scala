@@ -16,8 +16,11 @@ class ZOrderSpec extends AnyFunSuite {
   // --- independent reference ---
 
   private def refBucket(v: Long, mn: Long, mx: Long, bits: Int): Long =
-    math.floor((v.toDouble - mn.toDouble) * (1L << bits).toDouble /
-      (mx.toDouble - mn.toDouble + 1.0)).toLong
+    if (mx == mn) 0L
+    else math.min(
+      math.floor((v.toDouble - mn.toDouble) * (1L << bits).toDouble /
+        (mx.toDouble - mn.toDouble)).toLong,
+      (1L << bits) - 1L)
 
   private def refInterleave(bs: Seq[Long], bits: Int): Long = {
     var z = 0L
@@ -57,6 +60,24 @@ class ZOrderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ZOrderLayout.interleave(Seq(col("a"), col("b"), col("c"), col("a")), 16)
     }
+  }
+
+  test("fractional columns with range << 1 spread across buckets") {
+    // normalized scores in [0, 1e-3]: the old (mx-mn+1) denominator
+    // collapsed these all into bucket 0, silently dropping the column
+    // from the key
+    val df = (0 until 64).map(i => (i.toLong, i.toDouble * 1e-3 / 63.0))
+      .toDF("id", "score")
+    val keyed = ZOrderLayout.withZKey(df, Seq("score"), bits = 4)
+    val distinctBuckets = keyed.select(col("zkey")).distinct().count()
+    assert(distinctBuckets === 16L) // all 2^4 buckets hit
+    // max value lands in the top bucket, clamped — never 2^bits
+    val mx = keyed.agg(max(col("zkey"))).as[Long].head()
+    assert(mx === 15L)
+    // constant column: every row buckets to 0, no NaN/divide-by-zero
+    val const = ZOrderLayout.withZKey(
+      Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v"), Seq("v"), bits = 4)
+    assert(const.select(col("zkey")).distinct().as[Long].collect().toSeq === Seq(0L))
   }
 
   // --- the actual point: multi-column row-group pruning ---
