@@ -609,6 +609,10 @@ object Bench {
       "extra:x_pair_hardneg" -> (hardnegSec < 0),
       "extra:semdedup_prod" -> (semdedupProdSec < 0 || hardnegProdSec < 0),
       "ivf_lifecycle" -> (ivfBuildSec < 0 || ivfSearchSec < 0 || vecCurateSec < 0),
+      // quality gate, not just latency: the production ANN path "ran fast
+      // but returns junk" must fail the round. Floor matches IvfSpec's
+      // random-embedding recall floor (measured 0.76 sf0.1 / 0.98 sf1).
+      "ivf_recall_floor" -> (ivfBuildSec >= 0 && ivfRecallEst < 0.5),
       "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
       "shard_write" -> (shardWriteSec < 0),
       "curation" -> (curateBatchSec < 0 || csBatches <= 0)

@@ -1,0 +1,71 @@
+package graft
+
+/** Standalone entry for individual bench sections (isolated JVM, quiet-host
+  * adjudication of section-metric regressions — the TimeQuery protocol's
+  * sibling for the non-query sections). Usage:
+  *   SPARK_GRAFT_SF_DIR=... tools/run_main.sh graft.SectionBench stream
+  *   SPARK_GRAFT_SF_DIR=... tools/run_main.sh graft.SectionBench joinskew
+  */
+object SectionBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.localFromEnv("graft-sectionbench")
+    args.foreach {
+      case "stream" =>
+        val s = StreamBench.run(spark, sfDir)
+        println(s"stream rows=${s.rows} batches=${s.batches} " +
+          f"p50=${s.batchP50Sec}%.3f p95=${s.batchP95Sec}%.3f " +
+          f"first=${s.firstBatchSec}%.3f steady_p50=${s.steadyP50Sec}%.3f " +
+          f"steady_p95=${s.steadyP95Sec}%.3f rows_per_sec=${s.rowsPerSec}%.0f " +
+          f"dedupe_quiet=${s.quietDedupeSec}%.3f dedupe_concurrent=${s.concurrentDedupeSec}%.3f")
+      case "joinskew" =>
+        val js = GenSkew.benchJoinSkew(spark, sfDir)
+        println(f"joinskew q3_uniform=${js.q3Uniform}%.3f q3_skew=${js.q3Skew}%.3f " +
+          f"q3_ratio=${js.q3Skew / js.q3Uniform}%.2f " +
+          f"wrank_uniform=${js.wrankUniform}%.3f wrank_skew=${js.wrankSkew}%.3f " +
+          f"wrank_ratio=${js.wrankSkew / js.wrankUniform}%.2f")
+      case "retrieval" =>
+        // RetrievalIndex lifecycle at whatever SF the dir holds — the sf10
+        // spot-run path (Bench measures the same lifecycle at the round SF)
+        val dir = java.nio.file.Files.createTempDirectory("graft-rindex-sb").toString
+        try {
+          val docs = Tables.load(spark, sfDir, "documents")
+          val tb = System.nanoTime()
+          graft.retrieval.RetrievalIndex.build(docs, "doc_id", "text", dir)
+          val build = (System.nanoTime() - tb) / 1e9
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.retrieval.RetrievalIndex.scoreBm25(spark, dir,
+                graft.retrieval.RetrievalIndex.topTerms(spark, dir, 3))
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          println(f"retrieval build_sec=$build%.3f score_sec=${once()}%.3f")
+        } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+      case "ivf" =>
+        import org.apache.spark.sql.functions.col
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sb").toString
+        try {
+          val emb = Tables.load(spark, sfDir, "embeddings")
+          val tb = System.nanoTime()
+          graft.similarity.IvfIndex.build(emb, "vec_id", "embedding", dir)
+          val build = (System.nanoTime() - tb) / 1e9
+          val queries = emb.filter(col("vec_id") < 100)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.similarity.IvfIndex.searchIndex(queries, dir, "vec_id", "embedding", 10)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val search = once()
+          val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
+          println(f"ivf build_sec=$build%.3f search_sec=$search%.3f recall_at_10=$recall%.3f")
+        } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+      case other =>
+        sys.error(s"unknown section '$other' (stream | joinskew | retrieval | ivf)")
+    }
+    spark.stop()
+  }
+}

@@ -96,9 +96,31 @@ final class IngestPipeline(
     (ok, nBad)
   }
 
-  /** Batch ingest of a directory of JSONL files. */
+  /** Batch ingest of a directory of JSONL files.
+    *
+    * NOTE: un-ledgered — a crash between the fact append and the
+    * dead-letter append inside [[writeBatch]] leaves the error rows of
+    * this run unwritten, and the caller has no safe way to re-run (a
+    * blind re-run duplicates every fact row of the directory with no
+    * marker saying the batch was half-applied). Production batch ingest
+    * should use [[ingestBatchOnce]]; this entry remains for benches and
+    * tests where the process owns the whole lifecycle. */
   def ingestBatch(inputDir: String): (Long, Long) =
     writeRouted(spark.read.text(inputDir))
+
+  /** Batch ingest with the streaming path's replay guarantee: the whole
+    * directory runs as ONE ledgered batch. A crash anywhere inside it —
+    * including the window between the fact append and the dead-letter
+    * append — leaves no done-mark, so re-running the SAME invocation
+    * replays the batch: the error rows land on the replay (the
+    * reference's never-drop contract, BigQueryErrorsSink.java:43-47
+    * `alwaysRetry`), and the duplicated fact rows are repaired by the
+    * periodic dedupe jobs exactly like a retried streaming insert. Both
+    * tables are at-least-once under replay, never at-most-once. A
+    * completed invocation (mark present) is a no-op, so callers can
+    * retry unconditionally. Proven by IngestCrashSpec's crash injection. */
+  def ingestBatchOnce(inputDir: String, ledgerDir: String): (Long, Long) =
+    writeBatchOnce(spark.read.text(inputDir), batchId = 0L, ledgerDir)
 
   /** Shuffle strategy per config:
     *

@@ -354,7 +354,9 @@ final class TransactionsTable(spark: SparkSession, path: String, val filesPerDay
   }
 }
 
-final class ErrorsTable(spark: SparkSession, path: String) {
+/** Open for extension so crash-injection specs (IngestCrashSpec) can fault
+  * the append — production code never subclasses it. */
+class ErrorsTable(spark: SparkSession, path: String) {
   def read(): DataFrame = spark.read.schema(TransactionSchema.errors).parquet(path)
   /** Dead letters are never dropped (BigQueryErrorsSink.java:43-47 parity:
     * alwaysRetry) — append-only. */

@@ -120,6 +120,94 @@ object Multimodal {
       }.toDF()
   }
 
+  // ---- portable pattern images (the phash full-oracle payloads) -----------
+
+  /** md5-derived bit, engine-portable: DuckDB's
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT % 2 = 0` recomputed on the
+    * JVM — the same convention every portable oracle in the registry uses
+    * (hashedTf, t_split), here feeding pixel GENERATION so the image hash
+    * is SQL-replayable without a codec. */
+  private[multimodal] def md5Bit(s: String): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2 == 0
+  }
+
+  /** The closed-form 64-bit pattern for pattern-group `g`: bit c set iff
+    * cell c is BRIGHT. Cell 0 is forced bright and cell 63 forced dark so
+    * the bright count stays in [1, 63] — which makes [[aHash64]] of the
+    * rendered image EQUAL the pattern bits exactly (a bright cell's mean
+    * beats the global mean iff not every cell is bright; a dark cell's
+    * never does; see the inequality in aHash64's doc). */
+  private[multimodal] def patternBits(g: Long): Long = {
+    var bits = 1L // cell 0 bright
+    var c = 1
+    while (c < 63) {
+      if (md5Bit(s"img:$g:$c")) bits |= 1L << c
+      c += 1
+    }
+    bits // cell 63 dark
+  }
+
+  /** Per-doc planted phash under the documented perturbation rule:
+    * class doc_id % 3 — 0: the group pattern as-is; 1: one cell flipped
+    * (Hamming 1 from base); 2: four consecutive cells flipped (Hamming 4
+    * from base — found by the band join, rejected by the Hamming filter,
+    * so BOTH sides of the filter are exercised). Flips stay in cells
+    * 1..62, preserving the bright-count invariant. */
+  private[multimodal] def plantedPhash(id: Long): Long = {
+    val base = patternBits(id % 16)
+    (id % 3) match {
+      case 0 => base
+      case 1 => base ^ (1L << (1 + (id % 62)).toInt)
+      case _ =>
+        val s = (1 + (id % 59)).toInt
+        base ^ (0xfL << s)
+    }
+  }
+
+  /** Render the planted phash pattern as a 16×16 grayscale image: cell
+    * (i, j) = 2×2 pixels, gray 200 if bit (i*8+j) is set else 50. Gray
+    * r=g=b=L makes the Rec. 601 integer luma exactly 1000·L, so
+    * [[aHash64]] of the DECODED image equals [[plantedPhash]] bit-for-bit
+    * — proven by MultimodalSpec and what upgrades m_phash_pairs to a full
+    * oracle (DuckDB replays the pattern definition; Spark goes through
+    * real encode→decode→pixel-hash). */
+  private[multimodal] def patternImage(id: Long): BufferedImage = {
+    val bits = plantedPhash(id)
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    var c = 0
+    while (c < 64) {
+      val l = if ((bits & (1L << c)) != 0) 200 else 50
+      val rgb = (l << 16) | (l << 8) | l
+      val y0 = (c / 8) * 2; val x0 = (c % 8) * 2
+      img.setRGB(x0, y0, rgb); img.setRGB(x0 + 1, y0, rgb)
+      img.setRGB(x0, y0 + 1, rgb); img.setRGB(x0 + 1, y0 + 1, rgb)
+      c += 1
+    }
+    img
+  }
+
+  /** Pattern-image blob table: one planted PATTERN image per doc id,
+    * encoded executor-side. Default codec is BMP — uncompressed 24-bit,
+    * lossless, and a different ImageIO writer than the PNG path, so the
+    * full-oracle query also exercises a second codec end-to-end. */
+  def toPatternImageTable(docs: DataFrame, idCol: String,
+      format: String = "bmp"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mime = if (format == "jpg") "image/jpeg" else s"image/$format"
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val bytes = encodeImage(patternImage(id), format)
+          BlobRow(id, bytes, mime, bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
   // ---- image decode (the real kernel) -------------------------------------
 
   /** Decode any ImageIO-readable payload (PNG/JPEG/BMP/GIF) and compute

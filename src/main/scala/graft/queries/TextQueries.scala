@@ -1394,6 +1394,57 @@ object TextQueries {
         graft.multimodal.Multimodal.toImageTable(docs(s, dir), "doc_id")),
       None),
 
+    // The same image near-dup pipeline under a FULL oracle: the planted
+    // images are md5-patterned 8×8 bright/dark grids (16 pattern groups,
+    // per-doc 1-cell and 4-cell perturbations), rendered to REAL pixels,
+    // encoded through a REAL second codec (uncompressed BMP), decoded
+    // back, average-hashed, and banded-Hamming-joined — while DuckDB
+    // replays the pattern DEFINITION (the md5 bits) straight into the
+    // hash and the same capped band join, exactly the m_audio_features
+    // trick. Any codec, luma, block-geometry, banding, or cap bug on the
+    // Spark side breaks the byte match. Hamming-1 pairs pass the filter;
+    // the Hamming-4 perturbations are found by the band join and REJECTED
+    // by the filter, so both sides of the predicate are load-bearing.
+    Q("m_phash_pairs_portable",
+      (s, dir) => graft.multimodal.Multimodal.imageNearDupPairs(
+        graft.multimodal.Multimodal.toPatternImageTable(docs(s, dir), "doc_id")),
+      Some("""WITH cb AS (
+             |  SELECT g, c,
+             |    CASE WHEN c = 0 THEN 1
+             |         WHEN ('0x' || substr(md5('img:' || CAST(g AS VARCHAR) || ':' ||
+             |                CAST(c AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1
+             |         ELSE 0 END AS bit
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS g),
+             |       (SELECT unnest(generate_series(0, 62)) AS c)),
+             |pat AS (
+             |  SELECT g, CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << c) ELSE 0 END)
+             |    AS BIGINT) AS ph
+             |  FROM cb GROUP BY g),
+             |sig AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id % 3 = 0 THEN p.ph
+             |         WHEN d.doc_id % 3 = 1 THEN xor(p.ph,
+             |           (1::BIGINT << CAST(1 + d.doc_id % 62 AS INT)))
+             |         ELSE xor(p.ph,
+             |           (15::BIGINT << CAST(1 + d.doc_id % 59 AS INT)))
+             |    END AS phash
+             |  FROM documents d JOIN pat p ON p.g = d.doc_id % 16),
+             |banded AS (
+             |  SELECT doc_id, phash,
+             |    (CAST(b AS BIGINT) << 16) + ((phash >> (b * 16)) & 65535) AS bk
+             |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+             |capped AS (
+             |  SELECT * FROM banded
+             |  WHERE bk IN (SELECT bk FROM banded
+             |               GROUP BY bk HAVING count(*) <= 64)),
+             |pairs AS (
+             |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+             |    x.phash AS pa, y.phash AS pb
+             |  FROM capped x JOIN capped y
+             |    ON x.bk = y.bk AND x.doc_id < y.doc_id)
+             |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+             |FROM pairs WHERE bit_count(xor(pa, pb)) <= 2""".stripMargin)),
+
     // Stratified sampling: deterministically downsample the dominant
     // language (en -> 25%) while keeping the rest — the corpus-rebalancing
     // op every training-data pipeline runs. The keep decision is a pure
@@ -2494,6 +2545,40 @@ object TextQueries {
       Some(s"""SELECT source, count(*) AS n_docs,
               |  CAST(CAST(SUM(CAST(len($WS) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS n_tokens
               |FROM documents GROUP BY source""".stripMargin)),
+
+    // Per-(source, release) data-card drilldown — what a curation org
+    // actually reads: the card's additive columns kept as HISTORY across
+    // releases, not one collapsed row per source. Each release arrives as
+    // its own IncrementalRollup batch (release = doc_id % 3 — the batch
+    // boundary IS the release boundary), keyed by (source, release) so a
+    // new release folds in O(release) and past releases are never
+    // recomputed; the redelivered batch proves ledger idempotence. Oracle
+    // = the one-shot two-key aggregate over the full corpus.
+    Q("t_data_card_by_release",
+      (s, dir) => {
+        val work = s"${sys.props("java.io.tmpdir")}/graft-rindex-dcardrel-" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val f = new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(work), true)
+        val d = docs(s, dir).select(col("source"),
+          pmod(col("doc_id"), lit(3)).as("release"),
+          col("doc_id"), tokenCount(col("text")).as("tok"))
+        val keys = Seq("source", "release")
+        (0L until 3L).foreach { r =>
+          graft.operators.IncrementalRollup.applyBatch(s, work,
+            d.where(col("release") === r).drop("doc_id"), r, keys, "tok")
+        }
+        // redelivery of release 1 must be a ledger no-op
+        graft.operators.IncrementalRollup.applyBatch(s, work,
+          d.where(col("release") === 1).drop("doc_id"), 1L, keys, "tok")
+        graft.operators.IncrementalRollup.read(s, work, "n_tokens")
+          .select(col("source"), col("release"),
+            col("n").as("n_docs"), col("n_tokens"))
+      },
+      Some(s"""SELECT source, doc_id % 3 AS release, count(*) AS n_docs,
+              |  CAST(CAST(SUM(CAST(len($WS) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS n_tokens
+              |FROM documents GROUP BY 1, 2""".stripMargin)),
 
     // Label propagation over the near-dup graph — semi-supervised label
     // spreading (clamped-seed synchronous majority LPA): every 5th doc is

@@ -182,4 +182,26 @@ class SkewSpec extends AnyFunSuite {
     assert(q3.length <= 10)
     assert(q3 === q3.sortBy(-_), "q3 ordering contract holds under join skew")
   }
+
+  test("q_window_rank carries a map-side WindowGroupLimit below the exchange") {
+    // A rank-limit window partitioned on a hot key is NOT AQE-skew-
+    // splittable: the defense is InferWindowGroupLimit's PARTIAL group
+    // limit below the shuffle, which caps the hot key's exchange
+    // contribution at k rows PER MAP TASK (top-3 here) instead of 50% of
+    // the corpus. Pin that shape: if a plan change (filter moved off the
+    // rank column, threshold exceeded, rule disabled) ever drops the
+    // partial limit, the skew bench's wrank ratio quietly decays — this
+    // catches it at test time. Adjudicated r10: quiet-host wrank ratio
+    // 1.06 with this plan; the r9 reading of 1.33 was host contention.
+    val plan = graft.queries.Registry.byName("q_window_rank")
+      .build(spark, GraftTestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val iLimits = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("WindowGroupLimit") => i }
+    val iExchange = lines.indexWhere(_.contains("Exchange"))
+    assert(iLimits.size === 2, s"expected partial+final WindowGroupLimit:\n$plan")
+    assert(iExchange >= 0 && iLimits.max > iExchange,
+      s"partial WindowGroupLimit must sit BELOW the exchange:\n$plan")
+  }
 }

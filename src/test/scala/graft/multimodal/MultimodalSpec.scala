@@ -131,6 +131,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("pattern images: decoded aHash equals the closed-form planted phash") {
+    // The bridge the m_phash_pairs_portable full oracle stands on: render →
+    // BMP encode → decode → aHash64 must reproduce plantedPhash exactly for
+    // every perturbation class. Checked through the DISTRIBUTED path
+    // (toPatternImageTable + imageHashes), not just the kernels.
+    import spark.implicits._
+    val ids = (0L until 96L) // covers all 16 groups × all 3 classes
+    val docs = ids.toDF("doc_id")
+    val got = Multimodal.imageHashes(Multimodal.toPatternImageTable(docs, "doc_id"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      assert(got(id) === Multimodal.plantedPhash(id),
+        s"id=$id: decoded hash != closed form")
+    }
+    // and the bright-count invariant that makes the equality hold
+    ids.foreach { id =>
+      val nb = java.lang.Long.bitCount(Multimodal.plantedPhash(id))
+      assert(nb >= 1 && nb <= 63, s"id=$id bright count $nb out of [1,63]")
+    }
+    // the JPEG path would NOT be hash-stable (lossy) — the portable oracle
+    // must stay on a lossless codec; BMP and PNG agree
+    val viaPng = Multimodal.imageHashes(
+      Multimodal.toPatternImageTable(docs, "doc_id", format = "png"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaPng === got)
+  }
+
   test("PCM16LE codec: exact round-trip, little-endian layout, sign extension") {
     val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 255, -256)
     val bytes = Multimodal.encodePcm16le(samples)
