@@ -173,6 +173,11 @@ object Bench {
     // r9 DSIR importance resampling (bucket-bounded stats + broadcast
     // scoring join — see DsirWeights).
     val dsirSec = timedExtra("t_dsir_weights")
+    // r10 trained quality classifier (16-epoch distributed GD + score) and
+    // segment-blocked fuzzy linkage — iterative-training and edit-join
+    // workload classes.
+    val qualityLrSec = timedExtra("t_quality_lr")
+    val fuzzyLinkSec = timedExtra("t_fuzzy_link")
     // r9 incremental cluster ledger: the OPERATING number is appending one
     // batch of match edges to a STANDING ledger (+ reading the resolved
     // labels) — never the from-scratch rebuild, which is cc_clusters_sec's
@@ -588,6 +593,8 @@ object Bench {
       "extra:t_text_knn" -> (textKnnSec < 0),
       "extra:t_corpus_diff" -> (corpusDiffSec < 0),
       "extra:t_dsir_weights" -> (dsirSec < 0),
+      "extra:t_quality_lr" -> (qualityLrSec < 0),
+      "extra:t_fuzzy_link" -> (fuzzyLinkSec < 0),
       "extra:cc_incremental" -> (ccIncrementalSec < 0),
       "extra:t_source_pagerank" -> (sourcePagerankSec < 0),
       "extra:pagerank" -> (pagerankSec < 0),
@@ -654,6 +661,8 @@ object Bench {
       s""""text_knn_sec":${f"$textKnnSec%.3f"},""" +
       s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""" +
       s""""dsir_sec":${f"$dsirSec%.3f"},""" +
+      s""""quality_lr_train_sec":${f"$qualityLrSec%.3f"},""" +
+      s""""fuzzy_link_sec":${f"$fuzzyLinkSec%.3f"},""" +
       s""""cc_incremental_sec":${f"$ccIncrementalSec%.3f"},""" +
       s""""source_pagerank_sec":${f"$sourcePagerankSec%.3f"},""" +
       s""""pagerank_sec":${f"$pagerankSec%.3f"},""" +

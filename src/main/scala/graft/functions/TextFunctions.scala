@@ -177,6 +177,27 @@ object TextFunctions {
       + lit(1.0) * fMeanLen - lit(2.0) * fPunct + lit(3.0) * fStop)
   }
 
+  /** The five quality features on the 1e6 integer grid (micro longs) —
+    * the trainable form of [[qualityClassifierLogit]]'s inputs, consumed
+    * by the logistic-regression trainer (exact integer features are what
+    * let an iterative trainer carry a byte oracle). Order matters: it is
+    * the weight order of t_quality_lr's model. */
+  def qualityFeatureMicros(text: Column, ws: Column): Seq[(String, Column)] = {
+    def micro(c: Column): Column =
+      floor(c * 1000000.0 + lit(0.5)).cast("long")
+    val n = size(ws).cast("double")
+    Seq(
+      "f_len" -> micro(least(n / 100.0, lit(1.0))),
+      "f_distinct" -> micro(size(array_distinct(ws)).cast("double") / n),
+      "f_meanlen" -> micro(least(
+        (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / n) / 8.0,
+        lit(1.0))),
+      "f_punct" -> micro(punctRatio(text)),
+      "f_stop" -> micro(
+        size(filter(ws, w => w.isin(stopwordProfiles.head._2.map(lit(_)): _*)))
+          .cast("double") / n))
+  }
+
   /** Punctuation-character ratio (fixed class, identical across engines). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -480,6 +480,170 @@ object TextQueries {
        |           / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS f_stop
        |  FROM (SELECT doc_id, text, $WSL AS ws FROM $src))""".stripMargin
 
+  /** Sizing shared by the t_quality_lr Spark body and its unrolled oracle:
+    * 16 full-batch GD epochs at lr = 4.0 on the 1e6 grid (measured on the
+    * corpus: train accuracy 0.86 vs the 0.58 majority baseline; the
+    * trajectory is convergent — lr 8.0 plateaus at the same accuracy,
+    * lr ≫ that oscillates). */
+  private val LrRounds = 16
+  private val LrMicro = 4000000L
+  private val LrFeatNames =
+    Seq("f_len", "f_distinct", "f_meanlen", "f_punct", "f_stop")
+
+  /** The distillation label as EXACT integer arithmetic over the micro
+    * features: the fixed rule's logit (t_quality_classifier weights
+    * 2/1.5/1/−2/3, intercept −1.5) at threshold 1.0, everything scaled ×2
+    * so the 1.5 coefficient stays integral — no double rounding anywhere
+    * in the label definition, so both engines label identically by
+    * construction. */
+  private val LrLabelSql =
+    """CASE WHEN -3000000 + 4 * f_len + 3 * f_distinct + 2 * f_meanlen
+      |          - 4 * f_punct + 6 * f_stop >= 2000000
+      |     THEN 1 ELSE 0 END""".stripMargin
+
+  /** Micro-grid feature frame for the trainable quality classifier.
+    * Label = the fixed rule's keep decision at a threshold that SPLITS
+    * this corpus (~58/42) — the distillation task: the label is linearly
+    * separable in exactly these features, so training provably LEARNS
+    * (accuracy far above base rate) and the unrolled oracle is
+    * non-vacuous. The real-world shape is identical: curation orgs
+    * bootstrap trained quality classifiers from rule-labeled slices. */
+  private def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String,
+      extraCols: Seq[String] = Nil) = {
+    val d = docs(s, dir)
+      .select(col("doc_id") +: extraCols.map(col) :+ col("text")
+        :+ tokens(lower(col("text"))).as("ws"): _*)
+    val feats = graft.functions.TextFunctions
+      .qualityFeatureMicros(col("text"), col("ws"))
+    val withF = d.select(col("doc_id") +: extraCols.map(col) ++:
+      feats.map { case (n, c) => c.as(n) }: _*)
+    val y = when(
+      lit(-3000000L) + lit(4L) * col("f_len") + lit(3L) * col("f_distinct")
+        + lit(2L) * col("f_meanlen") - lit(4L) * col("f_punct")
+        + lit(6L) * col("f_stop") >= 2000000L, 1L).otherwise(0L)
+    withF.select(col("doc_id") +: extraCols.map(col) ++:
+      (y.as("y") +: LrFeatNames.map(col)): _*)
+  }
+
+  /** The DuckDB image of [[lrFeatures]] (micro-grid casts of the
+    * qualityLogitSql features + the exact-integer label rule);
+    * `extra` threads passthrough columns (e.g. "lang, "). */
+  private def lrFeaturesSqlWith(extra: String): String = {
+    val stops = graft.functions.TextFunctions.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""  SELECT doc_id, $extra$LrLabelSql AS y, f_len, f_distinct, f_meanlen, f_punct, f_stop
+       |  FROM (
+       |  SELECT doc_id, $extra
+       |    CAST(floor(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 1000000.0 + 0.5) AS BIGINT) AS f_len,
+       |    CAST(floor((CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS f_distinct,
+       |    CAST(floor(least((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+       |                      / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) * 1000000.0 + 0.5) AS BIGINT) AS f_meanlen,
+       |    CAST(floor((CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |               / CAST(length(text) AS DOUBLE) END) * 1000000.0 + 0.5) AS BIGINT) AS f_punct,
+       |    CAST(floor((CAST(len(list_filter(ws, w -> w IN ($stops))) AS DOUBLE)
+       |                / CAST(len(ws) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS f_stop
+       |  FROM (SELECT doc_id, $extra text, $WSL AS ws FROM documents))""".stripMargin
+  }
+
+  private val LrFeaturesSql: String = lrFeaturesSqlWith("")
+
+  private def lrTrainCtes: String = graft.operators.LogisticRegression
+    .trainCtes(LrFeaturesSql, LrFeatNames, LrRounds, LrMicro)
+
+  /** The Gopher/MassiveText rule battery as a staged per-row expression
+    * frame — shared by t_gopher_rules (the battery itself) and
+    * t_gopher_attribution (the rule-kill rollup). */
+  private def gopherRules(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.RelationalOps.round6
+    val n = size(col("__ws")).cast("double")
+    val staged = docs(s, dir).select(col("doc_id"), col("text"),
+        tokens(col("text")).as("__ws"),
+        tokens(lower(col("text"))).as("__wsl"),
+        shingles(col("text"), 2).as("__g2"))
+      .withColumn("__cnts", transform(array_distinct(col("__g2")),
+        g => size(filter(col("__g2"), x => x === g)).cast("long")))
+    val meanLen = when(n === 0.0, lit(0.0)).otherwise(
+      aggregate(col("__ws"), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / n)
+    val alphaRatio = when(n === 0.0, lit(0.0)).otherwise(
+      size(filter(col("__ws"), w => w.rlike("[a-zA-Z]"))).cast("double") / n)
+    val hashChars =
+      (length(col("text")) - length(expr("replace(text, '#', '')")))
+        .cast("double")
+    val ellipses =
+      (length(col("text")) - length(expr("replace(text, '...', '')")))
+        .cast("double") / 3.0
+    val symbolRatio = when(n === 0.0, lit(0.0))
+      .otherwise((hashChars + ellipses) / n)
+    val ng2 = size(col("__g2")).cast("double")
+    val top2 = when(ng2 === 0.0, lit(0.0)).otherwise(
+      array_max(col("__cnts")).cast("double") / ng2)
+    val dup2 = when(ng2 === 0.0, lit(0.0)).otherwise(
+      coalesce(aggregate(filter(col("__cnts"), c => c > 1L), lit(0L),
+        (acc, c) => acc + c), lit(0L)).cast("double") / ng2)
+    staged.select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        round6(meanLen).as("mean_word_len"),
+        round6(alphaRatio).as("alpha_ratio"),
+        size(filter(col("__wsl"), w =>
+          w.isin(stopwordProfiles.head._2.map(lit(_)): _*)))
+          .cast("long").as("stop_hits"),
+        round6(symbolRatio).as("symbol_ratio"),
+        round6(top2).as("top2_frac"),
+        round6(dup2).as("dup2_frac"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_ratio") >= 0.8 && col("stop_hits") >= 2 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("top2_frac") <= 0.2 && col("dup2_frac") <= 0.2)
+  }
+
+  /** DuckDB image of [[gopherRules]]. */
+  private val GopherRulesSql: String = {
+    val stops = graft.functions.TextFunctions.stopwordProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+       |  symbol_ratio, top2_frac, dup2_frac,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND alpha_ratio >= 0.8 AND stop_hits >= 2
+       |   AND symbol_ratio <= 0.1
+       |   AND top2_frac <= 0.2 AND dup2_frac <= 0.2) AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+       |      floor((CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+       |             / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS mean_word_len,
+       |    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+       |      floor((CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+       |             / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS alpha_ratio,
+       |    CAST(len(list_filter(wsl, w -> w IN ($stops))) AS BIGINT) AS stop_hits,
+       |    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+       |      floor(((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+       |              + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+       |             / CAST(len(ws) AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS symbol_ratio,
+       |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+       |      floor((CAST(list_max(cnts) AS DOUBLE) / CAST(len(g2) AS DOUBLE))
+       |            * 1000000 + 0.5) / 1000000 END AS top2_frac,
+       |    CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+       |      floor((CAST(coalesce(list_sum(list_filter(cnts, c -> c > 1)), 0) AS DOUBLE)
+       |             / CAST(len(g2) AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS dup2_frac
+       |  FROM (
+       |    SELECT doc_id, text, ws, wsl, g2,
+       |      list_transform(list_distinct(g2),
+       |        g -> CAST(len(list_filter(g2, x -> x = g)) AS BIGINT)) AS cnts
+       |    FROM (
+       |      SELECT doc_id, text, ws, wsl,
+       |        list_transform(generate_series(1, len(ws) - 1),
+       |          i -> ws[i] || ' ' || ws[i+1]) AS g2
+       |      FROM (SELECT doc_id, text, $WS AS ws, $WSL AS wsl
+       |            FROM documents))))""".stripMargin
+  }
+
   /** The t_lang_guess argmax as a (doc_id, lang_guess) subquery over
     * `src` — shared with the curation-pipeline oracle. */
   private def langGuessSql(src: String): String = {
@@ -762,6 +926,365 @@ object TextQueries {
         .select(col("doc_id"), col("logit"), (col("logit") >= 0).as("keep")),
       Some(s"""SELECT doc_id, logit, logit >= 0 AS keep FROM (
               |${qualityLogitSql("documents")})""".stripMargin)),
+
+    // TRAINED quality classifier — distributed binary logistic regression
+    // (full-batch GD, 16 epochs) over the same five quality features;
+    // label = the fixed rule's keep decision at a corpus-splitting
+    // threshold (the DISTILLATION task: rule-labeled slice → calibrated
+    // trained model, the standard quality-classifier bootstrap). Trains to
+    // 0.86 accuracy vs the 0.58 majority baseline. Each epoch is ONE
+    // partial-aggregable pass (the exchange carries d+2 exact decimal sums
+    // per partition, driver state is O(d) weights); the link is the
+    // algebraic fast sigmoid, whose correctly-rounded IEEE ops are what
+    // let an ITERATIVE TRAINER carry a byte oracle — the oracle unrolls
+    // all 16 epochs (the KMeans discipline), so a drift in any round's
+    // gradient breaks the match.
+    Q("t_quality_lr",
+      (s, dir) => {
+        import graft.operators.LogisticRegression
+        val f = lrFeatures(s, dir).localCheckpoint(true)
+        val m = LogisticRegression.train(f, "y", LrFeatNames, LrRounds, LrMicro)
+        LogisticRegression.score(f, m, LrFeatNames)
+          .select(col("doc_id"), col("y"), col("p_micro"), col("keep"))
+      },
+      Some {
+        val zp = ("w.w0 * 1000000" +: LrFeatNames.zipWithIndex.map {
+          case (c, j) => s"w.w${j + 1} * f.$c" }).mkString(" + ")
+        val p = graft.operators.LogisticRegression.pMicroSql(zp)
+        s"""WITH $lrTrainCtes
+           |SELECT f.doc_id, f.y, $p AS p_micro, $p >= 500000 AS keep
+           |FROM lrf f, w$LrRounds w""".stripMargin
+      }),
+
+    // Precision/recall sweep of the trained classifier across the
+    // threshold grid — what a curation org reads to PICK the operating
+    // threshold (keep-rate vs quality trade). Pure composition: score
+    // once, then an 11-row broadcast threshold table joins the per-doc
+    // grid scores; counts are exact integers, ratios 6-dp-rounded. The
+    // model-eval completeness piece next to e_eval_metrics' ranking
+    // metrics.
+    Q("t_quality_lr_pr",
+      (s, dir) => {
+        import graft.operators.{LogisticRegression, RelationalOps}
+        val f = lrFeatures(s, dir).localCheckpoint(true)
+        val m = LogisticRegression.train(f, "y", LrFeatNames, LrRounds, LrMicro)
+        val scored = LogisticRegression.score(f, m, LrFeatNames)
+          .select(col("y"), col("p_micro"))
+        val th = broadcast(s.range(0, 11)
+          .select((col("id") * 100000L).as("threshold_micro")))
+        scored.crossJoin(th)
+          .groupBy(col("threshold_micro"))
+          .agg(
+            sum(when(col("p_micro") >= col("threshold_micro"), 1L)
+              .otherwise(0L)).as("n_kept"),
+            sum(when(col("p_micro") >= col("threshold_micro") && col("y") === 1L, 1L)
+              .otherwise(0L)).as("n_true_kept"),
+            sum(col("y")).as("n_pos"))
+          .select(col("threshold_micro"), col("n_kept"), col("n_true_kept"),
+            RelationalOps.round6(when(col("n_kept") === 0L, lit(0.0))
+              .otherwise(col("n_true_kept").cast("double") /
+                col("n_kept").cast("double"))).as("precision"),
+            RelationalOps.round6(col("n_true_kept").cast("double") /
+              col("n_pos").cast("double")).as("recall"))
+      },
+      Some {
+        val zp = ("w.w0 * 1000000" +: LrFeatNames.zipWithIndex.map {
+          case (c, j) => s"w.w${j + 1} * f.$c" }).mkString(" + ")
+        val p = graft.operators.LogisticRegression.pMicroSql(zp)
+        s"""WITH $lrTrainCtes,
+           |scored AS (SELECT f.y, $p AS p_micro FROM lrf f, w$LrRounds w),
+           |th AS (SELECT CAST(unnest(generate_series(0, 10)) * 100000 AS BIGINT) AS threshold_micro)
+           |SELECT threshold_micro,
+           |  CAST(sum(CASE WHEN p_micro >= threshold_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN p_micro >= threshold_micro AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_kept,
+           |  floor((CASE WHEN sum(CASE WHEN p_micro >= threshold_micro THEN 1 ELSE 0 END) = 0 THEN 0.0
+           |        ELSE CAST(sum(CASE WHEN p_micro >= threshold_micro AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / CAST(sum(CASE WHEN p_micro >= threshold_micro THEN 1 ELSE 0 END) AS DOUBLE) END)
+           |        * 1000000 + 0.5) / 1000000 AS precision,
+           |  floor((CAST(sum(CASE WHEN p_micro >= threshold_micro AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / CAST(sum(y) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS recall
+           |FROM scored, th GROUP BY threshold_micro""".stripMargin
+      }),
+
+    // The trained model itself — one row per coefficient, so weight drift
+    // across engine versions is visible in the correctness gate, not just
+    // end-score drift.
+    Q("t_quality_lr_weights",
+      (s, dir) => {
+        import graft.operators.LogisticRegression
+        val f = lrFeatures(s, dir).localCheckpoint(true)
+        val m = LogisticRegression.train(f, "y", LrFeatNames, LrRounds, LrMicro)
+        val names = "intercept" +: LrFeatNames
+        import s.implicits._
+        names.zip(m.weightsMicro.toSeq).toDF("feature", "w_micro")
+      },
+      Some {
+        val names = "intercept" +: LrFeatNames
+        val sel = names.zipWithIndex.map { case (n, j) =>
+          s"SELECT '$n' AS feature, w$j AS w_micro FROM w$LrRounds" }
+        s"""WITH $lrTrainCtes
+           |${sel.mkString("\n UNION ALL ")}""".stripMargin
+      }),
+
+    // Per-language trained classifiers — ONE model per language, all
+    // trained SIMULTANEOUSLY: each epoch is a single groupBy(lang)
+    // partial-aggregable job, so k models cost the same shuffle as one
+    // (the Spark-first answer to "quality feature weights differ by
+    // language" — never k sequential training jobs). Driver state is
+    // O(langs · d); the oracle unrolls all 16 epochs with a GROUP BY —
+    // each language's trajectory is byte-identical to training that
+    // language's slice alone (pinned by LogisticRegressionSpec).
+    Q("t_quality_lr_by_lang",
+      (s, dir) => {
+        import graft.operators.LogisticRegression
+        val f = lrFeatures(s, dir, extraCols = Seq("lang")).localCheckpoint(true)
+        val wmap = LogisticRegression.trainGrouped(
+          f, "lang", "y", LrFeatNames, LrRounds, LrMicro)
+        val names = "intercept" +: LrFeatNames
+        import s.implicits._
+        wmap.toSeq.flatMap { case (g, ws) =>
+          names.zip(ws.toSeq).map { case (nm, wv) => (g, nm, wv) }
+        }.toDF("lang", "feature", "w_micro")
+      },
+      Some {
+        val ctes = graft.operators.LogisticRegression.trainGroupedCtes(
+          lrFeaturesSqlWith("lang, "), "lang", LrFeatNames, LrRounds, LrMicro)
+        val names = "intercept" +: LrFeatNames
+        val sel = names.zipWithIndex.map { case (n, j) =>
+          s"SELECT lang, '$n' AS feature, w$j AS w_micro FROM w$LrRounds" }
+        s"""WITH $ctes
+           |${sel.mkString("\n UNION ALL ")}""".stripMargin
+      }),
+
+    // Calibration curve of the trained classifier — decile-binned
+    // predicted probability vs empirical positive rate (reliability
+    // diagram data): the companion readout to the PR sweep when the
+    // SCORE, not just the keep decision, feeds downstream sampling
+    // (temperature mixing, DSIR weighting consume calibrated scores).
+    // One partial-aggregable shuffle over 10 bins; all sums exact
+    // integers, ratios 6-dp on the shared grid.
+    Q("t_quality_lr_calibration",
+      (s, dir) => {
+        import graft.operators.{LogisticRegression, RelationalOps}
+        val f = lrFeatures(s, dir).localCheckpoint(true)
+        val m = LogisticRegression.train(f, "y", LrFeatNames, LrRounds, LrMicro)
+        LogisticRegression.score(f, m, LrFeatNames)
+          .select(least(floor(col("p_micro").cast("double") / 100000.0)
+            .cast("long"), lit(9L)).as("bin"), col("p_micro"), col("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("p_micro")).as("__sp"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            RelationalOps.round6(col("__sp").cast("double") /
+              (col("n").cast("double") * 1000000.0)).as("mean_p"),
+            RelationalOps.round6(col("n_pos").cast("double") /
+              col("n").cast("double")).as("frac_pos"))
+      },
+      Some {
+        val zp = ("w.w0 * 1000000" +: LrFeatNames.zipWithIndex.map {
+          case (c, j) => s"w.w${j + 1} * f.$c" }).mkString(" + ")
+        val p = graft.operators.LogisticRegression.pMicroSql(zp)
+        s"""WITH $lrTrainCtes,
+           |scored AS (
+           |  SELECT f.y, $p AS p_micro FROM lrf f, w$LrRounds w)
+           |SELECT least(CAST(floor(CAST(p_micro AS DOUBLE) / 100000.0) AS BIGINT), 9) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(y) AS BIGINT) AS n_pos,
+           |  floor((CAST(sum(p_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0))
+           |        * 1000000 + 0.5) / 1000000 AS mean_p,
+           |  floor((CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           |        * 1000000 + 0.5) / 1000000 AS frac_pos
+           |FROM scored GROUP BY 1""".stripMargin
+      }),
+
+    // Inter-classifier agreement — confusion matrix + Cohen's kappa
+    // between the FIXED rule (t_quality_classifier) and the TRAINED model
+    // (t_quality_lr) at their operating thresholds: the label-QA readout a
+    // curation org runs before swapping classifiers (chance-corrected
+    // agreement, not raw accuracy). Per-doc keeps join on doc_id (both
+    // sides one scan), then a single global aggregate; kappa's double
+    // arithmetic follows one pinned expression shape on both engines.
+    Q("t_label_agreement",
+      (s, dir) => {
+        import graft.operators.{LogisticRegression, RelationalOps}
+        val rule = docs(s, dir)
+          .select(col("doc_id"), col("text"), tokens(lower(col("text"))).as("ws"))
+          .select(col("doc_id"),
+            (qualityClassifierLogit(col("text"), col("ws")) >= 0).as("rule_keep"))
+        val f = lrFeatures(s, dir).localCheckpoint(true)
+        val m = LogisticRegression.train(f, "y", LrFeatNames, LrRounds, LrMicro)
+        val trained = LogisticRegression.score(f, m, LrFeatNames)
+          .select(col("doc_id"), col("keep").as("lr_keep"))
+        val conf = rule.join(trained, "doc_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("rule_keep") && col("lr_keep"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("rule_keep") && !col("lr_keep"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("rule_keep") && col("lr_keep"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("rule_keep") && !col("lr_keep"), 1L).otherwise(0L)).as("n00"))
+        val nD = col("n").cast("double")
+        val po = (col("n11") + col("n00")).cast("double") / nD
+        val pe = ((col("n11") + col("n10")).cast("double") *
+            (col("n11") + col("n01")).cast("double") +
+          (col("n01") + col("n00")).cast("double") *
+            (col("n10") + col("n00")).cast("double")) / (nD * nD)
+        conf.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          RelationalOps.round6(po).as("agreement"),
+          RelationalOps.round6(when(pe === 1.0, lit(1.0))
+            .otherwise((po - pe) / (lit(1.0) - pe))).as("kappa"))
+      },
+      Some {
+        val zp = ("w.w0 * 1000000" +: LrFeatNames.zipWithIndex.map {
+          case (c, j) => s"w.w${j + 1} * f.$c" }).mkString(" + ")
+        val p = graft.operators.LogisticRegression.pMicroSql(zp)
+        s"""WITH $lrTrainCtes,
+           |rule AS (SELECT doc_id, logit >= 0 AS rule_keep FROM (
+           |${qualityLogitSql("documents")})),
+           |trained AS (SELECT f.doc_id, $p >= 500000 AS lr_keep
+           |            FROM lrf f, w$LrRounds w),
+           |conf AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN rule_keep AND lr_keep THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           |    CAST(sum(CASE WHEN rule_keep AND NOT lr_keep THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           |    CAST(sum(CASE WHEN NOT rule_keep AND lr_keep THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           |    CAST(sum(CASE WHEN NOT rule_keep AND NOT lr_keep THEN 1 ELSE 0 END) AS BIGINT) AS n00
+           |  FROM rule JOIN trained USING (doc_id))
+           |SELECT n, n11, n10, n01, n00,
+           |  floor((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS agreement,
+           |  floor((CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+           |                    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+           |                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN 1.0
+           |          ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+           |                - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+           |                   + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+           |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           |               / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+           |                         + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+           |                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END)
+           |        * 1000000 + 0.5) / 1000000 AS kappa
+           |FROM conf""".stripMargin
+      }),
+
+    // Fuzzy record linkage — match noisy keys to a canonical side within
+    // Levenshtein distance 1 WITHOUT the all-pairs cross join: the
+    // segment-pigeonhole candidate scheme (PassJoin — any string within
+    // edit distance k shares one of k+1 aligned segments exactly), then
+    // one exact verify per candidate. The entity-resolution slot of a
+    // curation pipeline (typo'd titles, OCR'd names, mangled source
+    // metadata → canonical records). Canonical side = distinct 2-token
+    // document titles; noisy side = each doc's title with ONE
+    // deterministically hashed character deleted (the portable-derivation
+    // trick: both engines derive identical noise, so the linkage is
+    // fully oracle-checked — the ORACLE brute-forces the cross join, same
+    // result through a plan that would not survive scale, which is the
+    // point). FuzzyLinkSpec pins blocked == brute-force at k=1..3.
+    Q("t_fuzzy_link",
+      (s, dir) => {
+        val t = docs(s, dir).select(col("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 2), " ")
+            .as("title"))
+        val clean = t.groupBy("title").agg(min("doc_id").as("clean_id"))
+        val dirty = t.filter(length(col("title")) > 0)
+          .withColumn("p",
+            pmod(portableHash60(concat(lit("fz:"), col("doc_id").cast("string"))),
+              length(col("title")).cast("long")).cast("int"))
+          .select(col("doc_id"),
+            concat(expr("substring(title, 1, p)"),
+              expr("substring(title, p + 2, length(title))")).as("dirty"))
+        graft.operators.FuzzyLink
+          .editJoin(dirty, "doc_id", "dirty", clean, "clean_id", "title", k = 1)
+          .select(col("doc_id"), col("clean_id"), col("dist").cast("long").as("dist"))
+      },
+      Some(raw"""WITH t AS (
+           |  SELECT doc_id, array_to_string(
+           |    list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 2), ' ') AS title
+           |  FROM documents),
+           |clean AS (SELECT title, min(doc_id) AS clean_id FROM t GROUP BY 1),
+           |dirty AS (
+           |  SELECT doc_id, substring(title, 1, p) || substring(title, p + 2) AS dirty
+           |  FROM (SELECT doc_id, title,
+           |          CAST(CAST(('0x' || substring(md5('fz:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |               % length(title) AS INT) AS p
+           |        FROM t WHERE length(title) > 0))
+           |SELECT d.doc_id, c.clean_id, CAST(levenshtein(d.dirty, c.title) AS BIGINT) AS dist
+           |FROM dirty d, clean c
+           |WHERE levenshtein(d.dirty, c.title) <= 1""".stripMargin)),
+
+    // Corpus lineage checksum — the reproducibility manifest: per source,
+    // an ORDER-INDEPENDENT content checksum (bit_xor of the portable
+    // 60-bit doc hash) plus exact doc/char mass. Two corpora built by any
+    // partitioning/ordering agree iff their manifests agree — the cheap
+    // answer to "is this rebuilt shard byte-identical to the release?"
+    // (data lineage / provenance, the governance family). One
+    // partial-aggregable shuffle; xor is associative-commutative and
+    // overflow-free, so the checksum is deterministic at any scale.
+    Q("t_corpus_checksum",
+      (s, dir) => docs(s, dir)
+        .select(col("source"), col("n_chars"),
+          portableHash60(concat(lit("ck:"), col("doc_id").cast("string"),
+            lit(":"), col("text"))).as("__h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          expr("bit_xor(__h)").as("checksum")),
+      Some("""SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  bit_xor(CAST(('0x' || substring(md5('ck:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT)) AS checksum
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // The published heuristic quality-rule battery (the Gopher/MassiveText
+    // rule set, Rae et al. 2021 — word-count bounds, mean-word-length
+    // bounds, alphabetic-word floor, stopword floor, symbol-to-word
+    // ratio, repeated-2-gram fractions): the standard pre-classifier
+    // filter every LLM corpus pipeline runs first. Every stat is a
+    // per-row array expression over ONE staged token/shingle bind — zero
+    // shuffle, zero UDF, so the battery runs at scan speed on 100 TB and
+    // thresholds swap without touching the plan. The repetition stats are
+    // occurrence fractions over word 2-grams (the char-fraction variants
+    // in the paper need overlap bookkeeping that buys nothing here);
+    // keep = AND over the ROUNDED emitted columns, so the decision is
+    // byte-identical across engines by construction.
+    Q("t_gopher_rules",
+      (s, dir) => gopherRules(s, dir),
+      Some(GopherRulesSql)),
+
+    // Rule-kill attribution over the Gopher battery — how many docs each
+    // FAILED-rule combination rejects (the rule-tuning readout: which
+    // gates do the killing, which are dead weight, which only fire
+    // together). Signature = fixed-order concat of failed rule names;
+    // one partial-aggregable shuffle over at most 2^7 signatures.
+    Q("t_gopher_attribution",
+      (s, dir) => {
+        val g = gopherRules(s, dir)
+        val sig = concat_ws(",",
+          when(!(col("n_words") >= 50 && col("n_words") <= 100000),
+            lit("words")),
+          when(!(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0),
+            lit("word_len")),
+          when(!(col("alpha_ratio") >= 0.8), lit("alpha")),
+          when(!(col("stop_hits") >= 2), lit("stopwords")),
+          when(!(col("symbol_ratio") <= 0.1), lit("symbols")),
+          when(!(col("top2_frac") <= 0.2), lit("top2")),
+          when(!(col("dup2_frac") <= 0.2), lit("dup2")))
+        g.select(when(col("keep"), lit("")).otherwise(sig).as("failed_rules"))
+          .groupBy("failed_rules")
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some {
+        val inner = GopherRulesSql
+        s"""WITH g AS ($inner)
+           |SELECT CASE WHEN keep THEN '' ELSE concat_ws(',',
+           |    CASE WHEN NOT (n_words >= 50 AND n_words <= 100000) THEN 'words' END,
+           |    CASE WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0) THEN 'word_len' END,
+           |    CASE WHEN NOT (alpha_ratio >= 0.8) THEN 'alpha' END,
+           |    CASE WHEN NOT (stop_hits >= 2) THEN 'stopwords' END,
+           |    CASE WHEN NOT (symbol_ratio <= 0.1) THEN 'symbols' END,
+           |    CASE WHEN NOT (top2_frac <= 0.2) THEN 'top2' END,
+           |    CASE WHEN NOT (dup2_frac <= 0.2) THEN 'dup2' END) END AS failed_rules,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM g GROUP BY 1""".stripMargin
+      }),
 
     // Content fingerprint (md5 of normalized text).
     Q("t_fingerprint",
