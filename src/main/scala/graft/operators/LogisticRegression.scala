@@ -182,6 +182,53 @@ object LogisticRegression {
     w.toMap
   }
 
+  /** Score a feature frame with per-group models from [[trainGrouped]]:
+    * the group's weights join back as a broadcast dimension, then the
+    * same per-row fast-sigmoid map as [[score]]. Rows whose group has no
+    * model are a CONTRACT VIOLATION (an inner join would silently drop
+    * them; a left join would emit silent nulls) — `requireCoverage`
+    * counts them with one cheap anti-join on the broadcast dimension and
+    * fails loudly (disable only when the caller filters first). */
+  def scoreGrouped(features: DataFrame, groupCol: String,
+      weights: Map[String, Array[Long]], featureCols: Seq[String],
+      thresholdMicro: Long = 500000L,
+      requireCoverage: Boolean = true): DataFrame = {
+    require(weights.nonEmpty, "no models")
+    val d = featureCols.size
+    weights.foreach { case (g, ws) =>
+      require(ws.length == d + 1,
+        s"group $g has ${ws.length} weights for $d features")
+    }
+    val spark = features.sparkSession
+    val wRows = weights.toSeq.sortBy(_._1).map { case (g, ws) =>
+      org.apache.spark.sql.Row.fromSeq(g +: ws.toSeq)
+    }
+    val wSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        (0 to d).map(j => org.apache.spark.sql.types.StructField(
+          s"__w$j", org.apache.spark.sql.types.LongType, nullable = false)))
+    val wDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(wRows, 1), wSchema))
+    if (requireCoverage) {
+      val missing = features
+        .join(wDf, features(groupCol).cast("string") === wDf("__g"),
+          "left_anti")
+        .limit(1).count()
+      require(missing == 0L,
+        s"feature rows reference a $groupCol with no trained model — " +
+          "train that group or filter before scoring")
+    }
+    val joined = features.join(wDf,
+      features(groupCol).cast("string") === wDf("__g"))
+    val zp = featureCols.zipWithIndex
+      .map { case (c, j) => col(c) * col(s"__w${j + 1}") }
+      .foldLeft(col("__w0") * Micro: Column)(_ + _)
+    joined.withColumn("p_micro", pMicro(zp))
+      .withColumn("keep", col("p_micro") >= thresholdMicro)
+      .drop("__g" +: (0 to d).map(j => s"__w$j"): _*)
+  }
+
   /** Score a feature frame with a trained model: per-row fast-sigmoid
     * probability on the 1e6 grid plus the keep decision at `thresholdMicro`.
     * Pure per-row map — zero shuffle. */

@@ -1056,6 +1056,31 @@ object TextQueries {
            |${sel.mkString("\n UNION ALL ")}""".stripMargin
       }),
 
+    // Per-doc scores from the per-language models — the scoreGrouped
+    // path end-to-end: each doc's probability under ITS language's
+    // trained weights (broadcast dimension join + the per-row sigmoid
+    // map; the coverage contract proves no doc silently dropped).
+    Q("t_quality_lr_by_lang_scored",
+      (s, dir) => {
+        import graft.operators.LogisticRegression
+        val f = lrFeatures(s, dir, extraCols = Seq("lang")).localCheckpoint(true)
+        val wmap = LogisticRegression.trainGrouped(
+          f, "lang", "y", LrFeatNames, LrRounds, LrMicro)
+        LogisticRegression.scoreGrouped(f, "lang", wmap, LrFeatNames)
+          .select(col("doc_id"), col("lang"), col("y"), col("p_micro"),
+            col("keep"))
+      },
+      Some {
+        val ctes = graft.operators.LogisticRegression.trainGroupedCtes(
+          lrFeaturesSqlWith("lang, "), "lang", LrFeatNames, LrRounds, LrMicro)
+        val zp = ("w.w0 * 1000000" +: LrFeatNames.zipWithIndex.map {
+          case (c, j) => s"w.w${j + 1} * f.$c" }).mkString(" + ")
+        val p = graft.operators.LogisticRegression.pMicroSql(zp)
+        s"""WITH $ctes
+           |SELECT f.doc_id, f.lang, f.y, $p AS p_micro, $p >= 500000 AS keep
+           |FROM lrf f JOIN w$LrRounds w ON f.lang = w.lang""".stripMargin
+      }),
+
     // Calibration curve of the trained classifier — decile-binned
     // predicted probability vs empirical positive rate (reliability
     // diagram data): the companion readout to the PR sweep when the

@@ -117,6 +117,36 @@ class LogisticRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped scoring equals per-group solo scoring; coverage contract is loud") {
+    val rows = syntheticRows(120, seed = 91)
+    val tagged = rows.zipWithIndex.map { case ((y, x), i) =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, y, x(0), x(1), x(2))
+    }
+    val df = tagged.toDF("g", "id", "y", "x0", "x1", "x2")
+    val feats = Seq("x0", "x1", "x2")
+    val wmap = LogisticRegression.trainGrouped(df, "g", "y", feats, 4, 4000000L)
+    val grouped = LogisticRegression.scoreGrouped(df, "g", wmap, feats)
+      .select(col("id"), col("p_micro"), col("keep"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (i, p, k) => i -> ((p, k)) }.toMap
+    Seq("a", "b").foreach { g =>
+      val slice = tagged.filter(_._1 == g)
+        .map { case (_, id, y, a, b, c) => (id, y, a, b, c) }
+        .toDF("id", "y", "x0", "x1", "x2")
+      val solo = LogisticRegression.score(
+          slice, LogisticRegression.Model(wmap(g)), feats)
+        .select(col("id"), col("p_micro"), col("keep"))
+        .as[(Long, Long, Boolean)].collect()
+      solo.foreach { case (i, p, k) => assert(grouped(i) === ((p, k))) }
+    }
+    // a row whose group has no model fails loudly, not silently
+    val extra = (Seq(("zz", 999L, 0L, 1L, 2L, 3L)) ++ tagged)
+      .toDF("g", "id", "y", "x0", "x1", "x2")
+    intercept[IllegalArgumentException] {
+      LogisticRegression.scoreGrouped(extra, "g", wmap, feats)
+    }
+  }
+
   test("grouped contracts: empty frame and group-cardinality cap fail loudly") {
     val df = toDf(syntheticRows(10, 3)).withColumn("g", col("id").cast("string"))
     intercept[IllegalArgumentException] {
