@@ -22,6 +22,8 @@ import graft.expressions._
   * - nfc_normalize(string) → string  (Unicode NFC, codegen'd)
   * - topk_by_score(score, id, k) → array<struct<score,id>>  (aggregate)
   * - count_by_key(int) → map<int,bigint>  (aggregate; observe()-compatible)
+  * - multi_pattern_hits(string, array<string> literal) → array<int>
+  *   (one Aho–Corasick pass per row, pattern-count-independent)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -68,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("count_by_key",
         "count_by_key(key) - per-key row counts as one map<int,bigint> aggregate"),
       (args: Seq[Expression]) => CountByKey(args.head)))
+    e.injectFunction((FunctionIdentifier("multi_pattern_hits"),
+      info("multi_pattern_hits",
+        "multi_pattern_hits(text, array('p1','p2',...)) - sorted indexes of " +
+          "patterns occurring as substrings (one Aho-Corasick pass)"),
+      (args: Seq[Expression]) => MultiPatternHits(args(0),
+        GraftExtensions.stringSeqLit(args(1), "patterns"))))
   }
 }
 
@@ -82,6 +90,28 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** A SQL array-of-string literal (array('a','b') or a foldable array
+    * literal) as a Seq[String] — the pattern-set argument of
+    * multi_pattern_hits must be fixed at plan time (the automaton compiles
+    * once per plan, not per row). */
+  private[graft] def stringSeqLit(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    e match {
+      case CreateArray(children, _) => children.map {
+        case Literal(s: UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be string literals, got $other")
+      }
+      case Literal(a: ArrayData, _) =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[UTF8String].toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array literal, got $other")
+    }
   }
 
   /** Imperative registration on an existing session (tests, REPL). */
@@ -103,5 +133,8 @@ object GraftExtensions {
         intLit(args(2), "bands"), intLit(args(3), "bitsPerBand")), "built-in")
     reg.createOrReplaceTempFunction("count_by_key",
       args => CountByKey(args.head), "built-in")
+    reg.createOrReplaceTempFunction("multi_pattern_hits",
+      args => MultiPatternHits(args(0), stringSeqLit(args(1), "patterns")),
+      "built-in")
   }
 }

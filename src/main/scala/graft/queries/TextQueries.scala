@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.TextDedup
+import graft.expressions.MultiPatternHits
 import graft.functions.TextFunctions._
 
 /** Text-analysis / corpus-dedup operators over the `documents` table — the
@@ -1310,6 +1311,43 @@ object TextQueries {
            |  CAST(count(*) AS BIGINT) AS n_docs
            |FROM g GROUP BY 1""".stripMargin
       }),
+
+    // Multi-pattern blocklist scan — which blocklist terms occur as
+    // substrings of each doc (PII-term scanning, contamination probes,
+    // policy blocklists). The naive shape is |patterns| contains-probes
+    // per row (a regex alternation backtracks into the same cost); the
+    // engine path compiles the pattern set ONCE into an Aho–Corasick
+    // goto/fail automaton (expressions.MultiPatternHits) and walks each
+    // row in a single O(|text| + hits) pass — pattern-count-independent,
+    // the broadcast-dimension discipline applied to a string automaton.
+    // Blocklist = hash-selected 2-gram phrases from the first 50 docs
+    // (deterministic, both engines derive the identical sorted list);
+    // the oracle replays the brute-force contains join — same result,
+    // the plan that would NOT survive a million-term blocklist.
+    Q("t_blocklist_hits",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pats = d.filter(col("doc_id") < 50)
+          .select(explode(shingles(lower(col("text")), 2)).as("g"))
+          .filter(pmod(portableHash60(concat(lit("bl:"), col("g"))),
+            lit(23L)) === 0L)
+          .distinct().orderBy("g")
+          .collect().map(_.getString(0)).toSeq
+        d.select(col("doc_id"),
+            explode(MultiPatternHits(lower(col("text")), pats))
+              .as("pattern_id"))
+          .select(col("doc_id"), col("pattern_id").cast("long").as("pattern_id"))
+      },
+      Some(raw"""WITH pats AS (
+           |  SELECT g, CAST(row_number() OVER (ORDER BY g) - 1 AS BIGINT) AS pattern_id
+           |  FROM (SELECT DISTINCT g FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |      i -> ws[i] || ' ' || ws[i+1])) AS g
+           |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+           |          FROM documents WHERE doc_id < 50))
+           |    WHERE CAST(('0x' || substring(md5('bl:' || g), 1, 15)) AS BIGINT) % 23 = 0))
+           |SELECT d.doc_id, p.pattern_id
+           |FROM documents d JOIN pats p ON position(p.g IN lower(d.text)) > 0""".stripMargin)),
 
     // Content fingerprint (md5 of normalized text).
     Q("t_fingerprint",

@@ -75,6 +75,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows(2L) === Seq((0.1, 20L)))
   }
 
+  test("multi_pattern_hits evaluates from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT multi_pattern_hits('ushers', array('he', 'she', 'his', 'hers')) AS h,
+        |       multi_pattern_hits('nothing', array('zz')) AS e""".stripMargin)
+      .first()
+    assert(row.getSeq[Int](0) === Seq(0, 1, 3))
+    assert(row.getSeq[Int](1) === Seq.empty)
+    // non-literal pattern arg fails loudly at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT multi_pattern_hits('x', array(repeat('a', 2)))").first()
+    }
+    assert(err.getMessage.contains("string literals") ||
+      err.getMessage.contains("array literal"))
+  }
+
   test("cosine_sim SQL equals Column API bit-for-bit") {
     GraftExtensions.register(spark)
     val emb = Tables.load(spark, GraftTestSpark.sfDir, "embeddings").limit(50)
