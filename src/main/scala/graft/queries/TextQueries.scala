@@ -3188,6 +3188,164 @@ object TextQueries {
       },
       Some(s"""WITH $LabelPropCtes
               |SELECT d.doc_id, l.label
-              |FROM documents d LEFT JOIN ll$LpRounds l USING (doc_id)""".stripMargin))
+              |FROM documents d LEFT JOIN ll$LpRounds l USING (doc_id)""".stripMargin)),
+
+    // CCNet-style perplexity bucketing: score every doc under the corpus
+    // trigram LM (t_trigram_lm's familiarity — the monotone inverse of
+    // perplexity), then split each LANGUAGE into head / middle / tail
+    // thirds by per-lang familiarity terciles, the way CCNet partitions
+    // Common Crawl by KenLM perplexity before choosing which thirds to
+    // train on. Everything is integer-exact: the per-doc score is
+    // familiarity-per-trigram on a 2^20 fixed-point grid ((fam << 20) div
+    // n_trigrams — fam*2^20 fits int64 while corpus trigram volume is
+    // < 2^43; promote to DECIMAL(38,0) past that), and the tercile
+    // thresholds are type-1 quantiles read off the (lang, score) VALUE
+    // HISTOGRAM (t_quantile_hist's shape: the only corpus-sized op is the
+    // partial-aggregable histogram shuffle; the cumulative window runs on
+    // the histogram, and the 5-row threshold frame broadcasts back for a
+    // map-side bucket stamp — no per-lang global sort of the corpus, the
+    // op that dies first at 100 TB).
+    Q("t_ccnet_buckets",
+      (s, dir) => {
+        val d0 = docs(s, dir)
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 3)
+        val scored = trigramFamiliarity(d0.select(col("doc_id"), col("t")))
+          .join(d0.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            expr("CAST((familiarity * 1048576L) DIV n_trigrams AS BIGINT)").as("score_q"))
+        val hist = scored.groupBy(col("lang"), col("score_q")).agg(count(lit(1)).as("c"))
+        val byScore = Window.partitionBy(col("lang")).orderBy(col("score_q"))
+        val cum = hist.withColumn("cum", sum(col("c")).over(byScore))
+          .join(scored.groupBy(col("lang")).agg(count(lit(1)).as("n")), Seq("lang"))
+        val th = cum.groupBy(col("lang")).agg(
+          min(when(col("cum") * 3 >= col("n"), col("score_q"))).as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("score_q"))).as("t2"))
+        scored.join(broadcast(th), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("score_q"),
+            when(col("score_q") <= col("t1"), "tail")
+              .when(col("score_q") <= col("t2"), "middle")
+              .otherwise("head").as("bucket"))
+      },
+      Some("""WITH tri AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))) AS g
+             |  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+             |  WHERE length(t) >= 3),
+             |c AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+             |fam AS (
+             |  SELECT doc_id, count(*) AS n_trigrams, CAST(sum(c.c) AS BIGINT) AS familiarity
+             |  FROM tri JOIN c USING (g) GROUP BY doc_id),
+             |sc AS (
+             |  SELECT f.doc_id, d.lang,
+             |    CAST((f.familiarity * 1048576) // f.n_trigrams AS BIGINT) AS score_q
+             |  FROM fam f JOIN documents d USING (doc_id)),
+             |hist AS (SELECT lang, score_q, count(*) AS c FROM sc GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, score_q,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY score_q) AS cum
+             |  FROM hist),
+             |n AS (SELECT lang, count(*) AS n FROM sc GROUP BY 1),
+             |th AS (
+             |  SELECT lang,
+             |    min(CASE WHEN cum * 3 >= n THEN score_q END) AS t1,
+             |    min(CASE WHEN cum * 3 >= 2 * n THEN score_q END) AS t2
+             |  FROM cum JOIN n USING (lang) GROUP BY lang)
+             |SELECT sc.doc_id, sc.lang, sc.score_q,
+             |  CASE WHEN sc.score_q <= th.t1 THEN 'tail'
+             |       WHEN sc.score_q <= th.t2 THEN 'middle'
+             |       ELSE 'head' END AS bucket
+             |FROM sc JOIN th USING (lang)""".stripMargin)),
+
+    // Collocation mining: adjacent word pairs that co-occur far more often
+    // than their unigram frequencies predict (the PMI/lift signal tokenizer
+    // and vocab builders use to promote multi-word units). The lift test
+    // `c_xy / (c_x/N · c_y/N · N) >= L` is evaluated CROSS-MULTIPLIED —
+    // `c_xy·N >= L·c_x·c_y`, all BIGINT, no float ratio anywhere — with a
+    // min-count floor to kill one-off pairs. Bound: c_xy·N <= N², so int64
+    // holds to ~3e9 bigrams per corpus slice; shard by language (the
+    // natural collocation scope anyway) or promote to DECIMAL(38,0) past
+    // that. Shape at scale: two partial-aggregable token shuffles (bigram
+    // and unigram counts — both vocab-bounded outputs), the unigram side
+    // joined back under the trigram-model guard discipline (broadcast
+    // while provably small, shuffle_hash past the cap), and a 1-row
+    // total-bigrams broadcast. No corpus-sized sort, no window.
+    Q("t_collocations",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), tokens(lower(col("text"))).as("ws"))
+        val bg = d.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+        val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        val uni = d.select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
+        val u = if (uni.count() > 2000000L) uni.hint("shuffle_hash") else broadcast(uni)
+        val nB = cxy.agg(sum(col("c_xy")).as("n_bigrams"))
+        cxy
+          .join(u.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+          .join(u.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+          .join(broadcast(nB), lit(true), "left")
+          .filter(col("c_xy") >= 3 &&
+            col("c_xy") * col("n_bigrams") >= lit(2L) * col("c1") * col("c2"))
+          .select(col("w1"), col("w2"), col("c_xy"), col("c1"), col("c2"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $WSL AS ws FROM documents),
+              |bg AS (
+              |  SELECT ws[i] AS w1, ws[i+1] AS w2
+              |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+              |  WHERE len(ws) >= 2),
+              |cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+              |uni AS (
+              |  SELECT w, count(*) AS c
+              |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+              |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM cxy)
+              |SELECT cxy.w1, cxy.w2, cxy.c_xy, u1.c AS c1, u2.c AS c2
+              |FROM cxy JOIN uni u1 ON cxy.w1 = u1.w
+              |         JOIN uni u2 ON cxy.w2 = u2.w, nb
+              |WHERE c_xy >= 3 AND c_xy * n_bigrams >= 2 * u1.c * u2.c""".stripMargin)),
+
+    // Mixture budget allocation (see graft.operators.Waterfill for the
+    // method, exactness and scale notes): derive per-source quotas for a
+    // token/doc budget of HALF the corpus by max-min-fair water-filling
+    // over the per-source census. This is the design step upstream of
+    // t_mix_sample / t_mix_temperature — those consume quotas, this
+    // computes them. Oracle replays the same sorted-prefix closed form
+    // with the same integer divisions and the same source-name remainder
+    // rule.
+    Q("t_mix_waterfill",
+      (s, dir) => {
+        val census = docs(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("avail"))
+        graft.operators.Waterfill.allocate(
+          census, "source", "avail", expr("sum(avail) DIV 2"))
+      },
+      Some("""WITH census AS (SELECT source, count(*) AS avail FROM documents GROUP BY 1),
+             |b AS (SELECT (SELECT count(*) FROM documents) // 2 AS budget,
+             |             (SELECT count(*) FROM census) AS n),
+             |rows_ AS (
+             |  SELECT source, avail,
+             |    row_number() OVER (ORDER BY avail, source) AS i,
+             |    coalesce(sum(avail) OVER (ORDER BY avail, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+             |    b.budget, b.n
+             |  FROM census, b),
+             |r2 AS (SELECT *, n - i + 1 AS m,
+             |         (budget - cum_prev) // (n - i + 1) AS ti FROM rows_),
+             |cut AS (
+             |  SELECT i AS k, ti AS tstar, budget - cum_prev - ti * (n - i + 1) AS rem
+             |  FROM r2 WHERE ti < avail ORDER BY i LIMIT 1),
+             |j AS (
+             |  SELECT r2.*, cut.k, cut.tstar, cut.rem,
+             |    (cut.k IS NOT NULL AND r2.i >= cut.k) AS capped
+             |  FROM r2 LEFT JOIN cut ON true),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY capped ORDER BY source) AS rnk
+             |  FROM j)
+             |SELECT source, CAST(avail AS BIGINT) AS avail,
+             |  CAST(CASE WHEN NOT capped THEN avail
+             |            ELSE tstar + CASE WHEN rnk <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+             |FROM rk""".stripMargin))
   )
 }

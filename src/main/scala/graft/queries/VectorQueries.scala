@@ -1272,6 +1272,61 @@ object VectorQueries {
            |-- LEFT join: a judged query with no in-rank results must emit a
            |-- zero row, exactly as evaluate()'s left-join + zero-fill does
            |FROM idl i JOIN tot USING (query_id) LEFT JOIN sc USING (query_id)""".stripMargin
+      }),
+
+    // Binary-quantization ANN: 1 bit per dimension (the sign), 64 dims →
+    // one machine word per vector — a 256× compression over float32 that
+    // makes the first-pass scan PURE integer work: hamming = popcount of
+    // two XORed 32-bit sign words (two words rather than one so the
+    // DuckDB replay can build each by summing distinct powers of two
+    // without BIGINT sign-bit overflow). Shortlist the 200 nearest codes
+    // (TakeOrderedAndProject — constant memory per partition, no global
+    // sort), then rerank exactly with the float cosine. At 100 TB the
+    // codes column is what you scan — 8 bytes/vector against 256 — and
+    // the rerank touches only 200 rows; recall@10 is 0.9–1.0 at the test
+    // SFs (CcnetCollocBqSpec pins the floor). Sign quantization is
+    // integer-EXACT (a float's sign survives parquet byte-identically),
+    // so unlike the Gaussian-plane LSH twin this entry carries a FULL
+    // oracle: DuckDB rebuilds the same sign words, the same hamming, the
+    // same two deterministic (tie → vec_id) cuts.
+    Q("e_knn_bq",
+      (s, dir) => {
+        def word(lo: Int): org.apache.spark.sql.Column = expr(
+          s"aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) -> " +
+            s"acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), shiftleft(1L, i - $lo), 0L))")
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            word(0).as("c1"), word(32).as("c2"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("c1").as("q1"), col("c2").as("q2"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("qv"),
+            expr("CAST(bit_count(c1 ^ q1) + bit_count(c2 ^ q2) AS BIGINT)").as("hamming"))
+          .orderBy(col("hamming"), col("vec_id")).limit(200)
+          .select(col("vec_id"), col("hamming"),
+            graft.operators.RelationalOps.round6(
+              cosine(col("embedding"), col("qv"))).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10)
+      },
+      Some {
+        def word(lo: Int): String =
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform(generate_series(${lo + 1}, ${lo + 32}), " +
+            s"i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - ${lo + 1})) " +
+            s"ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+        s"""WITH cd AS (
+           |  SELECT vec_id, embedding, ${word(0)} AS c1, ${word(32)} AS c2
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qv, c1 AS q1, c2 AS q2 FROM cd WHERE vec_id = 0),
+           |h AS (
+           |  SELECT cd.vec_id, cd.embedding, q.qv,
+           |    CAST(bit_count(xor(cd.c1, q.q1)) + bit_count(xor(cd.c2, q.q2)) AS BIGINT) AS hamming
+           |  FROM cd, q WHERE cd.vec_id <> 0),
+           |s AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 200),
+           |sc AS (SELECT vec_id, hamming, $DotQ AS d, $NormE AS na, $NormQ AS nq FROM s)
+           |SELECT vec_id, hamming,
+           |  floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000 AS score
+           |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
       })
   )
 }

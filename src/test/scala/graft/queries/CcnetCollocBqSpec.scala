@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+/** Semantic checks for the round-10 additions that the driver's value-hash
+  * compare can't express: tercile geometry for t_ccnet_buckets, brute-force
+  * re-verification for t_collocations, recall floor for e_knn_bq. */
+class CcnetCollocBqSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sfDir
+
+  test("t_ccnet_buckets: buckets are score-monotone per language and cover all scored docs") {
+    val out = Registry.byName("t_ccnet_buckets").build(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      def mx(b: String) = byBucket.get(b).map(_.max)
+      def mn(b: String) = byBucket.get(b).map(_.min)
+      for (t <- mx("tail"); m <- mn("middle"))
+        assert(t <= m, s"$lang: tail/middle overlap")
+      for (m <- mx("middle"); h <- mn("head"))
+        assert(m <= h, s"$lang: middle/head overlap")
+      // terciles of a non-degenerate language are all inhabited
+      if (rows.map(_._2).distinct.length >= 3)
+        assert(byBucket.keySet == Set("tail", "middle", "head"), s"$lang: $byBucket")
+    }
+  }
+
+  test("t_collocations: every emitted pair re-verifies against brute-force counts") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .as[Seq[String]].collect()
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = docs.filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = big.values.sum
+    val expected = big.filter { case ((w1, w2), c) =>
+      c >= 3 && c * n >= 2 * uni(w1) * uni(w2)
+    }.map { case ((w1, w2), c) => (w1, w2, c, uni(w1), uni(w2)) }.toSet
+    // the joins put join keys first, so select by name rather than position
+    val byName = Registry.byName("t_collocations").build(spark, sf)
+      .select("w1", "w2", "c_xy", "c1", "c2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(byName == expected)
+    assert(byName.nonEmpty)
+  }
+
+  test("e_knn_bq: shortlist rerank recovers >= 8 of the exact top-10") {
+    val exact = Registry.byName("e_cosine_topk").build(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bq = Registry.byName("e_knn_bq").build(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bq.size == 10)
+    assert((bq & exact).size >= 8, s"recall ${(bq & exact).size}/10")
+  }
+}
