@@ -3346,6 +3346,38 @@ object TextQueries {
              |SELECT source, CAST(avail AS BIGINT) AS avail,
              |  CAST(CASE WHEN NOT capped THEN avail
              |            ELSE tstar + CASE WHEN rnk <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc
-             |FROM rk""".stripMargin))
+             |FROM rk""".stripMargin)),
+
+    // Vocabulary growth (the Heaps-law readout): cumulative distinct-term
+    // count over ingest order, binned into doc-id deciles — the corpus-
+    // CUMULATIVE complement of t_novelty's per-doc new-gram ratio, and the
+    // statistic that sizes a tokenizer vocab and flags a saturating (or
+    // suspiciously still-linear ⇒ noise-dominated) corpus. Shape at scale:
+    // each term is collapsed to its FIRST doc by a partial-aggregable
+    // min() shuffle (the min combiner does the work map-side; the exchange
+    // carries one row per distinct term), buckets are a map-side integer
+    // expression against a broadcast 1-row max-id, and the cumulative
+    // window runs on the 10-row decile rollup — never on the corpus.
+    Q("t_vocab_growth",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val first = d
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+          .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+        first.join(broadcast(d.agg(max(col("doc_id")).as("mx"))), lit(true), "left")
+          .select(expr("(fd * 10) DIV (mx + 1)").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+          .withColumn("cum_vocab",
+            sum(col("new_terms")).over(Window.orderBy(col("bucket"))))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+              |first_ AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+              |mx AS (SELECT max(doc_id) AS mx FROM documents),
+              |g AS (
+              |  SELECT (fd * 10) // (mx + 1) AS bucket, count(*) AS new_terms
+              |  FROM first_, mx GROUP BY 1)
+              |SELECT bucket, new_terms,
+              |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+              |FROM g""".stripMargin))
   )
 }

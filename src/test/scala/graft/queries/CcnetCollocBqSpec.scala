@@ -50,6 +50,22 @@ class CcnetCollocBqSpec extends AnyFunSuite {
     assert(byName.nonEmpty)
   }
 
+  test("t_vocab_growth: cumulative vocab is monotone and totals the distinct-term count") {
+    val rows = Registry.byName("t_vocab_growth").build(spark, sf)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, _, _) => b >= 0 && b <= 9 })
+    rows.sliding(2).foreach {
+      case Array((_, _, c1), (_, n2, c2)) => assert(c2 == c1 + n2)
+      case _ =>
+    }
+    val distinctTerms = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .distinct().count()
+    assert(rows.last._3 == distinctTerms)
+  }
+
   test("e_knn_bq: shortlist rerank recovers >= 8 of the exact top-10") {
     val exact = Registry.byName("e_cosine_topk").build(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
