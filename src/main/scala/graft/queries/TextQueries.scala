@@ -89,9 +89,10 @@ object TextQueries {
        |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
   }
 
-  /** The BM25 oracle — shared verbatim by t_bm25 and t_bm25_indexed (same
-    * one-image/two-paths discipline as TfidfSql). */
-  private val Bm25Sql =
+  /** The BM25 oracle — shared verbatim by t_bm25, t_bm25_indexed and
+    * t_hybrid_rrf's lexical leg (same one-image/N-paths discipline as
+    * TfidfSql). */
+  private[queries] val Bm25Sql =
     s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
@@ -209,6 +210,48 @@ object TextQueries {
     tri.join(model, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("c")).as("familiarity"))
+  }
+
+  /** t_bm25's engine body, extracted so t_hybrid_rrf can reuse the exact
+    * same lexical leg (one image, N paths — the Bm25Sql discipline on the
+    * Spark side). Query = the 3 globally-most-frequent terms; per-doc
+    * score via the fixed-point 1e-9-grid cross-row sum (the e_centroids
+    * discipline: each per-row contrib — deterministic in both engines —
+    * quantizes to an exact long, so the per-doc sum is order-independent
+    * under any partial-aggregation merge order; a raw double sum(contrib)
+    * would differ by last-ulp with the merge schedule and flake the
+    * byte-exact oracle). Returns (doc_id, n_query_terms, bm25). */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d"))
+    val dft = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dlen.agg(sum(col("n_d")).as("tot_tokens")))
+    val qterms = tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
+      .orderBy(col("ttf").desc, col("term").asc).limit(3)
+      .select(col("term"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dlen, "doc_id").join(dft, "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("avgdl",
+        col("tot_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("n_d").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms"),
+        graft.operators.RelationalOps.round6(
+          sum(floor(col("contrib") * 1e9).cast("long")).cast("double") / 1e9)
+          .as("bm25"))
   }
 
   /** Single-hash Bloom prefilter for the contamination join (see
@@ -2324,43 +2367,7 @@ object TextQueries {
     // matched terms — the shuffle carries O(matched docs), the corpus is
     // scanned once per explode pass as in t_tfidf.
     Q("t_bm25",
-      (s, dir) => {
-        val k1 = 1.2
-        val b = 0.75
-        val tok = docs(s, dir).select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
-        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d"))
-        val dft = tok.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-          .crossJoin(dlen.agg(sum(col("n_d")).as("tot_tokens")))
-        val qterms = tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
-          .orderBy(col("ttf").desc, col("term").asc).limit(3)
-          .select(col("term"))
-        tf.join(broadcast(qterms), Seq("term"))
-          .join(dlen, "doc_id").join(dft, "term").crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-              (col("df").cast("double") + 0.5) + 1.0))
-          .withColumn("avgdl",
-            col("tot_tokens").cast("double") / col("n_docs").cast("double"))
-          .withColumn("contrib",
-            col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-              (col("tf").cast("double") +
-                lit(k1) * (lit(1.0 - b) + lit(b) * col("n_d").cast("double") / col("avgdl"))))
-          // FIXED-POINT cross-row sum (the e_centroids discipline): each
-          // per-row contrib — deterministic in both engines — quantizes to
-          // an exact 1e-9-grid long, so the per-doc sum is order-
-          // independent under any partial-aggregation merge order; a raw
-          // double sum(contrib) would differ by last-ulp with the merge
-          // schedule and flake the byte-exact oracle.
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_query_terms"),
-            graft.operators.RelationalOps.round6(
-              sum(floor(col("contrib") * 1e9).cast("long")).cast("double") / 1e9)
-              .as("bm25"))
-      },
+      (s, dir) => bm25Scores(s, dir),
       Some(Bm25Sql)),
 
     // PERSISTED-INDEX twins of the two retrieval entries above: the same

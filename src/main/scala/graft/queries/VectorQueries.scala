@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.RademacherBands
@@ -1327,6 +1328,67 @@ object VectorQueries {
            |SELECT vec_id, hamming,
            |  floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000 AS score
            |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    // Hybrid retrieval by reciprocal-rank fusion: fuse the LEXICAL ranking
+    // (t_bm25's exact fixed-point scores — one image, two paths via the
+    // shared bm25Scores body) with the DENSE ranking (cosine to the query
+    // embedding; vec_id ≡ doc_id, the testdata modality alignment) as
+    // rrf = 1/(60+r_lex) + 1/(60+r_dense) — the standard fusion that needs
+    // no score calibration between BM25's unbounded scale and cosine's
+    // [-1,1]. Determinism: both input ranks are integers derived from
+    // oracle-exact 6-dp scores with id tiebreaks; the fused double is two
+    // IEEE divisions summed in a fixed order, then 6-dp-rounded. Shape at
+    // scale: each leg cuts to its top-50 via TakeOrderedAndProject
+    // (constant memory per partition, no global sort) BEFORE any window —
+    // the rank row_numbers and the full outer join run on two 50-row
+    // frames, so fusion cost is independent of corpus size; the legs
+    // themselves are the already-pinned BM25 aggregate and brute cosine
+    // scan (swap in e_knn_bq/IVF for the dense leg at scale — same
+    // 50-row handoff).
+    Q("t_hybrid_rrf",
+      (s, dir) => {
+        val byLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val lex = graft.queries.TextQueries.bm25Scores(s, dir)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), row_number().over(byLex).cast("long").as("lex_rank"))
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val byCos = Window.orderBy(col("cos").desc, col("doc_id"))
+        val den = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            graft.operators.RelationalOps.round6(
+              cosine(col("embedding"), col("qv"))).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(50)
+          .select(col("doc_id"), row_number().over(byCos).cast("long").as("dense_rank"))
+        lex.join(den, Seq("doc_id"), "outer")
+          .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+            graft.operators.RelationalOps.round6(
+              coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some(
+        s"""WITH lexall AS (
+           |${graft.queries.TextQueries.Bm25Sql}
+           |),
+           |lex AS (
+           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+           |  FROM (SELECT * FROM lexall ORDER BY bm25 DESC, doc_id LIMIT 50)),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |den0 AS (
+           |  SELECT vec_id AS doc_id,
+           |    floor((CASE WHEN na * nq = 0 THEN 0.0 ELSE d / (na * nq) END) * 1000000 + 0.5) / 1000000 AS cos
+           |  FROM (SELECT vec_id, $DotQ AS d, $NormE AS na, $NormQ AS nq
+           |        FROM embeddings, q WHERE vec_id <> 0)),
+           |den AS (
+           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+           |  FROM (SELECT * FROM den0 ORDER BY cos DESC, doc_id LIMIT 50))
+           |SELECT doc_id, lex_rank, dense_rank,
+           |  floor((COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0) +
+           |         COALESCE(1.0 / (60.0 + CAST(dense_rank AS DOUBLE)), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf
+           |FROM lex FULL JOIN den USING (doc_id)
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -66,6 +66,29 @@ class CcnetCollocBqSpec extends AnyFunSuite {
     assert(rows.last._3 == distinctTerms)
   }
 
+  test("t_hybrid_rrf: fusion is consistent with its two legs") {
+    val rows = Registry.byName("t_hybrid_rrf").build(spark, sf).collect()
+    assert(rows.length == 10)
+    val fused = rows.map { r =>
+      val rl = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      (r.getLong(0), rl, rd, r.getDouble(3))
+    }
+    // every returned doc appears in at least one leg, and the rrf value
+    // recomputes from the ranks
+    fused.foreach { case (id, rl, rd, rrf) =>
+      assert(rl.isDefined || rd.isDefined, s"doc $id in neither leg")
+      val expect = rl.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf $rrf vs $expect")
+    }
+    // output is sorted by fused score desc
+    assert(fused.map(_._4).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // a doc that tops BOTH legs must top the fusion
+    fused.find(f => f._2.contains(1L) && f._3.contains(1L))
+      .foreach(f => assert(f._1 == fused.head._1))
+  }
+
   test("e_knn_bq: shortlist rerank recovers >= 8 of the exact top-10") {
     val exact = Registry.byName("e_cosine_topk").build(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
