@@ -262,6 +262,35 @@ class PlanShapeSpec extends AnyFunSuite {
         s"source overlap must stay aggregate-shaped:\n$so")
     }
 
+    test(s"r10 tail wave: BQ/hybrid cut via TakeOrdered, ccnet thresholds broadcast, vocab growth partial-aggregates$tag") {
+      // e_knn_bq: the hamming shortlist must be TakeOrderedAndProject —
+      // constant memory per partition, never a corpus-wide Sort
+      val bq = plan(dir, "e_knn_bq")
+      assert(bq.contains("TakeOrderedAndProject"),
+        s"e_knn_bq: shortlist must be TakeOrderedAndProject:\n$bq")
+      // t_hybrid_rrf: BOTH legs cut to 50 via TakeOrdered before any
+      // window; the rank windows and the fusion join run on 50-row frames
+      val hy = plan(dir, "t_hybrid_rrf")
+      assert(hy.contains("TakeOrderedAndProject"),
+        s"t_hybrid_rrf: leg cuts must be TakeOrderedAndProject:\n$hy")
+      // t_ccnet_buckets: the 5-row tercile threshold frame must broadcast
+      // back onto the scored stream (a shuffle join here would resort the
+      // corpus by lang); the trigram model broadcast is pinned separately
+      val cc = plan(dir, "t_ccnet_buckets")
+      assert(cc.contains("BroadcastHashJoin"),
+        s"t_ccnet_buckets: threshold stamp must broadcast:\n$cc")
+      // t_vocab_growth: term collapse is a partial min aggregate (the
+      // combiner does the work map-side), not a distinct + window
+      val vg = plan(dir, "t_vocab_growth")
+      assert(vg.contains("partial_min") && !vg.contains("SortMergeJoin"),
+        s"t_vocab_growth: first-doc collapse must partial-aggregate:\n$vg")
+      // t_collocations: both count shuffles partial-aggregate; the unigram
+      // attach stays a broadcast under the guard at test scales
+      val co = plan(dir, "t_collocations")
+      assert(co.contains("BroadcastHashJoin") && co.contains("partial_count"),
+        s"t_collocations: unigram side must broadcast, counts partial-agg:\n$co")
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
       // phase before the exchange — the O(groups·k) shuffle property; the
