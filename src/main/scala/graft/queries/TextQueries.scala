@@ -3217,10 +3217,18 @@ object TextQueries {
         val d0 = docs(s, dir)
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
           .filter(length(col("t")) >= 3)
+        // MATERIALIZED once (eager localCheckpoint, the trigramFamiliarity
+        // discipline): the scored frame feeds BOTH the threshold histogram
+        // and the final bucket stamp — left lazy, Spark re-runs the whole
+        // corpus-sized trigram scoring join for each consumer (measured 2×
+        // t_trigram_lm at sf10, 52 s vs 26 s; checkpointed it is + ε).
+        // Three narrow columns per doc — the frame a 100 TB run would
+        // persist anyway as the scoring output.
         val scored = trigramFamiliarity(d0.select(col("doc_id"), col("t")))
           .join(d0.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .select(col("doc_id"), col("lang"),
             expr("CAST((familiarity * 1048576L) DIV n_trigrams AS BIGINT)").as("score_q"))
+          .localCheckpoint()
         val hist = scored.groupBy(col("lang"), col("score_q")).agg(count(lit(1)).as("c"))
         val byScore = Window.partitionBy(col("lang")).orderBy(col("score_q"))
         val cum = hist.withColumn("cum", sum(col("c")).over(byScore))
