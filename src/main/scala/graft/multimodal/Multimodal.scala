@@ -372,6 +372,39 @@ object Multimodal {
       }
   }
 
+  /** Per-frame SIGNED peak (max sample value, not max |·|) over decoded
+    * PCM — the landmark extractor behind the audio-fingerprint entry:
+    * constellation-style fingerprints pair successive frame peaks, and the
+    * signed max keeps the wraparound geometry of the planted sawtooth
+    * visible (an |·| peak would fold the two edges together). Same
+    * partition-preserving zero-shuffle codec-kernel shape as
+    * [[audioFrameFeatures]]. */
+  final case class FramePeak(doc_id: Long, frame_idx: Long, vmax: Long)
+
+  def audioFramePeaks(blobs: DataFrame, frameLen: Int = 64): Dataset[FramePeak] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(frameLen > 0, "frameLen must be positive")
+    blobs.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val s = decodePcm16le(payload)
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameLen
+            val end = math.min(start + frameLen, s.length)
+            var vmax = Long.MinValue
+            var i = start
+            while (i < end) {
+              if (s(i).toLong > vmax) vmax = s(i).toLong
+              i += 1
+            }
+            FramePeak(id, f.toLong, vmax)
+          }
+        }
+      }
+  }
+
   // ---- perceptual hashing (image near-dup) ---------------------------------
 
   final case class ImageHash(id: Long, phash: Long)

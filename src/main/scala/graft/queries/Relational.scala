@@ -502,6 +502,123 @@ object Relational {
              |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
              |    PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
              |    RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving_60s_value
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // Ordered funnel with a per-step conversion deadline (24 h): the
+    // product-analytics staple. Each stage's first-completion time is a
+    // conditional MIN over the SAME user partition, so all four stages are
+    // chained unbounded-window aggregates over one hash exchange — never a
+    // per-stage self-join cascade (4 event-table scans) and never a
+    // sequential driver loop. The final stage counts partial-aggregate to a
+    // single row, unpivoted with stack(). At 100 TB: one shuffle of the
+    // (user, type, ts) projection, stage state is 4 longs per user.
+    Q("q_funnel",
+      (s, dir) => {
+        val dl = 86400000000L // 24 h in µs
+        val w = Window.partitionBy(col("user_id"))
+        def step(prev: String, typ: String): org.apache.spark.sql.Column =
+          min(when(col("event_type") === typ && col("tu") > col(prev)
+            && col("tu") <= col(prev) + dl, col("tu"))).over(w)
+        val staged = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"))
+          .withColumn("s1",
+            min(when(col("event_type") === "signup", col("tu"))).over(w))
+          .withColumn("s2", step("s1", "view"))
+          .withColumn("s3", step("s2", "click"))
+          .withColumn("s4", step("s3", "purchase"))
+          .groupBy(col("user_id"))
+          .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+            max(col("s3")).as("s3"), max(col("s4")).as("s4"))
+        staged.agg(count(col("s1")).as("c1"), count(col("s2")).as("c2"),
+            count(col("s3")).as("c3"), count(col("s4")).as("c4"))
+          .select(expr("stack(4, 1L, 'signup', c1, 2L, 'view', c2, " +
+            "3L, 'click', c3, 4L, 'purchase', c4) AS (stage, stage_name, n_users)"))
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tu,
+             |    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END)
+             |      OVER (PARTITION BY user_id) AS s1
+             |  FROM events),
+             |t2 AS (SELECT *, min(CASE WHEN event_type='view' AND tu > s1
+             |         AND tu <= s1 + 86400000000 THEN tu END)
+             |       OVER (PARTITION BY user_id) AS s2 FROM t1),
+             |t3 AS (SELECT *, min(CASE WHEN event_type='click' AND tu > s2
+             |         AND tu <= s2 + 86400000000 THEN tu END)
+             |       OVER (PARTITION BY user_id) AS s3 FROM t2),
+             |t4 AS (SELECT *, min(CASE WHEN event_type='purchase' AND tu > s3
+             |         AND tu <= s3 + 86400000000 THEN tu END)
+             |       OVER (PARTITION BY user_id) AS s4 FROM t3),
+             |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2,
+             |        max(s3) AS s3, max(s4) AS s4 FROM t4 GROUP BY user_id)
+             |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name, count(s1) AS n_users FROM u
+             |UNION ALL SELECT 2, 'view', count(s2) FROM u
+             |UNION ALL SELECT 3, 'click', count(s3) FROM u
+             |UNION ALL SELECT 4, 'purchase', count(s4) FROM u""".stripMargin)),
+
+    // Retention cohort matrix: users by first-seen day × days-since-cohort.
+    // The corpus-sized shuffle happens exactly once (the (user, day)
+    // distinct); the cohort window and the final rollup run on the
+    // user×active-day frame, which is bounded by users · retention horizon,
+    // not by event volume. countDistinct is avoided entirely — after the
+    // dedup, count(*) IS distinct users.
+    Q("q_retention_cohort",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+          .distinct()
+        days
+          .withColumn("cohort_day",
+            min(col("day")).over(Window.partitionBy(col("user_id"))))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts)//86400000000 AS day FROM events),
+             |c AS (SELECT user_id, day,
+             |        min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+             |SELECT cohort_day, day - cohort_day AS offset_days, count(*) AS n_users
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // SCD2-style run history (gaps-and-islands): collapse each user's
+    // consecutive same-type event runs into [valid_from, valid_to) intervals
+    // — the standard dimension-history build. One hash exchange on user_id
+    // carries the lag-flag window, the island aggregation (user_id ⊂ the
+    // grouping key, so no re-shuffle), and the valid_to lead — three
+    // operators, one exchange.
+    Q("q_scd2_runs",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+        val flagged = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("tu"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byTime).isNull
+              || lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(first(col("event_type")).as("state"), min(col("tu")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+          .select(col("user_id"), col("run_id"), col("state"),
+            col("valid_from"), col("valid_to"), col("n_events"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS run_id FROM o),
+             |r AS (SELECT user_id, run_id, any_value(event_type) AS state,
+             |        min(tu) AS valid_from, count(*) AS n_events
+             |      FROM i GROUP BY 1, 2)
+             |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+             |  n_events
+             |FROM r""".stripMargin))
   )
 }

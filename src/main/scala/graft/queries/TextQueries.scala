@@ -223,6 +223,23 @@ object TextQueries {
     * byte-exact oracle). Returns (doc_id, n_query_terms, bm25). */
   private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val qterms = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
+      .orderBy(col("ttf").desc, col("term").asc).limit(3)
+      .select(col("term"))
+    bm25ScoresFor(s, dir, qterms)
+  }
+
+  /** BM25 scoring against an arbitrary query-term frame (k1=1.2, b=0.75,
+    * the Bm25Sql constants) — the parameterized body behind [[bm25Scores]]
+    * (whose query is the corpus top-3) and t_prf_rm3's second pass (whose
+    * query is top-3 ∪ expansion). Scores are fixed-point-summed then
+    * 6-dp-rounded, so ranking on them is oracle-exact. */
+  private[queries] def bm25ScoresFor(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      qterms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val tok = docs(s, dir).select(col("doc_id"),
@@ -233,9 +250,6 @@ object TextQueries {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       .crossJoin(dlen.agg(sum(col("n_d")).as("tot_tokens")))
-    val qterms = tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
-      .orderBy(col("ttf").desc, col("term").asc).limit(3)
-      .select(col("term"))
     tf.join(broadcast(qterms), Seq("term"))
       .join(dlen, "doc_id").join(dft, "term").crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -2012,6 +2026,62 @@ object TextQueries {
              |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
              |FROM x GROUP BY doc_id, frame_idx""".stripMargin)),
 
+    // Audio constellation fingerprint: per-frame signed peaks from the REAL
+    // decode path (mapPartitions PCM kernel, zero shuffle), paired as
+    // successive-frame deltas — the phase-invariant landmark (Δpeak cancels
+    // the per-doc phase offset, so clips that differ only by offset share
+    // fingerprints, the Shazam constellation idea in its integer-exact
+    // form). Each doc is summarized by its DOMINANT delta (count DESC, dv
+    // ASC — deterministic) and stamped with its fingerprint-family size via
+    // a window over the dominant value. All integers end to end; DuckDB
+    // replays the planted sawtooth straight into the same window chain, so
+    // the codec → frame → landmark → family pipeline is full-oracle.
+    // At 100 TB: one shuffle on doc_id carries the lag window AND the
+    // (doc, dv) count (doc_id ⊂ key); the family window runs on one row
+    // per doc.
+    Q("m_audio_fingerprint",
+      (s, dir) => {
+        val peaks = graft.multimodal.Multimodal.audioFramePeaks(
+          graft.multimodal.Multimodal.toAudioTable(docs(s, dir), "doc_id")).toDF()
+        val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        val dv = peaks
+          .withColumn("dv", col("vmax") - lag(col("vmax"), 1).over(byFrame))
+          .filter(col("dv").isNotNull)
+        val dom = dv.groupBy(col("doc_id"), col("dv")).agg(count(lit(1)).as("c"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("dv").asc)))
+          .filter(col("rnk") === 1)
+          .select(col("doc_id"), col("dv").as("dominant_dv"), col("c").as("n_dominant"))
+        val nf = peaks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+        dom.join(nf, "doc_id")
+          .withColumn("family_size",
+            count(lit(1)).over(Window.partitionBy(col("dominant_dv"))))
+          .select(col("doc_id"), col("dominant_dv"), col("n_dominant"),
+            col("n_frames"), col("family_size"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 256 + (doc_id % 5) * 64 AS n,
+             |         13 + (doc_id % 7) AS a, (doc_id * 31) % 65536 AS b
+             |  FROM documents),
+             |smp AS (
+             |  SELECT doc_id, ((a * i + b) % 65536) - 32768 AS v, i // 64 AS frame_idx
+             |  FROM d, unnest(generate_series(0, n - 1)) AS u(i)),
+             |pk AS (SELECT doc_id, frame_idx, CAST(max(v) AS BIGINT) AS vmax
+             |       FROM smp GROUP BY 1, 2),
+             |dvt AS (SELECT doc_id,
+             |          vmax - lag(vmax) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS dv
+             |        FROM pk),
+             |cnt AS (SELECT doc_id, dv, count(*) AS c FROM dvt
+             |        WHERE dv IS NOT NULL GROUP BY 1, 2),
+             |dom AS (SELECT doc_id, dv AS dominant_dv, c AS n_dominant FROM (
+             |          SELECT *, row_number() OVER (
+             |            PARTITION BY doc_id ORDER BY c DESC, dv ASC) AS rnk FROM cnt)
+             |        WHERE rnk = 1),
+             |nf AS (SELECT doc_id, count(*) AS n_frames FROM pk GROUP BY 1)
+             |SELECT doc_id, dominant_dv, n_dominant, n_frames,
+             |  CAST(count(*) OVER (PARTITION BY dominant_dv) AS BIGINT) AS family_size
+             |FROM dom JOIN nf USING (doc_id)""".stripMargin)),
+
     // Image near-dup pairs: real PNG decode → 64-bit average-hash →
     // 16-bit-banded Hamming join (the SimHash shuffle shape applied to
     // images). Rows-only for the driver (DuckDB cannot decode PNG); the
@@ -3393,6 +3463,381 @@ object TextQueries {
               |  FROM first_, mx GROUP BY 1)
               |SELECT bucket, new_terms,
               |  CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
-              |FROM g""".stripMargin))
+              |FROM g""".stripMargin)),
+
+    // Zipf power-law fit per source: OLS slope of ln(freq) on ln(rank)
+    // over the top-100 bigrams — the corpus-health statistic that flags a
+    // machine-generated or template-heavy source (slope far from ≈ −1) in
+    // one number. All four regression moments ride ONE partial-aggregable
+    // shuffle as fixed-point BIGINTs (floor(·×1e9) — order-insensitive, the
+    // bm25-oracle discipline), so the fit is exact and engine-portable; the
+    // rank window runs on the (source, gram) count frame, which is
+    // vocabulary-bounded, never corpus-bounded.
+    Q("t_zipf_fit",
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("source"), explode(shingles(col("text"), 2)).as("gram"))
+          .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("gram").asc)
+        val top = tf.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 100)
+          .select(col("source"),
+            log(col("rnk").cast("double")).as("x"),
+            log(col("tf").cast("double")).as("y"))
+        val sums = top.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("x") * lit(1e9)).cast("long")).as("sx"),
+          sum(floor(col("y") * lit(1e9)).cast("long")).as("sy"),
+          sum(floor(col("x") * col("y") * lit(1e9)).cast("long")).as("sxy"),
+          sum(floor(col("x") * col("x") * lit(1e9)).cast("long")).as("sxx"))
+        sums.select(col("source"), col("n").as("n_grams"),
+          graft.operators.RelationalOps.round6(
+            ((col("n").cast("double") * (col("sxy").cast("double") / lit(1e9)))
+              - (col("sx").cast("double") / lit(1e9)) * (col("sy").cast("double") / lit(1e9)))
+            / ((col("n").cast("double") * (col("sxx").cast("double") / lit(1e9)))
+              - (col("sx").cast("double") / lit(1e9)) * (col("sx").cast("double") / lit(1e9))))
+            .as("zipf_slope"))
+      },
+      Some(s"""WITH hd AS (SELECT source, $WS AS ws FROM documents),
+              |tok AS (SELECT source, unnest($Shingles2) AS gram FROM hd),
+              |tf AS (SELECT source, gram, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |rk AS (SELECT source, gram, tf, row_number() OVER (
+              |         PARTITION BY source ORDER BY tf DESC, gram ASC) AS rnk FROM tf),
+              |top AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+              |          ln(CAST(tf AS DOUBLE)) AS y FROM rk WHERE rnk <= 100),
+              |sums AS (SELECT source, count(*) AS n,
+              |    sum(CAST(floor(x*1e9) AS BIGINT)) AS sx,
+              |    sum(CAST(floor(y*1e9) AS BIGINT)) AS sy,
+              |    sum(CAST(floor(x*y*1e9) AS BIGINT)) AS sxy,
+              |    sum(CAST(floor(x*x*1e9) AS BIGINT)) AS sxx
+              |  FROM top GROUP BY 1)
+              |SELECT source, CAST(n AS BIGINT) AS n_grams,
+              |  floor(((CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e9)
+              |          - (CAST(sx AS DOUBLE)/1e9)*(CAST(sy AS DOUBLE)/1e9)) /
+              |         (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e9)
+              |          - (CAST(sx AS DOUBLE)/1e9)*(CAST(sx AS DOUBLE)/1e9))) * 1000000 + 0.5) / 1000000 AS zipf_slope
+              |FROM sums""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct-count sketch per source, over
+    // trigram shingles — the DETERMINISTIC counterpart to the HLL entry
+    // (t_approx_distinct is rows-only by nature; this one is full-oracle
+    // because the k smallest portable hashes are an exact, order-free
+    // statistic). Estimator: (k−1)·|H|/h₍k₎, degenerating to the exact
+    // count when a source holds fewer than k distinct hashes. The window
+    // ranks the DISTINCT (source, hash) frame — vocabulary-bounded; the
+    // exact_distinct column rides the same frame, making every row
+    // self-auditing (estimate vs truth). State at 100 TB: k=64 longs per
+    // source, mergeable by construction.
+    Q("t_kmv_distinct",
+      (s, dir) => {
+        val dt = docs(s, dir)
+          .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
+          .distinct()
+        val h = dt.select(col("source"),
+          portableHash60(concat(lit("kmv:"), col("g"))).as("hv")).distinct()
+        val w = Window.partitionBy(col("source")).orderBy(col("hv").asc)
+        val kth = h.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 64)
+          .groupBy(col("source")).agg(max(col("hv")).as("hk"), count(lit(1)).as("k"))
+        val ex = dt.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+        kth.join(ex, "source").select(col("source"), col("k"),
+          when(col("k") < 64, col("k"))
+            .otherwise(floor(lit(63.0) * lit(1152921504606846976.0)
+              / col("hk").cast("double")).cast("long")).as("est_distinct"),
+          col("exact_distinct"))
+      },
+      Some(s"""WITH hd AS (SELECT source, $WS AS ws FROM documents),
+              |dt AS (SELECT DISTINCT source, g FROM
+              |        (SELECT source, unnest($Shingles3) AS g FROM hd)),
+              |h AS (SELECT DISTINCT source,
+              |        ('0x' || substr(md5('kmv:' || g), 1, 15))::BIGINT AS hv FROM dt),
+              |rk AS (SELECT source, hv, row_number() OVER (
+              |         PARTITION BY source ORDER BY hv ASC) AS rnk FROM h),
+              |kth AS (SELECT source, max(hv) AS hk, count(*) AS k
+              |        FROM rk WHERE rnk <= 64 GROUP BY 1),
+              |ex AS (SELECT source, count(*) AS exact_distinct FROM dt GROUP BY 1)
+              |SELECT source, CAST(k AS BIGINT) AS k,
+              |  CASE WHEN k < 64 THEN CAST(k AS BIGINT)
+              |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT) END AS est_distinct,
+              |  exact_distinct
+              |FROM kth JOIN ex USING (source)""".stripMargin)),
+
+    // Exact phrase search over POSITIONAL postings — the operator a fixed-k
+    // shingle cannot generalize: the same doc_id ⋈ (pos+offset) postings
+    // intersection answers any phrase length (and, with relaxed offsets,
+    // any slop). The query phrase is the corpus's top trigram (freq DESC,
+    // gram ASC — deterministic, the bm25-qt discipline), carried as a
+    // broadcast 1-row frame. Each phrase-term leg filters the postings to
+    // ONE term before the position joins, so the joins carry
+    // candidate-sized frames; at 100 TB the postings come from the
+    // persisted RetrievalIndex instead of a transient posexplode, and the
+    // plan below is unchanged from the first join on.
+    Q("t_phrase_search",
+      (s, dir) => {
+        val post = docs(s, dir).select(col("doc_id"),
+            posexplode(tokens(lower(col("text")))).as(Seq("p0", "term")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("term"))
+        val ph = docs(s, dir)
+          .select(explode(shingles(lower(col("text")), 3)).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("g").asc).limit(1)
+          .select(split(col("g"), " ").as("wd"))
+          .select(element_at(col("wd"), 1).as("w1"),
+            element_at(col("wd"), 2).as("w2"), element_at(col("wd"), 3).as("w3"))
+        val pw = post.crossJoin(broadcast(ph))
+        val p1 = pw.filter(col("term") === col("w1")).select(col("doc_id"), col("p"))
+        val p2 = pw.filter(col("term") === col("w2"))
+          .select(col("doc_id").as("d2"), col("p").as("pb"))
+        val p3 = pw.filter(col("term") === col("w3"))
+          .select(col("doc_id").as("d3"), col("p").as("pc"))
+        p1.join(p2, col("d2") === col("doc_id") && col("pb") === col("p") + 1)
+          .join(p3, col("d3") === col("doc_id") && col("pc") === col("p") + 2)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))
+      },
+      Some(s"""WITH hd AS (SELECT doc_id, $WSL AS ws FROM documents),
+              |pos AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM hd),
+              |post AS (SELECT doc_id, p, ws[p] AS term FROM pos),
+              |tg AS (SELECT g, count(*) AS c FROM
+              |        (SELECT unnest($Shingles3) AS g FROM hd)
+              |       GROUP BY 1 ORDER BY c DESC, g ASC LIMIT 1),
+              |ph AS (SELECT string_split(g, ' ') AS wd FROM tg),
+              |m AS (
+              |  SELECT p1.doc_id, p1.p
+              |  FROM post p1, post p2, post p3, ph
+              |  WHERE p2.doc_id = p1.doc_id AND p3.doc_id = p1.doc_id
+              |    AND p2.p = p1.p + 1 AND p3.p = p1.p + 2
+              |    AND p1.term = wd[1] AND p2.term = wd[2] AND p3.term = wd[3])
+              |SELECT doc_id, count(*) AS n_occ, min(p) AS first_pos
+              |FROM m GROUP BY 1""".stripMargin)),
+
+    // Proximity (slop) search: the two highest-frequency corpus terms
+    // co-occurring within 5 positions — the positional-postings shape that
+    // no bag-of-words statistic can express (order-free window
+    // containment). Same leg discipline as t_phrase_search: each term's
+    // postings are filtered before the doc_id equi-join (the range
+    // predicate |pa−pb| ≤ 5 rides the join as a residual filter), so the
+    // join input is two single-term postings lists, not the corpus.
+    Q("t_proximity_search",
+      (s, dir) => {
+        val post = docs(s, dir).select(col("doc_id"),
+            posexplode(tokens(lower(col("text")))).as(Seq("p0", "term")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("term"))
+        val two = post.groupBy(col("term")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("term").asc).limit(2)
+        val top2 = two
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("c").desc, col("term").asc)))
+          .agg(min(when(col("rnk") === 1, col("term"))).as("w1"),
+            min(when(col("rnk") === 2, col("term"))).as("w2"))
+        val pw = post.crossJoin(broadcast(top2))
+        val a = pw.filter(col("term") === col("w1"))
+          .select(col("doc_id"), col("p").as("pa"))
+        val b = pw.filter(col("term") === col("w2"))
+          .select(col("doc_id").as("db"), col("p").as("pb"))
+        a.join(b, col("db") === col("doc_id") && abs(col("pa") - col("pb")) <= 5)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(abs(col("pa") - col("pb"))).as("min_dist"))
+      },
+      Some(s"""WITH hd AS (SELECT doc_id, $WSL AS ws FROM documents),
+              |pos AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM hd),
+              |post AS (SELECT doc_id, p, ws[p] AS term FROM pos),
+              |qt AS (SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rnk
+              |       FROM (SELECT term, count(*) AS c FROM post GROUP BY 1)
+              |       ORDER BY rnk LIMIT 2),
+              |w2 AS (SELECT min(CASE WHEN rnk=1 THEN term END) AS w1,
+              |              min(CASE WHEN rnk=2 THEN term END) AS w2 FROM qt),
+              |m AS (SELECT a.doc_id, abs(a.p - b.p) AS d
+              |      FROM post a JOIN post b USING (doc_id), w2
+              |      WHERE a.term = w2.w1 AND b.term = w2.w2 AND abs(a.p - b.p) <= 5)
+              |SELECT doc_id, count(*) AS n_pairs, min(d) AS min_dist
+              |FROM m GROUP BY 1""".stripMargin)),
+
+    // Triangle participation per doc over the rare-shingle co-occurrence
+    // graph — the graph-topology statistic (local clustering) that tells a
+    // boilerplate FAMILY (mutually-linked cliques: licenses, templates)
+    // from a chain of pairwise near-dups, which pair counts alone cannot.
+    // Candidate edges come from an inverted-index join capped by df ∈
+    // [2,4] (each gram fans out ≤ C(4,2) pairs — the standard blocking
+    // cap; never all-pairs), and the triangle join is the ORIENTED
+    // node-iterator: u<v edges joined e1.v=e2.u, closed by e3 — each
+    // triangle counted exactly once as a<b<c. The edge list is
+    // materialized once (eager localCheckpoint) because three join legs
+    // consume it — the ccnet recompute lesson.
+    Q("t_triangle_count",
+      (s, dir) => {
+        val dg = docs(s, dir)
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+          .distinct()
+        val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 4).select(col("g"))
+        val cand = dg.join(rare, "g")
+        val e = cand.select(col("g"), col("doc_id").as("u"))
+          .join(cand.select(col("g"), col("doc_id").as("v")), "g")
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+          .localCheckpoint(true)
+        val tri = e
+          .join(e.select(col("u").as("bu"), col("v").as("bv")), col("bu") === col("v"))
+          .join(e.select(col("u").as("cu"), col("v").as("cv")),
+            col("cu") === col("u") && col("cv") === col("bv"))
+          .select(col("u").as("a"), col("v").as("b"), col("bv").as("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""WITH hd AS (SELECT doc_id, $WS AS ws FROM documents),
+              |dg AS (SELECT DISTINCT doc_id, g FROM
+              |        (SELECT doc_id, unnest($Shingles3) AS g FROM hd)),
+              |rare AS (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 4),
+              |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              |      FROM dg a JOIN dg b USING (g) JOIN rare USING (g)
+              |      WHERE a.doc_id < b.doc_id),
+              |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+              |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              |x AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+              |SELECT doc_id, count(*) AS n_triangles FROM x GROUP BY 1""".stripMargin)),
+
+    // Pseudo-relevance feedback (the RM3 shape): run BM25, take the top-10
+    // docs as feedback, expand the query with the 5 highest-mass non-query
+    // terms from those docs, score again with the expanded query, return
+    // the reranked top-20. Both passes are the SAME parameterized scoring
+    // body (bm25ScoresFor) — one engine path, two query frames — and both
+    // query frames are broadcast (3 and 8 rows). The feedback and output
+    // top-k are TakeOrderedAndProject on the rounded, oracle-exact score —
+    // no global sorts. At 100 TB the second pass is the same
+    // candidate-sized postings join as the first: cost scales with matched
+    // postings, not corpus.
+    Q("t_prf_rm3",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val qt = tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
+          .orderBy(col("ttf").desc, col("term").asc).limit(3)
+          .select(col("term"))
+        val fb = bm25ScoresFor(s, dir, qt)
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+          .select(col("doc_id"))
+        val expTerms = tf.join(broadcast(fb), "doc_id")
+          .join(qt, Seq("term"), "left_anti")
+          .groupBy(col("term")).agg(sum(col("tf")).as("mass"))
+          .orderBy(col("mass").desc, col("term").asc).limit(5)
+          .select(col("term"))
+        val q2 = qt.union(expTerms)
+        bm25ScoresFor(s, dir, q2)
+          .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+          .select(col("doc_id"), col("rnk"), col("n_query_terms"),
+            col("bm25").as("bm25_rm3"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_d FROM tf GROUP BY 1),
+              |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              |              (SELECT CAST(sum(n_d) AS BIGINT) FROM dlen) AS tot_tokens),
+              |qt AS (SELECT term FROM (
+              |         SELECT term, sum(tf) AS ttf FROM tf GROUP BY term
+              |         ORDER BY ttf DESC, term ASC LIMIT 3)),
+              |c1 AS (
+              |  SELECT tf.doc_id,
+              |    ln((CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+              |       (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+              |    (CAST(tf.tf AS DOUBLE) * 2.2) /
+              |    (CAST(tf.tf AS DOUBLE) +
+              |     1.2 * (0.25 + 0.75 * CAST(dlen.n_d AS DOUBLE) /
+              |            (CAST(st.tot_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS contrib
+              |  FROM tf JOIN qt USING (term) JOIN dlen USING (doc_id)
+              |       JOIN dft USING (term), st),
+              |s1 AS (SELECT doc_id,
+              |    floor((CAST(sum(CAST(floor(contrib * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS bm25
+              |  FROM c1 GROUP BY doc_id),
+              |fbd AS (SELECT doc_id FROM s1 ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+              |exp_ AS (SELECT term FROM (
+              |    SELECT tf.term, CAST(sum(tf.tf) AS BIGINT) AS mass
+              |    FROM tf JOIN fbd USING (doc_id)
+              |    WHERE tf.term NOT IN (SELECT term FROM qt)
+              |    GROUP BY tf.term ORDER BY mass DESC, term ASC LIMIT 5)),
+              |q2 AS (SELECT term FROM qt UNION ALL SELECT term FROM exp_),
+              |c2 AS (
+              |  SELECT tf.doc_id,
+              |    ln((CAST(st.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5) /
+              |       (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+              |    (CAST(tf.tf AS DOUBLE) * 2.2) /
+              |    (CAST(tf.tf AS DOUBLE) +
+              |     1.2 * (0.25 + 0.75 * CAST(dlen.n_d AS DOUBLE) /
+              |            (CAST(st.tot_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS contrib
+              |  FROM tf JOIN q2 USING (term) JOIN dlen USING (doc_id)
+              |       JOIN dft USING (term), st),
+              |s2 AS (SELECT doc_id, count(*) AS n_query_terms,
+              |    floor((CAST(sum(CAST(floor(contrib * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS bm25_rm3
+              |  FROM c2 GROUP BY doc_id)
+              |SELECT doc_id,
+              |  CAST(row_number() OVER (ORDER BY bm25_rm3 DESC, doc_id ASC) AS BIGINT) AS rnk,
+              |  n_query_terms, bm25_rm3
+              |FROM s2 ORDER BY bm25_rm3 DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Interpolated Kneser–Ney bigram language model (D = 0.75), scored as
+    // per-doc mean negative log-likelihood — the published-standard
+    // smoothing next to the add-k trigram entry (t_trigram_lm): the
+    // continuation probability P_cont(w₂) = N₁₊(·w₂)/|bigram types| is what
+    // distinguishes KN from plain absolute discounting. All model tables
+    // (bigram counts, left-context totals + fan-outs, continuation counts)
+    // are vocabulary-bounded aggregates; scoring joins each corpus bigram
+    // occurrence back to them — at 100 TB the model frames shuffle
+    // vocab-sized data and the scoring pass is one corpus-sized join
+    // pipeline with a fixed-point (order-insensitive) per-doc sum.
+    Q("t_kneser_ney",
+      (s, dir) => {
+        val b = docs(s, dir)
+          .select(col("doc_id"), explode(shingles(lower(col("text")), 2)).as("g"))
+          .select(col("doc_id"), split(col("g"), " ").as("p"))
+          .select(col("doc_id"), element_at(col("p"), 1).as("w1"),
+            element_at(col("p"), 2).as("w2"))
+        val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val cu = cb.groupBy(col("w1"))
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fan"))
+        val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+        val tt = cb.agg(count(lit(1)).as("t"))
+        val pr = b.join(cb, Seq("w1", "w2")).join(cu, "w1").join(cont, "w2")
+          .crossJoin(broadcast(tt))
+          .withColumn("lp", log(
+            greatest(col("c12").cast("double") - lit(0.75), lit(0.0))
+              / col("c1").cast("double")
+              + (lit(0.75) * col("fan").cast("double") / col("c1").cast("double"))
+              * (col("nprec").cast("double") / col("t").cast("double"))))
+        pr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"),
+            sum(floor(col("lp") * lit(1e9)).cast("long")).as("slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            graft.operators.RelationalOps.round6(
+              (-(col("slp").cast("double") / lit(1e9)))
+                / col("n_bigrams").cast("double")).as("kn_nll"))
+      },
+      Some(s"""WITH hd AS (SELECT doc_id, $WSL AS ws FROM documents),
+              |bg AS (SELECT doc_id, unnest($Shingles2) AS g FROM hd),
+              |bsp AS (SELECT doc_id, string_split(g, ' ') AS p FROM bg),
+              |b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bsp),
+              |cb AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+              |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS fan FROM cb GROUP BY 1),
+              |cont AS (SELECT w2, count(*) AS nprec FROM cb GROUP BY 1),
+              |tt AS (SELECT count(*) AS t FROM cb),
+              |pr AS (
+              |  SELECT b.doc_id,
+              |    ln(
+              |      (greatest(CAST(cb.c12 AS DOUBLE) - 0.75, 0.0) / CAST(cu.c1 AS DOUBLE))
+              |      + (0.75 * CAST(cu.fan AS DOUBLE) / CAST(cu.c1 AS DOUBLE))
+              |        * (CAST(cont.nprec AS DOUBLE) / CAST(tt.t AS DOUBLE))
+              |    ) AS lp
+              |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN cont USING (w2), tt),
+              |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+              |    CAST(sum(CAST(floor(lp * 1e9) AS BIGINT)) AS BIGINT) AS slp
+              |  FROM pr GROUP BY 1)
+              |SELECT doc_id, n_bigrams,
+              |  floor((-(CAST(slp AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS kn_nll
+              |FROM agg""".stripMargin))
   )
 }

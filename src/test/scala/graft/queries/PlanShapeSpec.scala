@@ -291,6 +291,48 @@ class PlanShapeSpec extends AnyFunSuite {
         s"t_collocations: unigram side must broadcast, counts partial-agg:\n$co")
     }
 
+    test(s"r10 positional/graph wave: funnel and SCD2 ride one user exchange, postings legs equi-join$tag") {
+      def exchanges(p: String): Int =
+        p.linesIterator.count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
+      // q_funnel: four chained stage windows share ONE hashpartitioning
+      // (user_id) exchange; only the global stage-count rollup adds its
+      // single-partition exchange. A per-stage self-join cascade would
+      // show up as extra exchanges/joins here.
+      val fu = plan(dir, "q_funnel")
+      assert(fu.contains("hashpartitioning(user_id") && exchanges(fu) <= 2
+        && !fu.contains("Join"),
+        s"q_funnel: must be windows on one user exchange + global rollup:\n$fu")
+      // q_scd2_runs: lag-flag window, island agg (user_id ⊆ key) and the
+      // valid_to lead all satisfy their distribution from the SAME
+      // exchange — exactly one.
+      val sc = plan(dir, "q_scd2_runs")
+      assert(exchanges(sc) == 1 && sc.contains("hashpartitioning(user_id"),
+        s"q_scd2_runs: three operators, one exchange:\n$sc")
+      // q_retention_cohort: the event-sized shuffle happens once (the
+      // (user, day) distinct); everything after runs on user×day frames.
+      val rc = plan(dir, "q_retention_cohort")
+      assert(exchanges(rc) <= 3 && !rc.contains("expand"),
+        s"q_retention_cohort: dedup-then-count, no countDistinct expand:\n$rc")
+      // positional postings: the phrase/proximity position joins must be
+      // real equi-joins on doc_id (the 1-row query frame rides a
+      // broadcast); a cartesian here would be the naive positions×positions
+      // shape.
+      Seq("t_phrase_search", "t_proximity_search").foreach { q =>
+        val p = plan(dir, q)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+          || p.contains("BroadcastHashJoin"),
+          s"$q: position intersection must be an equi-join:\n$p")
+      }
+      // t_kmv_distinct / t_zipf_fit: the corpus-sized stage is a partial
+      // aggregate; the rank windows run on vocabulary-bounded frames.
+      Seq("t_kmv_distinct", "t_zipf_fit").foreach { q =>
+        val p = plan(dir, q)
+        assert(p.contains("partial_count") || p.contains("partial_min")
+          || p.contains("HashAggregate"),
+          s"$q: corpus stage must partial-aggregate:\n$p")
+      }
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
       // phase before the exchange — the O(groups·k) shuffle property; the

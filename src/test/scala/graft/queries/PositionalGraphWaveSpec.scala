@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+/** Brute-force re-verification for the round-10 positional/graph/feedback
+  * wave — the semantic half the driver's value-hash compare can't express:
+  * each entry is recomputed from first principles in plain Scala over the
+  * collected corpus and must match exactly (or, for the KMV sketch, within
+  * its accuracy contract).
+  */
+class PositionalGraphWaveSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sfDir
+
+  private def docTokens(): Array[(Long, Array[String])] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .as[(Long, Array[String])].collect()
+  }
+
+  private def shingles(ws: Array[String], k: Int): Array[String] =
+    if (ws.length < k) Array.empty
+    else ws.sliding(k).map(_.mkString(" ")).toArray
+
+  test("q_funnel: stage counts match a per-user sequential replay") {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"))
+      .as[(Long, String, Long)].collect()
+    val dl = 86400000000L
+    val byUser = events.groupBy(_._1)
+    def firstAfter(es: Array[(Long, String, Long)], typ: String,
+        after: Option[Long]): Option[Long] = after.flatMap { a =>
+      val c = es.filter(e => e._2 == typ && e._3 > a && e._3 <= a + dl)
+      if (c.isEmpty) None else Some(c.map(_._3).min)
+    }
+    var c = Array(0L, 0L, 0L, 0L)
+    byUser.foreach { case (_, es) =>
+      val signups = es.filter(_._2 == "signup")
+      val s1 = if (signups.isEmpty) None else Some(signups.map(_._3).min)
+      val s2 = firstAfter(es, "view", s1)
+      val s3 = firstAfter(es, "click", s2)
+      val s4 = firstAfter(es, "purchase", s3)
+      Seq(s1, s2, s3, s4).zipWithIndex.foreach { case (o, i) =>
+        if (o.isDefined) c(i) += 1
+      }
+    }
+    val got = Registry.byName("q_funnel").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> c(0), 2L -> c(1), 3L -> c(2), 4L -> c(3)))
+    // funnel counts are monotone non-increasing by construction
+    assert(c(0) >= c(1) && c(1) >= c(2) && c(2) >= c(3))
+  }
+
+  test("t_triangle_count: per-node counts match brute force over the rare-gram graph") {
+    val dg = docTokens().flatMap { case (id, ws) =>
+      shingles(ws, 3).distinct.map(g => (id, g))
+    }
+    val df = dg.groupBy(_._2).view.mapValues(_.length).toMap
+    val rare = dg.filter { case (_, g) => df(g) >= 2 && df(g) <= 4 }
+    val edges = rare.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val byU = edges.groupBy(_._1)
+    val triCount = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- edges; (_, c) <- byU.getOrElse(b, Set.empty) if edges((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val got = Registry.byName("t_triangle_count").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == triCount.toMap)
+  }
+
+  test("t_phrase_search: positional intersection equals substring-count brute force") {
+    val toks = docTokens()
+    val triCounts = toks.flatMap { case (_, ws) => shingles(ws, 3) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val phrase = triCounts.toSeq.sortBy { case (g, n) => (-n, g) }.head._1
+    val expected = toks.flatMap { case (id, ws) =>
+      val occ = shingles(ws, 3).zipWithIndex.filter(_._1 == phrase).map(_._2 + 1L)
+      if (occ.isEmpty) None else Some((id, occ.length.toLong, occ.min))
+    }.toSet
+    val got = Registry.byName("t_phrase_search").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("t_proximity_search: slop-window pairs match brute force") {
+    val toks = docTokens()
+    val tf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val Seq(w1, w2) = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(2).map(_._1)
+    val expected = toks.flatMap { case (id, ws) =>
+      val pa = ws.zipWithIndex.filter(_._1 == w1).map(_._2 + 1L)
+      val pb = ws.zipWithIndex.filter(_._1 == w2).map(_._2 + 1L)
+      val ds = for (a <- pa; b <- pb if math.abs(a - b) <= 5) yield math.abs(a - b)
+      if (ds.isEmpty) None else Some((id, ds.length.toLong, ds.min))
+    }.toSet
+    val got = Registry.byName("t_proximity_search").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("t_kmv_distinct: estimator honors its contract per source") {
+    val rows = Registry.byName("t_kmv_distinct").build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, k, est, exact) =>
+      assert(k <= 64, src)
+      if (k < 64) assert(est == exact, s"$src: degenerate case must be exact")
+      else {
+        assert(est >= 64, src)
+        // KMV k=64 has ~12.5% relative std err; 4 sigma guard
+        assert(math.abs(est - exact).toDouble / exact <= 0.5,
+          s"$src: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("t_prf_rm3: ranks are dense and ordered; expansion grew the query") {
+    val rows = Registry.byName("t_prf_rm3").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byRank = rows.sortBy(_._2)
+    assert(byRank.map(_._2).toSeq == (1L to rows.length).toSeq)
+    byRank.sliding(2).foreach {
+      case Array((_, _, _, s1), (_, _, _, s2)) => assert(s1 >= s2)
+      case _ => ()
+    }
+    // expanded query is top-3 ∪ 5 expansion terms: matched terms can reach 8
+    assert(rows.map(_._3).max <= 8)
+    assert(rows.map(_._3).max > 3, "expansion terms never matched any doc")
+  }
+
+  test("m_audio_fingerprint: dominant delta matches a replay of the planted waveform") {
+    val rows = Registry.byName("m_audio_fingerprint").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val expected = rows.map { case (id, _, _, _, _) =>
+      val n = graft.multimodal.Multimodal.plantedSampleCount(id)
+      val peaks = (0 until n).grouped(64).map { frame =>
+        frame.map(i => graft.multimodal.Multimodal.plantedSample(id, i)).max.toLong
+      }.toArray
+      val dvs = peaks.sliding(2).map(p => p(1) - p(0)).toArray
+      val dom = dvs.groupBy(identity).toSeq
+        .sortBy { case (dv, occ) => (-occ.length, dv) }.head
+      id -> ((dom._1, dom._2.length.toLong, peaks.length.toLong))
+    }.toMap
+    rows.foreach { case (id, dv, nd, nf, fam) =>
+      val (edv, end, enf) = expected(id)
+      assert(dv == edv && nd == end && nf == enf, s"doc $id")
+      assert(fam >= 1)
+    }
+    // family sizes are consistent: every doc in a family reports the family's size
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._5).distinct.length == 1)
+      assert(members.head._5 == members.length)
+    }
+  }
+}
