@@ -619,6 +619,187 @@ object Relational {
              |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from,
              |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
              |  n_events
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Session path mining: top event-type trigram sequences within
+    // 30-minute sessions — the user-journey statistic built ON the
+    // sessionize machinery. The session id, both lead() lookaheads, and the
+    // lag flag all ride the SAME user_id exchange (user_id ⊆ every window
+    // key); the path count shuffle carries at most |types|³ rows and the
+    // final cut is TakeOrderedAndProject.
+    Q("q_session_paths",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+        val gapUs = 1800000000L
+        val sess = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("tu"))
+          .withColumn("ns",
+            when(lag(col("tu"), 1).over(byTime).isNull
+              || col("tu") - lag(col("tu"), 1).over(byTime) > gapUs, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("ns")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val w2 = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("tu"), col("event_id"))
+        val paths = sess
+          .select(col("event_type").as("t0"),
+            lead(col("event_type"), 1).over(w2).as("t1"),
+            lead(col("event_type"), 2).over(w2).as("t2"))
+          .filter(col("t1").isNotNull && col("t2").isNotNull)
+          .groupBy(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+          .agg(count(lit(1)).as("n"))
+        paths.orderBy(col("n").desc, col("path").asc).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("n").desc, col("path").asc)).cast("long"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+             |p AS (SELECT event_type AS t0,
+             |        lead(event_type, 1) OVER w2 AS t1, lead(event_type, 2) OVER w2 AS t2
+             |      FROM s WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY tu, event_id)),
+             |c AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+             |      FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1)
+             |SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rnk
+             |FROM c ORDER BY n DESC, path ASC LIMIT 20""".stripMargin)),
+
+    // First-order Markov transition matrix over event types — per-user
+    // ordered lag pairs, counted globally, row-normalized into transition
+    // probabilities. One user exchange for the lag; the count shuffle is
+    // |types|²-bounded; the per-from totals broadcast back.
+    Q("q_event_transitions",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+        val c = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("tu"))
+          .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        c.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            graft.operators.RelationalOps.round6(
+              col("n").cast("double") / col("tot").cast("double")).as("p"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, lag(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev FROM events),
+             |c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+             |      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+             |SELECT from_type, to_type, n,
+             |  floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p
+             |FROM c JOIN t USING (from_type)""".stripMargin)),
+
+    // Daily volume anomaly: per-day event counts z-scored against the
+    // whole-range mean/variance — the ops-monitoring spike detector. The
+    // moments come from exact BIGINT sums (Σn, Σn²) on the day-sized
+    // rollup; the corpus pays one partial-aggregable count shuffle and the
+    // 1-row stats frame broadcasts back.
+    Q("q_daily_anomaly",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val st = d.agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        val mean = col("s1").cast("double") / col("m").cast("double")
+        d.crossJoin(broadcast(st))
+          .select(col("day"), col("n"),
+            graft.operators.RelationalOps.round6(
+              (col("n").cast("double") - mean)
+                / sqrt(col("s2").cast("double") / col("m").cast("double") - mean * mean))
+              .as("z"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts)//86400000000 AS day, count(*) AS n
+             |          FROM events GROUP BY 1),
+             |s AS (SELECT count(*) AS m, CAST(sum(n) AS BIGINT) AS s1,
+             |        CAST(sum(n*n) AS BIGINT) AS s2 FROM d)
+             |SELECT day, n,
+             |  floor(((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) /
+             |   sqrt(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+             |        - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS z
+             |FROM d, s""".stripMargin)),
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles —
+    // the classic warehouse scoring op. The order-table scan partial-
+    // aggregates to one row per customer; the three ntile windows run on
+    // the customer-bounded frame (deterministic: each ORDER BY carries the
+    // custkey tiebreak, and monetary is the exact decimal-summed double).
+    Q("q_rfm_segments",
+      (s, dir) => {
+        val rfm = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(
+            max(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+              .cast("long").as("r_day"),
+            count(lit(1)).as("f"),
+            exactSum(col("o_totalprice")).as("m"))
+        def q5(c1: org.apache.spark.sql.Column) = ntile(5)
+          .over(Window.orderBy(c1.asc, col("custkey").asc)).cast("long")
+        rfm
+          .withColumn("r_q", q5(col("r_day")))
+          .withColumn("f_q", q5(col("f")))
+          .withColumn("m_q", q5(col("m")))
+          .withColumn("rfm_score", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      },
+      Some("""WITH rfm AS (
+             |  SELECT o_custkey AS custkey,
+             |    CAST(epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT) AS r_day,
+             |    count(*) AS f,
+             |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS m
+             |  FROM orders GROUP BY 1)
+             |SELECT custkey, r_day, f, m,
+             |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+             |  CAST(m_q AS BIGINT) AS m_q,
+             |  CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_score
+             |FROM (SELECT custkey, r_day, f, m,
+             |        ntile(5) OVER (ORDER BY r_day ASC, custkey ASC) AS r_q,
+             |        ntile(5) OVER (ORDER BY f ASC, custkey ASC) AS f_q,
+             |        ntile(5) OVER (ORDER BY m ASC, custkey ASC) AS m_q
+             |      FROM rfm)""".stripMargin)),
+
+    // TPC-H Q7 shape (generalized): cross-nation shipping volume by year —
+    // the 4-table star with TWO dimension decodes of the same nation table
+    // under different roles. Facts flow through shuffle joins on their
+    // keys; supplier and both nation roles broadcast; one agg shuffle on
+    // the (nation, nation, year) key.
+    Q("q7_nation_volume",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        val n = t(s, dir, "nation")
+        l.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+            col("n_name").as("cust_nation"))), col("cnk") === col("c_nationkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))), col("snk") === col("s_nationkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(decToDouble(sum(decP(col("l_extendedprice"))
+            * decR(lit(1) - col("l_discount")))).as("revenue"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,3))) AS VARCHAR) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation cn ON cn.n_nationkey = c_nationkey
+             |JOIN nation sn ON sn.n_nationkey = s_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND sn.n_name <> cn.n_name
+             |GROUP BY 1, 2, 3""".stripMargin))
   )
 }

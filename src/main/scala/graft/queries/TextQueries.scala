@@ -89,6 +89,38 @@ object TextQueries {
        |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
   }
 
+  /** Candidate edges of the rare-shingle co-occurrence graph — shared by
+    * t_triangle_count and t_graph_degree_assort: distinct doc pairs sharing
+    * a trigram with df ∈ [2,4] (the blocking cap: each gram fans out at
+    * most C(4,2) pairs, never all-pairs). Edges are oriented u < v and
+    * materialized once (eager localCheckpoint) because every consumer
+    * joins them repeatedly. */
+  private def rareGramEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val dg = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 4).select(col("g"))
+    val cand = dg.join(rare, "g")
+    cand.select(col("g"), col("doc_id").as("u"))
+      .join(cand.select(col("g"), col("doc_id").as("v")), "g")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint(true)
+  }
+
+  /** The DuckDB image of [[rareGramEdges]] — CTE chain ending in
+    * `e(u, v)`, shared by the same two oracles. */
+  private val RareEdgeCtes =
+    s"""hd AS (SELECT doc_id, $WS AS ws FROM documents),
+       |dg AS (SELECT DISTINCT doc_id, g FROM
+       |        (SELECT doc_id, unnest($Shingles3) AS g FROM hd)),
+       |rare AS (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 4),
+       |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |      FROM dg a JOIN dg b USING (g) JOIN rare USING (g)
+       |      WHERE a.doc_id < b.doc_id)""".stripMargin
+
   /** The BM25 oracle — shared verbatim by t_bm25, t_bm25_indexed and
     * t_hybrid_rrf's lexical leg (same one-image/N-paths discipline as
     * TfidfSql). */
@@ -3668,17 +3700,7 @@ object TextQueries {
     // consume it — the ccnet recompute lesson.
     Q("t_triangle_count",
       (s, dir) => {
-        val dg = docs(s, dir)
-          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
-          .distinct()
-        val rare = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 4).select(col("g"))
-        val cand = dg.join(rare, "g")
-        val e = cand.select(col("g"), col("doc_id").as("u"))
-          .join(cand.select(col("g"), col("doc_id").as("v")), "g")
-          .filter(col("u") < col("v"))
-          .select(col("u"), col("v")).distinct()
-          .localCheckpoint(true)
+        val e = rareGramEdges(s, dir)
         val tri = e
           .join(e.select(col("u").as("bu"), col("v").as("bv")), col("bu") === col("v"))
           .join(e.select(col("u").as("cu"), col("v").as("cv")),
@@ -3687,13 +3709,7 @@ object TextQueries {
         tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
       },
-      Some(s"""WITH hd AS (SELECT doc_id, $WS AS ws FROM documents),
-              |dg AS (SELECT DISTINCT doc_id, g FROM
-              |        (SELECT doc_id, unnest($Shingles3) AS g FROM hd)),
-              |rare AS (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 4),
-              |e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-              |      FROM dg a JOIN dg b USING (g) JOIN rare USING (g)
-              |      WHERE a.doc_id < b.doc_id),
+      Some(s"""WITH $RareEdgeCtes,
               |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
               |        FROM e e1 JOIN e e2 ON e2.u = e1.v
               |             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -3838,6 +3854,156 @@ object TextQueries {
               |  FROM pr GROUP BY 1)
               |SELECT doc_id, n_bigrams,
               |  floor((-(CAST(slp AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS kn_nll
-              |FROM agg""".stripMargin))
+              |FROM agg""".stripMargin)),
+
+    // Degree structure + assortativity of the rare-shingle graph (shared
+    // rareGramEdges/RareEdgeCtes image with t_triangle_count): degree
+    // Pearson correlation over both edge orientations — the one-number
+    // topology tell (clique-heavy boilerplate families are assortative;
+    // hub-and-spoke syndication is disassortative). Every correlation
+    // moment is an exact BIGINT sum over the edge list; the single double
+    // expression at the end is shaped identically on both engines. Scale:
+    // degrees are one partial-aggregable shuffle of the (capped) edge
+    // list; the moments partial-aggregate to one row.
+    Q("t_graph_degree_assort",
+      (s, dir) => {
+        val e = rareGramEdges(s, dir)
+        val deg = e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(true)
+        val bi = e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+        val xy = bi
+          .join(deg.select(col("node").as("u"), col("d").as("x")), "u")
+          .join(deg.select(col("node").as("v"), col("d").as("y")), "v")
+        val mo = xy.agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val heads = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        heads.crossJoin(mo).select(
+          col("n_nodes"), col("n_edges"), col("max_degree"),
+          graft.operators.RelationalOps.round6(
+            (col("m").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt((col("m").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+                * (col("m").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("assortativity"))
+      },
+      Some(s"""WITH $RareEdgeCtes,
+              |deg AS (SELECT node, count(*) AS d FROM
+              |          (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+              |bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+              |xy AS (SELECT du.d AS x, dv.d AS y FROM bi
+              |       JOIN deg du ON du.node = bi.u JOIN deg dv ON dv.node = bi.v),
+              |s AS (SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sx,
+              |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+              |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+              |      FROM xy)
+              |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+              |  (SELECT count(*) FROM e) AS n_edges,
+              |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+              |  floor(((CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+              |   sqrt((CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+              |        (CAST(m AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS assortativity
+              |FROM s""".stripMargin)),
+
+    // Per-doc Shannon token entropy (+ the type-count-normalized variant):
+    // the information-density filter that catches templated/generated text
+    // a length or repetition ratio misses (low entropy = few types carry
+    // the mass even when the top token alone doesn't dominate). Per-term
+    // −p·ln p contributions are fixed-point floored before the per-doc
+    // BIGINT sum — order-insensitive, partial-aggregable; both shuffles
+    // carry one row per (doc, distinct term).
+    Q("t_token_entropy",
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        val h = tf.join(dl, "doc_id")
+          .select(col("doc_id"),
+            floor((-p) * log(p) * lit(1e9)).cast("long").as("t"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("t")).as("hfx"), count(lit(1)).as("n_types"))
+        h.join(dl, "doc_id").select(col("doc_id"), col("n_types"),
+          col("n").as("n_tokens"),
+          graft.operators.RelationalOps.round6(
+            col("hfx").cast("double") / lit(1e9)).as("entropy"),
+          when(col("n_types") === 1, lit(0.0)).otherwise(
+            graft.operators.RelationalOps.round6(
+              (col("hfx").cast("double") / lit(1e9))
+                / log(col("n_types").cast("double")))).as("entropy_norm"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($WSL) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+              |h AS (SELECT tf.doc_id,
+              |    CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS hfx,
+              |    CAST(count(*) AS BIGINT) AS n_types
+              |  FROM tf JOIN dl USING (doc_id) GROUP BY 1)
+              |SELECT h.doc_id, n_types, dl.n AS n_tokens,
+              |  floor((CAST(hfx AS DOUBLE) / 1e9) * 1000000 + 0.5) / 1000000 AS entropy,
+              |  CASE WHEN n_types = 1 THEN 0.0
+              |       ELSE floor(((CAST(hfx AS DOUBLE) / 1e9) / ln(CAST(n_types AS DOUBLE))) * 1000000 + 0.5) / 1000000 END AS entropy_norm
+              |FROM h JOIN dl ON dl.doc_id = h.doc_id""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov drift test between releases (doc-id
+    // parity split, the corpus_diff convention) over the doc-length
+    // distribution — the distribution-level QA gate next to the per-scalar
+    // data card: a release whose length histogram silently shifts fails
+    // here even when means stay put. The supremum runs on the VALUE
+    // histogram (one row per distinct length — bounded), never the corpus;
+    // the decisive comparison |cumA·n_b − cumB·n_a| stays in exact
+    // integers, with one division at the end. d_at is the smallest length
+    // achieving the supremum (deterministic tiebreak).
+    Q("t_ks_drift",
+      (s, dir) => {
+        val m = docs(s, dir).select(
+          size(tokens(lower(col("text")))).cast("long").as("x"),
+          pmod(col("doc_id"), lit(2L)).as("rel"))
+        val n = m.agg(
+          sum(when(col("rel") === 0L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("rel") === 1L, 1L).otherwise(0L)).as("nb"))
+        val v = m.groupBy(col("x")).agg(
+          sum(when(col("rel") === 0L, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("rel") === 1L, 1L).otherwise(0L)).as("cb"))
+        val c = v
+          .withColumn("cuma", sum(col("ca")).over(Window.orderBy(col("x"))))
+          .withColumn("cumb", sum(col("cb")).over(Window.orderBy(col("x"))))
+        val d = c.crossJoin(broadcast(n))
+          .select(col("x"),
+            abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("num"),
+            col("na"), col("nb"))
+          .localCheckpoint(true)
+        val mx = d.agg(max(col("num")).as("mxnum"))
+        d.crossJoin(broadcast(mx)).filter(col("num") === col("mxnum"))
+          .groupBy(col("na"), col("nb"))
+          .agg(min(col("x")).as("d_at"), max(col("num")).as("num"))
+          .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_at"),
+            graft.operators.RelationalOps.round6(col("num").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double"))).as("d_stat"))
+      },
+      Some(s"""WITH m AS (SELECT len($WSL) AS x, doc_id % 2 AS rel FROM documents),
+              |n AS (SELECT count(*) FILTER (rel = 0) AS na,
+              |             count(*) FILTER (rel = 1) AS nb FROM m),
+              |v AS (SELECT x, count(*) FILTER (rel = 0) AS ca,
+              |             count(*) FILTER (rel = 1) AS cb FROM m GROUP BY 1),
+              |c AS (SELECT x,
+              |        CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS cuma,
+              |        CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS cumb
+              |      FROM v),
+              |d AS (SELECT x, abs(cuma * n.nb - cumb * n.na) AS num, n.na, n.nb FROM c, n),
+              |mx AS (SELECT max(num) AS mxnum FROM d)
+              |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              |  CAST(min(x) AS BIGINT) AS d_at,
+              |  floor((CAST(mxnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS d_stat
+              |FROM d, mx WHERE num = mxnum GROUP BY mxnum, na, nb""".stripMargin))
   )
 }

@@ -1389,6 +1389,153 @@ object VectorQueries {
            |  floor((COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0) +
            |         COALESCE(1.0 / (60.0 + CAST(dense_rank AS DOUBLE)), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf
            |FROM lex FULL JOIN den USING (doc_id)
-           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Johnson–Lindenstrauss random projection to k=16 dims with PORTABLE
+    // Rademacher (±1) planes — the dimensionality-reduction operator, with
+    // its accuracy contract as the OUTPUT: per-vector original vs
+    // 1/√k-scaled projected L2 norm and their ratio (E[ratio²] = 1, the JL
+    // norm-preservation statement made auditable per row, the same
+    // self-auditing discipline as t_kmv_distinct's exact_distinct column).
+    // Signs derive from the md5 hash family, so the whole projection is
+    // full-oracle; every per-(vector, output-dim) accumulation is a
+    // fixed-point BIGINT sum — order-insensitive, partial-aggregable.
+    // Scale: cost is rows × d × k map-side expansion into ONE shuffle keyed
+    // (vec_id, j) — the irreducible JL work — with the plane family shared
+    // by construction (hash of (j, i)), never a materialized matrix.
+    Q("e_jl_project",
+      (s, dir) => {
+        val k = 16
+        val el = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+          .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+        val jd = broadcast(s.range(0, k).select(col("id").as("j")))
+        val sgn = when(pmod(graft.functions.TextFunctions.portableHash60(
+          concat(lit("jl:"), col("j").cast("string"), lit(":"), col("i").cast("string"))),
+          lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+        val y = el.crossJoin(jd)
+          .select(col("vec_id"), col("j"),
+            floor(col("x") * sgn * lit(1e9)).cast("long").as("tfx"))
+          .groupBy(col("vec_id"), col("j")).agg(sum(col("tfx")).as("yfx"))
+        val sy = y.select(col("vec_id"),
+            floor((col("yfx").cast("double") / lit(1e9))
+              * (col("yfx").cast("double") / lit(1e9)) * lit(1e6)).cast("long").as("y2"))
+          .groupBy(col("vec_id")).agg(sum(col("y2")).as("sy2"))
+        val sv = el.select(col("vec_id"),
+            floor(col("x") * col("x") * lit(1e9)).cast("long").as("x2"))
+          .groupBy(col("vec_id")).agg(sum(col("x2")).as("sv2"))
+        val r6 = graft.operators.RelationalOps.round6 _
+        sy.join(sv, "vec_id").select(col("vec_id"),
+          r6(sqrt(col("sv2").cast("double") / lit(1e9))).as("l2_orig"),
+          r6(sqrt(col("sy2").cast("double") / lit(1e6) / lit(16.0))).as("l2_proj_scaled"),
+          r6(sqrt((col("sy2").cast("double") / lit(1e6) / lit(16.0))
+            / (col("sv2").cast("double") / lit(1e9)))).as("norm_ratio"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, embedding FROM embeddings,
+             |            unnest(generate_series(1, len(embedding))) AS u(i)),
+             |el AS (SELECT vec_id, i - 1 AS i0, CAST(embedding[i] AS DOUBLE) AS x FROM ex),
+             |jd AS (SELECT unnest(generate_series(0, 15)) AS j),
+             |terms AS (SELECT vec_id, j,
+             |    CAST(floor(x * (CASE WHEN ('0x' || substr(md5('jl:' || j || ':' || i0), 1, 15))::BIGINT % 2 = 0
+             |                    THEN 1.0 ELSE -1.0 END) * 1e9) AS BIGINT) AS tfx
+             |  FROM el, jd),
+             |y AS (SELECT vec_id, j, CAST(sum(tfx) AS BIGINT) AS yfx FROM terms GROUP BY 1, 2),
+             |sy AS (SELECT vec_id,
+             |    CAST(sum(CAST(floor((CAST(yfx AS DOUBLE)/1e9) * (CAST(yfx AS DOUBLE)/1e9) * 1e6) AS BIGINT)) AS BIGINT) AS sy2
+             |  FROM y GROUP BY 1),
+             |sv AS (SELECT vec_id, CAST(sum(CAST(floor(x * x * 1e9) AS BIGINT)) AS BIGINT) AS sv2
+             |  FROM el GROUP BY 1)
+             |SELECT vec_id,
+             |  floor(sqrt(CAST(sv2 AS DOUBLE)/1e9) * 1000000 + 0.5) / 1000000 AS l2_orig,
+             |  floor(sqrt(CAST(sy2 AS DOUBLE)/1e6/16.0) * 1000000 + 0.5) / 1000000 AS l2_proj_scaled,
+             |  floor(sqrt((CAST(sy2 AS DOUBLE)/1e6/16.0) / (CAST(sv2 AS DOUBLE)/1e9)) * 1000000 + 0.5) / 1000000 AS norm_ratio
+             |FROM sy JOIN sv USING (vec_id)""".stripMargin)),
+
+    // Simplified (centroid-based) silhouette per cluster — the clustering
+    // QUALITY readout next to e_kmeans's assignments: a = cosine distance
+    // to own centroid, b = min distance to any other centroid,
+    // s = (b−a)/max(a,b), averaged per cluster. Exactly the centroid-
+    // silhouette used at corpus scale (point-to-point silhouette is
+    // O(n²); this is O(n·k), the ONE extra pass over the assignment
+    // scores the trainer already computes). Distances derive from the
+    // 6-dp-rounded cosine, so the whole chain — Lloyd's rounds included —
+    // stays byte-portable; per-cluster means ride fixed-point sums.
+    Q("e_silhouette",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = graft.similarity.KMeans.centroids(e, "vec_id", "embedding",
+          graft.similarity.KMeans.Config(k = KmK, iterations = KmIters))
+        val centArr = cents
+          .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cent_arr"))
+        val scored = e.crossJoin(broadcast(centArr))
+          .select(col("vec_id"), explode(col("cent_arr")).as("c"), col("embedding"))
+          .select(col("vec_id"), col("c.cid").as("cid"),
+            graft.operators.RelationalOps.round6(
+              cosine(col("embedding"), col("c.cv"))).as("score"))
+        val rn = scored.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)))
+        val own = rn.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster_id"),
+            (lit(1.0) - col("score")).as("a"))
+        val oth = rn.join(own, "vec_id").filter(col("cid") =!= col("cluster_id"))
+          .groupBy(col("vec_id")).agg(min(lit(1.0) - col("score")).as("b"))
+        val sil = own.join(oth, "vec_id")
+          .select(col("vec_id"), col("cluster_id"),
+            when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+              .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sv"))
+        sil.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("sv") * lit(1e9)).cast("long")).as("sfx"))
+          .select(col("cluster_id"), col("n"),
+            graft.operators.RelationalOps.round6(
+              col("sfx").cast("double") / lit(1e9) / col("n").cast("double"))
+              .as("mean_silhouette"))
+      },
+      Some(
+        s"""WITH $KMeansCtes,
+           |srn AS (
+           |  SELECT vec_id, cid, score,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+           |  FROM ksc${KmIters + 1}),
+           |own AS (SELECT vec_id, cid AS cluster_id, 1.0 - score AS a
+           |        FROM srn WHERE rn = 1),
+           |oth AS (SELECT s.vec_id, min(1.0 - s.score) AS b
+           |        FROM srn s JOIN own o ON o.vec_id = s.vec_id AND s.cid <> o.cluster_id
+           |        GROUP BY 1),
+           |sil AS (SELECT own.vec_id, own.cluster_id,
+           |    CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+           |         ELSE (b - a) / greatest(a, b) END AS sv
+           |  FROM own JOIN oth USING (vec_id))
+           |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, count(*) AS n,
+           |  floor((CAST(sum(CAST(floor(sv * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_silhouette
+           |FROM sil GROUP BY 1""".stripMargin)),
+
+    // PQ quantization distortion per vector — the ANN QUALITY diagnostic
+    // next to e_pq_topk's latency path: total per-subspace L2 error of the
+    // assigned codes (the exact quantity the encode argmin minimizes,
+    // surfaced at zero extra compute via encodeDetailed). A distortion
+    // drift after a codebook retrain is the early-warning signal recall
+    // probes catch only later. Per-subspace distances are already on the
+    // 6-dp grid, so the per-vector sum is an exact integer fold.
+    Q("e_pq_distortion",
+      (s, dir) => {
+        val det = graft.similarity.ProductQuantizer.encodeDetailed(
+          emb(s, dir), "vec_id", "embedding")
+        det.groupBy(col("vec_id"))
+          .agg(sum(floor(col("dist") * lit(1e6) + lit(0.5)).cast("long")).as("dfx"),
+            count(lit(1)).as("n_sub"))
+          .select(col("vec_id"), col("n_sub"),
+            graft.operators.RelationalOps.round6(
+              col("dfx").cast("double") / lit(1e6)).as("distortion"))
+      },
+      Some(
+        s"""WITH $PqCtes,
+           |pa AS (SELECT pqd.vec_id, pqd.j, pqd.dist
+           |       FROM pqd JOIN pqcodes
+           |         ON pqcodes.vec_id = pqd.vec_id AND pqcodes.j = pqd.j
+           |        AND pqcodes.code_id = pqd.code_id)
+           |SELECT vec_id, count(*) AS n_sub,
+           |  floor((CAST(sum(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) * 1000000 + 0.5) / 1000000 AS distortion
+           |FROM pa GROUP BY 1""".stripMargin))
   )
 }

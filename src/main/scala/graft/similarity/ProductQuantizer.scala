@@ -84,6 +84,15 @@ object ProductQuantizer {
     * shrink the m×nCodes expansion back to m rows per vector before any
     * exchange; a window form would sort the whole expansion. */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
+      cfg: Config = Config()): DataFrame =
+    encodeDetailed(emb, idCol, vecCol, cfg)
+      .select(col("vec_id"), col("j"), col("code_id"))
+
+  /** [[encode]] keeping the winning per-subspace quantization error —
+    * (vec_id, j, code_id, dist) with `dist` on the 6-dp grid. Feeds the
+    * distortion diagnostics (e_pq_distortion) at zero extra compute: the
+    * argmin aggregate already carries the distance it minimized. */
+  def encodeDetailed(emb: DataFrame, idCol: String, vecCol: String,
       cfg: Config = Config()): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
     val sd = seeds(e, cfg)
@@ -92,7 +101,8 @@ object ProductQuantizer {
         subL2(col("v"), col("sv"), col("j"), cfg.subDim)))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("dist"), col("code_id"))).as("mn"))
-      .select(col("vec_id"), col("j"), col("mn.code_id").as("code_id"))
+      .select(col("vec_id"), col("j"), col("mn.code_id").as("code_id"),
+        col("mn.dist").as("dist"))
   }
 
   /** Top-`k` corpus vectors for the `queryId` vector by the ADC

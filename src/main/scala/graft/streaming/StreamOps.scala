@@ -82,4 +82,51 @@ object StreamOps {
           out.iterator
       }
   }
+
+  // ---- streaming funnel ----------------------------------------------------
+
+  final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
+  /** Per-user stage-completion times; −1 = not reached. Bounded state: one
+    * long per stage per user, forever. */
+  final case class FunnelProgress(times: Seq[Long])
+  final case class FunnelStageOut(userId: Long, stage: Int, tsUs: Long)
+
+  /** Streaming face of the batch `q_funnel` query: per-user ordered stage
+    * machine over flatMapGroupsWithState, emitting each stage's FIRST
+    * completion as it happens. Stage i (i > 0) completes on the first
+    * `stages(i)` event with `t(i−1) < ts ≤ t(i−1) + deadlineUs`.
+    *
+    * Semantics note (the streaming/batch delta, stated rather than hidden):
+    * completion is greedy over ARRIVAL-ordered prefixes — events are
+    * sorted within each micro-batch, but an out-of-order event arriving in
+    * a LATER batch cannot retroactively complete an earlier stage window
+    * that a batch recompute would have found. For in-order delivery the
+    * two agree exactly (StreamOpsSpec pins stage counts ≡ q_funnel's batch
+    * answer over the same events).
+    */
+  def funnel(events: Dataset[FunnelEvent], stages: Seq[String],
+      deadlineUs: Long): Dataset[FunnelStageOut] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelProgress, FunnelStageOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          val t = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(stages.length)(-1L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelStageOut]()
+          batch.toSeq.sortBy(e => e.tsUs).foreach { e =>
+            val i = stages.indexOf(e.eventType)
+            if (i >= 0 && t(i) < 0
+              && (i == 0 || (t(i - 1) >= 0 && e.tsUs > t(i - 1)
+                && e.tsUs <= t(i - 1) + deadlineUs))) {
+              t(i) = e.tsUs
+              out += FunnelStageOut(userId, i + 1, e.tsUs)
+            }
+          }
+          state.update(FunnelProgress(t.toSeq))
+          out.iterator
+      }
+  }
 }

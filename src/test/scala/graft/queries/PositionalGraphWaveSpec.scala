@@ -56,7 +56,7 @@ class PositionalGraphWaveSpec extends AnyFunSuite {
   }
 
   test("t_triangle_count: per-node counts match brute force over the rare-gram graph") {
-    val dg = docTokens().flatMap { case (id, ws) =>
+    val dg = docTokensRaw().flatMap { case (id, ws) =>
       shingles(ws, 3).distinct.map(g => (id, g))
     }
     val df = dg.groupBy(_._2).view.mapValues(_.length).toMap
@@ -160,6 +160,187 @@ class PositionalGraphWaveSpec extends AnyFunSuite {
     rows.groupBy(_._2).foreach { case (_, members) =>
       assert(members.map(_._5).distinct.length == 1)
       assert(members.head._5 == members.length)
+    }
+  }
+
+  test("q_event_transitions: counts match brute force; probability rows normalize") {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = events.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4)).map(_._2)
+      sorted.zip(sorted.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Registry.byName("q_event_transitions").build(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(got.map { case (k, (n, _)) => k -> n }.toMap == expected)
+    got.groupBy(_._1._1).foreach { case (from, rows) =>
+      val psum = rows.map(_._2._2).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$from: probabilities sum to $psum")
+    }
+  }
+
+  test("q_session_paths: top paths match a sessionized brute force") {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tu"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val gap = 1800000000L
+    val paths = events.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, String, Long, Long)]]) {
+        case (acc, e) => acc match {
+          case h :: t if e._3 - h.head._3 <= gap => (e :: h) :: t
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.flatMap(s0 => s0.reverse.map(_._2).sliding(3).filter(_.size == 3)
+        .map(_.mkString(">")))
+    }
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectedTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Registry.byName("q_session_paths").build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(got.map(r => (r._1, r._2)).toSeq == expectedTop)
+  }
+
+  test("q_daily_anomaly: z-scores recompute from the day counts") {
+    val rows = Registry.byName("q_daily_anomaly").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val m = rows.length.toDouble
+    val mean = rows.map(_._2).sum / m
+    val varp = rows.map(r => r._2 * r._2).sum / m - mean * mean
+    rows.foreach { case (_, n, z) =>
+      val want = (n - mean) / math.sqrt(varp)
+      assert(math.abs(z - want) < 1e-5)
+    }
+  }
+
+  test("t_graph_degree_assort: heads match brute force; correlation bounded") {
+    val row = Registry.byName("t_graph_degree_assort").build(spark, sf).collect().head
+    val (nNodes, nEdges, maxDeg, assort) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    // recompute the graph exactly as the triangle test does
+    val dg = docTokensRaw().flatMap { case (id, ws) =>
+      shingles(ws, 3).distinct.map(g => (id, g))
+    }
+    val df = dg.groupBy(_._2).view.mapValues(_.length).toMap
+    val edges = dg.filter { case (_, g) => df(g) >= 2 && df(g) <= 4 }
+      .groupBy(_._2).values.flatMap { members =>
+        val ids = members.map(_._1).distinct.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(nNodes == deg.size && nEdges == edges.size && maxDeg == deg.values.max)
+    assert(assort >= -1.000001 && assort <= 1.000001)
+  }
+
+  test("e_jl_project: norm ratios honor the JL contract in aggregate") {
+    val rows = Registry.byName("e_jl_project").build(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (orig, proj, ratio) =>
+      assert(orig > 0 && proj >= 0 && ratio >= 0)
+      assert(math.abs(ratio - proj / orig) < 1e-4)
+    }
+    // E[ratio²] = 1 with k=16 planes: the corpus mean must land well inside
+    // the concentration band even at the small test SF
+    val meanSq = rows.map(r => r._3 * r._3).sum / rows.length
+    assert(meanSq > 0.5 && meanSq < 1.5, s"mean squared ratio $meanSq")
+  }
+
+  /** Non-lowered tokens — the shingle convention the graph entries use. */
+  private def docTokensRaw(): Array[(Long, Array[String])] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .as[(Long, Array[String])].collect()
+  }
+
+  test("q_rfm_segments: quintiles are balanced and the score recombines") {
+    val rows = Registry.byName("q_rfm_segments").build(spark, sf)
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    Seq[Int](0, 1, 2).foreach { qi =>
+      val sizes = rows.groupBy(r => qi match {
+        case 0 => r._1; case 1 => r._2; case _ => r._3
+      }).view.mapValues(_.size).toMap
+      assert(sizes.keySet == (1L to 5L).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1, s"quintile $qi: $sizes")
+    }
+    rows.foreach { case (r, f, m, score) => assert(score == r * 100 + f * 10 + m) }
+  }
+
+  test("q7_nation_volume: no same-nation pairs, years bounded, revenue positive") {
+    val rows = Registry.byName("q7_nation_volume").build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sn, cn, y, rev) =>
+      assert(sn != cn)
+      assert(y == 1996L || y == 1997L)
+      assert(rev > 0)
+    }
+  }
+
+  test("t_token_entropy: exact brute-force replay") {
+    val toks = docTokens()
+    val expected = toks.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val n = ws.length.toDouble
+      val counts = ws.groupBy(identity).values.map(_.length)
+      val hfx = counts.map { c =>
+        math.floor(-(c / n) * math.log(c / n) * 1e9).toLong
+      }.sum
+      val h = hfx / 1e9
+      val types = counts.size
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      id -> ((types.toLong, ws.length.toLong, r6(h),
+        if (types == 1) 0.0 else r6(h / math.log(types.toDouble))))
+    }.toMap
+    val got = Registry.byName("t_token_entropy").build(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+  }
+
+  test("e_silhouette: covers the corpus, means bounded") {
+    val rows = Registry.byName("e_silhouette").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == graft.Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { case (_, n, s) =>
+      assert(n > 0)
+      assert(s >= -1.000001 && s <= 1.000001)
+    }
+  }
+
+  test("t_ks_drift: exact brute-force replay of the supremum") {
+    val lens = docTokens().map { case (id, ws) => (id, ws.length.toLong) }
+    val a = lens.filter(_._1 % 2 == 0).map(_._2)
+    val b = lens.filter(_._1 % 2 == 1).map(_._2)
+    val xs = (a ++ b).distinct.sorted
+    val na = a.length.toLong; val nb = b.length.toLong
+    val sup = xs.map { x =>
+      val cuma = a.count(_ <= x).toLong; val cumb = b.count(_ <= x).toLong
+      (x, math.abs(cuma * nb - cumb * na))
+    }
+    val mx = sup.map(_._2).max
+    val dAt = sup.filter(_._2 == mx).map(_._1).min
+    val row = Registry.byName("t_ks_drift").build(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((na, nb, dAt)))
+    val want = math.floor(mx.toDouble / (na.toDouble * nb.toDouble) * 1e6 + 0.5) / 1e6
+    assert(row.getDouble(3) == want)
+  }
+
+  test("e_pq_distortion: every vector carries all subspaces, errors non-negative") {
+    val rows = Registry.byName("e_pq_distortion").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == graft.Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { case (_, nSub, d) =>
+      assert(nSub == 8)
+      assert(d >= 0.0)
     }
   }
 }

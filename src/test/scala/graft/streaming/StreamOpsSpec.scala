@@ -55,4 +55,37 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq(1L, 1L)) // dup id collapsed, two 1-min windows
     } finally q.stop()
   }
+
+  test("streaming funnel over in-order batches matches the batch q_funnel answer") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the real test corpus, delivered in event-time order across 3 batches
+    val events = graft.Tables.load(spark, GraftTestSpark.sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tu"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+      .sortBy(_._2).map(e => FunnelEvent(e._1, e._2, e._3))
+    val ms = MemoryStream[FunnelEvent]
+    val stages = Seq("signup", "view", "click", "purchase")
+    val q = StreamOps.funnel(ms.toDS(), stages, 86400000000L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("funnel_out").as[FunnelStageOut].collect()
+        .groupBy(_.stage).view.mapValues(_.map(_.userId).distinct.length.toLong).toMap
+      val want = graft.queries.Registry.byName("q_funnel")
+        .build(spark, GraftTestSpark.sfDir)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(2)))
+        .filter(_._2 > 0).toMap
+      assert(got == want, s"streaming $got vs batch $want")
+      // each user completes a stage at most once
+      val perUserStage = spark.table("funnel_out").as[FunnelStageOut].collect()
+        .groupBy(s => (s.userId, s.stage)).values
+      assert(perUserStage.forall(_.length == 1))
+    } finally q.stop()
+  }
 }
