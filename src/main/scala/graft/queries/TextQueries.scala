@@ -3563,9 +3563,13 @@ object TextQueries {
     // source, mergeable by construction.
     Q("t_kmv_distinct",
       (s, dir) => {
+        // dt feeds BOTH the hash ranking and the exact census — materialize
+        // once (×100 exposed the 2× corpus recompute, the ccnet lesson; the
+        // frame is distinct (source, gram) — vocabulary-bounded)
         val dt = docs(s, dir)
           .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
           .distinct()
+          .localCheckpoint(true)
         val h = dt.select(col("source"),
           portableHash60(concat(lit("kmv:"), col("g"))).as("hv")).distinct()
         val w = Window.partitionBy(col("source")).orderBy(col("hv").asc)
@@ -3617,11 +3621,22 @@ object TextQueries {
           .select(split(col("g"), " ").as("wd"))
           .select(element_at(col("wd"), 1).as("w1"),
             element_at(col("wd"), 2).as("w2"), element_at(col("wd"), 3).as("w3"))
-        val pw = post.crossJoin(broadcast(ph))
-        val p1 = pw.filter(col("term") === col("w1")).select(col("doc_id"), col("p"))
-        val p2 = pw.filter(col("term") === col("w2"))
+        // ONE postings pass: join the broadcast 3-row (role, term) frame,
+        // materialize the matched (tiny) postings, then cut the three legs
+        // from it — the naive three term-filtered legs each re-exploded the
+        // corpus (measured 18× instead of ~4× at the ×10 scale-up)
+        val phRows = ph.select(explode(array(
+            struct(lit(1L).as("role"), col("w1").as("term")),
+            struct(lit(2L).as("role"), col("w2").as("term")),
+            struct(lit(3L).as("role"), col("w3").as("term")))).as("rt"))
+          .select(col("rt.role").as("role"), col("rt.term").as("term"))
+        val matched = post.join(broadcast(phRows), "term")
+          .select(col("doc_id"), col("p"), col("role"))
+          .localCheckpoint(true)
+        val p1 = matched.filter(col("role") === 1L).select(col("doc_id"), col("p"))
+        val p2 = matched.filter(col("role") === 2L)
           .select(col("doc_id").as("d2"), col("p").as("pb"))
-        val p3 = pw.filter(col("term") === col("w3"))
+        val p3 = matched.filter(col("role") === 3L)
           .select(col("doc_id").as("d3"), col("p").as("pc"))
         p1.join(p2, col("d2") === col("doc_id") && col("pb") === col("p") + 1)
           .join(p3, col("d3") === col("doc_id") && col("pc") === col("p") + 2)
@@ -3814,7 +3829,12 @@ object TextQueries {
           .select(col("doc_id"), split(col("g"), " ").as("p"))
           .select(col("doc_id"), element_at(col("p"), 1).as("w1"),
             element_at(col("p"), 2).as("w2"))
+        // the bigram count table feeds FOUR consumers (cu/cont/tt and the
+        // scoring join) — materialize once or each re-aggregates the corpus
+        // (measured 20× instead of ~2× at the ×10 scale-up); the frame is
+        // bigram-vocabulary-bounded
         val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true)
         val cu = cb.groupBy(col("w1"))
           .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fan"))
         val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
