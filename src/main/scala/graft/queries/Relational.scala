@@ -709,21 +709,23 @@ object Relational {
         val st = d.agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
           sum(col("n") * col("n")).as("s2"))
         val mean = col("s1").cast("double") / col("m").cast("double")
+        val varp = col("s2").cast("double") / col("m").cast("double") - mean * mean
         d.crossJoin(broadcast(st))
           .select(col("day"), col("n"),
-            graft.operators.RelationalOps.round6(
-              (col("n").cast("double") - mean)
-                / sqrt(col("s2").cast("double") / col("m").cast("double") - mean * mean))
-              .as("z"))
+            when(varp <= 0.0, lit(0.0)).otherwise(
+              graft.operators.RelationalOps.round6(
+                (col("n").cast("double") - mean) / sqrt(varp))).as("z"))
       },
       Some("""WITH d AS (SELECT epoch_us(ts)//86400000000 AS day, count(*) AS n
              |          FROM events GROUP BY 1),
              |s AS (SELECT count(*) AS m, CAST(sum(n) AS BIGINT) AS s1,
              |        CAST(sum(n*n) AS BIGINT) AS s2 FROM d)
              |SELECT day, n,
-             |  floor(((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) /
+             |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+             |        - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) <= 0.0 THEN 0.0
+             |       ELSE floor(((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) /
              |   sqrt(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
-             |        - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS z
+             |        - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))) * 1000000 + 0.5) / 1000000 END AS z
              |FROM d, s""".stripMargin)),
 
     // RFM customer segmentation: recency/frequency/monetary quintiles —

@@ -253,16 +253,22 @@ object TextQueries {
     * under any partial-aggregation merge order; a raw double sum(contrib)
     * would differ by last-ulp with the merge schedule and flake the
     * byte-exact oracle). Returns (doc_id, n_query_terms, bm25). */
-  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val tok = docs(s, dir).select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("term"))
-    val qterms = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+  /** The canonical query for the lexical-retrieval entries: the corpus's
+    * top-n terms by total frequency (ttf DESC, term ASC — deterministic).
+    * Shared by bm25Scores (n=3, the Bm25Sql `qt` image) and t_prf_rm3's
+    * first pass, so the query-term definition cannot drift between them. */
+  private[queries] def topQueryTerms(s: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
-      .orderBy(col("ttf").desc, col("term").asc).limit(3)
+      .orderBy(col("ttf").desc, col("term").asc).limit(n)
       .select(col("term"))
-    bm25ScoresFor(s, dir, qterms)
-  }
+
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bm25ScoresFor(s, dir, topQueryTerms(s, dir, 3))
 
   /** BM25 scoring against an arbitrary query-term frame (k1=1.2, b=0.75,
     * the Bm25Sql constants) — the parameterized body behind [[bm25Scores]]
@@ -3523,13 +3529,14 @@ object TextQueries {
           sum(floor(col("y") * lit(1e9)).cast("long")).as("sy"),
           sum(floor(col("x") * col("y") * lit(1e9)).cast("long")).as("sxy"),
           sum(floor(col("x") * col("x") * lit(1e9)).cast("long")).as("sxx"))
+        val den = ((col("n").cast("double") * (col("sxx").cast("double") / lit(1e9)))
+          - (col("sx").cast("double") / lit(1e9)) * (col("sx").cast("double") / lit(1e9)))
         sums.select(col("source"), col("n").as("n_grams"),
-          graft.operators.RelationalOps.round6(
-            ((col("n").cast("double") * (col("sxy").cast("double") / lit(1e9)))
-              - (col("sx").cast("double") / lit(1e9)) * (col("sy").cast("double") / lit(1e9)))
-            / ((col("n").cast("double") * (col("sxx").cast("double") / lit(1e9)))
-              - (col("sx").cast("double") / lit(1e9)) * (col("sx").cast("double") / lit(1e9))))
-            .as("zipf_slope"))
+          when(den === 0.0, lit(0.0)).otherwise(
+            graft.operators.RelationalOps.round6(
+              ((col("n").cast("double") * (col("sxy").cast("double") / lit(1e9)))
+                - (col("sx").cast("double") / lit(1e9)) * (col("sy").cast("double") / lit(1e9)))
+              / den)).as("zipf_slope"))
       },
       Some(s"""WITH hd AS (SELECT source, $WS AS ws FROM documents),
               |tok AS (SELECT source, unnest($Shingles2) AS gram FROM hd),
@@ -3545,10 +3552,12 @@ object TextQueries {
               |    sum(CAST(floor(x*x*1e9) AS BIGINT)) AS sxx
               |  FROM top GROUP BY 1)
               |SELECT source, CAST(n AS BIGINT) AS n_grams,
-              |  floor(((CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e9)
+              |  CASE WHEN (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e9)
+              |             - (CAST(sx AS DOUBLE)/1e9)*(CAST(sx AS DOUBLE)/1e9)) = 0.0 THEN 0.0
+              |       ELSE floor(((CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e9)
               |          - (CAST(sx AS DOUBLE)/1e9)*(CAST(sy AS DOUBLE)/1e9)) /
               |         (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e9)
-              |          - (CAST(sx AS DOUBLE)/1e9)*(CAST(sx AS DOUBLE)/1e9))) * 1000000 + 0.5) / 1000000 AS zipf_slope
+              |          - (CAST(sx AS DOUBLE)/1e9)*(CAST(sx AS DOUBLE)/1e9))) * 1000000 + 0.5) / 1000000 END AS zipf_slope
               |FROM sums""".stripMargin)),
 
     // KMV (k-minimum-values) distinct-count sketch per source, over
@@ -3746,9 +3755,7 @@ object TextQueries {
         val tok = docs(s, dir).select(col("doc_id"),
           explode(tokens(lower(col("text")))).as("term"))
         val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val qt = tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
-          .orderBy(col("ttf").desc, col("term").asc).limit(3)
-          .select(col("term"))
+        val qt = topQueryTerms(s, dir, 3)
         val fb = bm25ScoresFor(s, dir, qt)
           .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
           .select(col("doc_id"))
@@ -3904,16 +3911,17 @@ object TextQueries {
           sum(col("y") * col("y")).as("syy"))
         val heads = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        val vprod = ((col("m").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          * (col("m").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")))
         heads.crossJoin(mo).select(
           col("n_nodes"), col("n_edges"), col("max_degree"),
-          graft.operators.RelationalOps.round6(
-            (col("m").cast("double") * col("sxy").cast("double")
-              - col("sx").cast("double") * col("sy").cast("double"))
-              / sqrt((col("m").cast("double") * col("sxx").cast("double")
-                - col("sx").cast("double") * col("sx").cast("double"))
-                * (col("m").cast("double") * col("syy").cast("double")
-                  - col("sy").cast("double") * col("sy").cast("double"))))
-            .as("assortativity"))
+          when(vprod <= 0.0, lit(0.0)).otherwise(
+            graft.operators.RelationalOps.round6(
+              (col("m").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double"))
+                / sqrt(vprod))).as("assortativity"))
       },
       Some(s"""WITH $RareEdgeCtes,
               |deg AS (SELECT node, count(*) AS d FROM
@@ -3928,9 +3936,11 @@ object TextQueries {
               |SELECT (SELECT count(*) FROM deg) AS n_nodes,
               |  (SELECT count(*) FROM e) AS n_edges,
               |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
-              |  floor(((CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+              |  CASE WHEN (CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+              |            (CAST(m AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) <= 0.0 THEN 0.0
+              |       ELSE floor(((CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
               |   sqrt((CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-              |        (CAST(m AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000 AS assortativity
+              |        (CAST(m AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000 END AS assortativity
               |FROM s""".stripMargin)),
 
     // Per-doc Shannon token entropy (+ the type-count-normalized variant):

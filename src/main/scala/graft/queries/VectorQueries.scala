@@ -1425,11 +1425,13 @@ object VectorQueries {
             floor(col("x") * col("x") * lit(1e9)).cast("long").as("x2"))
           .groupBy(col("vec_id")).agg(sum(col("x2")).as("sv2"))
         val r6 = graft.operators.RelationalOps.round6 _
+        val kd = lit(k.toDouble)
         sy.join(sv, "vec_id").select(col("vec_id"),
           r6(sqrt(col("sv2").cast("double") / lit(1e9))).as("l2_orig"),
-          r6(sqrt(col("sy2").cast("double") / lit(1e6) / lit(16.0))).as("l2_proj_scaled"),
-          r6(sqrt((col("sy2").cast("double") / lit(1e6) / lit(16.0))
-            / (col("sv2").cast("double") / lit(1e9)))).as("norm_ratio"))
+          r6(sqrt(col("sy2").cast("double") / lit(1e6) / kd)).as("l2_proj_scaled"),
+          when(col("sv2") <= 0L, lit(0.0)).otherwise(
+            r6(sqrt((col("sy2").cast("double") / lit(1e6) / kd)
+              / (col("sv2").cast("double") / lit(1e9))))).as("norm_ratio"))
       },
       Some("""WITH ex AS (SELECT vec_id, i, embedding FROM embeddings,
              |            unnest(generate_series(1, len(embedding))) AS u(i)),
@@ -1448,7 +1450,8 @@ object VectorQueries {
              |SELECT vec_id,
              |  floor(sqrt(CAST(sv2 AS DOUBLE)/1e9) * 1000000 + 0.5) / 1000000 AS l2_orig,
              |  floor(sqrt(CAST(sy2 AS DOUBLE)/1e6/16.0) * 1000000 + 0.5) / 1000000 AS l2_proj_scaled,
-             |  floor(sqrt((CAST(sy2 AS DOUBLE)/1e6/16.0) / (CAST(sv2 AS DOUBLE)/1e9)) * 1000000 + 0.5) / 1000000 AS norm_ratio
+             |  CASE WHEN sv2 <= 0 THEN 0.0
+             |       ELSE floor(sqrt((CAST(sy2 AS DOUBLE)/1e6/16.0) / (CAST(sv2 AS DOUBLE)/1e9)) * 1000000 + 0.5) / 1000000 END AS norm_ratio
              |FROM sy JOIN sv USING (vec_id)""".stripMargin)),
 
     // Simplified (centroid-based) silhouette per cluster — the clustering

@@ -107,6 +107,9 @@ object StreamOps {
   def funnel(events: Dataset[FunnelEvent], stages: Seq[String],
       deadlineUs: Long): Dataset[FunnelStageOut] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages,
+      s"funnel stages must be distinct (indexOf resolves to the first " +
+        s"occurrence, so a repeated stage could never complete): $stages")
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.userId)
