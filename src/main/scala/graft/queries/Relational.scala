@@ -802,6 +802,66 @@ object Relational {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate < TIMESTAMP '1998-01-01'
              |  AND sn.n_name <> cn.n_name
-             |GROUP BY 1, 2, 3""".stripMargin))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q4 shape: correlated EXISTS with a CROSS-TABLE predicate
+    // (lineitem shipped > 90 days after its order's date) — planned as a
+    // LEFT SEMI join carrying the non-equi residual, so each order is
+    // counted once no matter how many late lines it has. Date filter
+    // pushes to the orders scan.
+    Q("q4_order_priority",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+        val l = t(s, dir, "lineitem")
+        o.join(l, col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q15 shape: aggregate view + select-the-max (all ties kept) —
+    // the correlated-max idiom. The revenue view collapses lineitem to one
+    // row per supplier BEFORE anything else (materialized once for its two
+    // consumers), the max rides back as a 1-row broadcast, and the
+    // supplier decode is a broadcast dimension join. Max equality compares
+    // the exact decimal-derived double, so ties are engine-portable.
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp_ntz")
+            && col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(decToDouble(sum(decP(col("l_extendedprice"))
+            * decR(lit(1) - col("l_discount")))).as("total_rev"))
+          .localCheckpoint(true)
+        val mx = rev.agg(max(col("total_rev")).as("m"))
+        broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey").as("suppkey"), col("s_name")))
+          .join(rev, "suppkey").crossJoin(broadcast(mx))
+          .filter(col("total_rev") === col("m"))
+          .select(col("suppkey"), col("s_name"), col("total_rev"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS suppkey,
+             |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,3))) AS VARCHAR) AS DOUBLE) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+             |    AND l_shipdate < TIMESTAMP '1996-10-01'
+             |  GROUP BY 1),
+             |mx AS (SELECT max(total_rev) AS m FROM rev)
+             |SELECT s.s_suppkey AS suppkey, s.s_name, r.total_rev
+             |FROM supplier s JOIN rev r ON r.suppkey = s.s_suppkey, mx
+             |WHERE r.total_rev = mx.m""".stripMargin))
   )
 }

@@ -334,6 +334,37 @@ class PositionalGraphWaveSpec extends AnyFunSuite {
     assert(row.getDouble(3) == want)
   }
 
+  test("q4_order_priority: semi-join counts each late order exactly once (brute force)") {
+    import spark.implicits._
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate)").as("od"))
+      .as[(Long, String, Long)].collect()
+      .filter(o => o._3 >= 836179200000000L && o._3 < 844128000000000L) // [1996-07-01, 1996-10-01)
+    val ship = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), expr("unix_micros(l_shipdate)").as("sd"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val dl = 90L * 86400000000L
+    val expected = orders
+      .filter(o => ship.getOrElse(o._1, Array.empty).exists(_._2 > o._3 + dl))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Registry.byName("q4_order_priority").build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // semi-join, not inner: a fan-out would overcount multi-late-line orders
+    val plan = Registry.byName("q4_order_priority").build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"q4 must plan a semi join:\n$plan")
+  }
+
+  test("q15_top_supplier: every returned row carries the global max revenue") {
+    val rows = Registry.byName("q15_top_supplier").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).distinct.length == 1)
+  }
+
   test("e_pq_distortion: every vector carries all subspaces, errors non-negative") {
     val rows = Registry.byName("e_pq_distortion").build(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
