@@ -733,6 +733,13 @@ object Relational {
     // aggregates to one row per customer; the three ntile windows run on
     // the customer-bounded frame (deterministic: each ORDER BY carries the
     // custkey tiebreak, and monetary is the exact decimal-summed double).
+    // KNOWN LIMIT (ADVICE r10): ntile(5) over an unpartitioned window
+    // funnels the whole customer frame through ONE task — fine while the
+    // frame is dimension-sized (orders collapse ~10:1 first), but at a
+    // 100 M+ customer dimension swap the windows for the two-pass exact
+    // plan: global row number via range-repartition + broadcast partition
+    // offsets, tile = (rownum-1)*5 div n + 1. Same results, no single-task
+    // sort; documented in SCALING.md §Relational queries.
     Q("q_rfm_segments",
       (s, dir) => {
         val rfm = t(s, dir, "orders")
