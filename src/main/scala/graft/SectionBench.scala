@@ -17,7 +17,12 @@ object SectionBench {
           f"p50=${s.batchP50Sec}%.3f p95=${s.batchP95Sec}%.3f " +
           f"first=${s.firstBatchSec}%.3f steady_p50=${s.steadyP50Sec}%.3f " +
           f"steady_p95=${s.steadyP95Sec}%.3f rows_per_sec=${s.rowsPerSec}%.0f " +
-          f"dedupe_quiet=${s.quietDedupeSec}%.3f dedupe_concurrent=${s.concurrentDedupeSec}%.3f")
+          f"dedupe_quiet=${s.quietDedupeSec}%.3f dedupe_concurrent=${s.concurrentDedupeSec}%.3f " +
+          f"sat_offered_rps=${s.satOfferedRps}%.0f sat_p95=${s.satP95Sec}%.3f " +
+          f"backlog_recovery=${s.satRecoverySec}%.3f " +
+          f"funnel_rows=${s.funnelRows} funnel_batches=${s.funnelBatches} " +
+          f"funnel_p50=${s.funnelP50Sec}%.3f funnel_p95=${s.funnelP95Sec}%.3f " +
+          f"funnel_state_rows=${s.funnelStateRows} funnel_out_rows=${s.funnelOutRows}")
       case "joinskew" =>
         val js = GenSkew.benchJoinSkew(spark, sfDir)
         println(f"joinskew q3_uniform=${js.q3Uniform}%.3f q3_skew=${js.q3Skew}%.3f " +

@@ -53,7 +53,14 @@ object StreamBench {
       // latency class. batch_p50/p95 keep including it (round-over-round
       // comparability); these fields separate it out.
       firstBatchSec: Double = -1, steadyP50Sec: Double = -1,
-      steadyP95Sec: Double = -1)
+      steadyP95Sec: Double = -1,
+      // streaming funnel (VERDICT r10 #8): the round-10 stateful operator's
+      // deployed shape — batches, latency distribution, state-store rows
+      // (the per-user progress vectors that bound executor memory), and
+      // completed-stage output rows.
+      funnelRows: Long = 0, funnelBatches: Int = 0,
+      funnelP50Sec: Double = -1, funnelP95Sec: Double = -1,
+      funnelStateRows: Long = -1, funnelOutRows: Long = -1)
 
   val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1,
     -1, -1, -1, -1, -1, 0)
@@ -252,6 +259,14 @@ object StreamBench {
     // recovery).
     val satStats = saturationPhase(spark, base, corpusFiles, corpusRows, feedMs)
 
+    // ---- streaming funnel phase: the stateful flatMapGroupsWithState
+    // operator measured as deployed (VERDICT r10 #8)
+    val fun = try funnelPhase(spark, sfDir, base)
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] funnel phase failed: $e")
+      e.printStackTrace(); (0L, 0, -1.0, -1.0, -1L, -1L)
+    }
+
     import scala.jdk.CollectionConverters._
     val batchWalls = batchSecs.asScala.map(_.doubleValue).toSeq
     val conc = concWalls.asScala
@@ -270,7 +285,74 @@ object StreamBench {
       satRecoveredP50Sec = satStats._5, satDedupeRuns = satStats._6,
       firstBatchSec = batchWalls.headOption.getOrElse(-1.0),
       steadyP50Sec = BenchUtil.median(batchWalls.drop(1)),
-      steadyP95Sec = BenchUtil.p95(batchWalls.drop(1)))
+      steadyP95Sec = BenchUtil.p95(batchWalls.drop(1)),
+      funnelRows = fun._1, funnelBatches = fun._2,
+      funnelP50Sec = fun._3, funnelP95Sec = fun._4,
+      funnelStateRows = fun._5, funnelOutRows = fun._6)
+  }
+
+  /** Deployed shape of `StreamOps.funnel` (the round-10 stateful operator):
+    * the events corpus replayed in event-time order as a bounded file
+    * stream — one file per micro-batch against a real checkpoint and a
+    * parquet sink. Reported: rows fed, batch count, per-batch latency
+    * p50/p95 (`triggerExecution` over row-carrying batches), state-store
+    * rows after the drain (one FunnelProgress per user — the number that
+    * bounds executor state memory at scale), and completed-stage output
+    * rows. Returns (rows, batches, p50, p95, stateRows, outRows). */
+  private def funnelPhase(spark: SparkSession, sfDir: String,
+      base: String): (Long, Int, Double, Double, Long, Long) = {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val feed = s"$base/funnelfeed"
+    // event-time-ordered replay: range-partition on the µs key so file
+    // order IS arrival order (same discipline as the ingest corpus)
+    graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("userId"), expr("ts div 1000").as("tsUs"),
+        col("event_type").as("eventType"))
+      .repartitionByRange(12, col("tsUs")).sortWithinPartitions(col("tsUs"))
+      .write.parquet(feed)
+    val batchSecs = new ConcurrentLinkedQueue[java.lang.Double]()
+    val rowsSeen = new AtomicLong(0)
+    val stateRows = new AtomicLong(-1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          rowsSeen.addAndGet(p.numInputRows)
+          val d = p.durationMs.get("triggerExecution")
+          if (d != null) batchSecs.add(d.toDouble / 1e3): Unit
+        }
+        val so = p.stateOperators
+        if (so != null && so.nonEmpty) stateRows.set(so.map(_.numRowsTotal).sum)
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val src = spark.readStream
+        .schema("userId LONG, tsUs LONG, eventType STRING")
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .as[StreamOps.FunnelEvent]
+      val out = StreamOps.funnel(src,
+        Seq("signup", "view", "click", "purchase"), 86400000000L)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$base/funnelout")
+        .option("checkpointLocation", s"$base/funnelckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination(300000)
+        if (q.isActive) q.stop()
+        if (q.exception.isDefined) throw q.exception.get
+      } finally { try q.stop() catch { case _: Throwable => () } }
+      Thread.sleep(500) // listener delivery is async; let the tail land
+      import scala.jdk.CollectionConverters._
+      val walls = batchSecs.asScala.map(_.doubleValue).toSeq
+      val outRows = spark.read.parquet(s"$base/funnelout").count()
+      (rowsSeen.get(), walls.size, BenchUtil.median(walls),
+        BenchUtil.p95(walls), stateRows.get(), outRows)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** See the call-site comment in [[runIn]]. Returns (offeredRps, p95 under

@@ -2198,6 +2198,51 @@ object TextQueries {
              |WHERE lang <> 'en'
              |   OR substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""".stripMargin)),
 
+    // The decode-features pipeline under a FULL oracle (VERDICT r10 #6):
+    // the same extractImageFeatures kernel that backs m_decode_features,
+    // run over the md5-pattern images encoded through the REAL second
+    // codec (uncompressed BMP — the m_phash_pairs_portable payloads).
+    // DuckDB replays the pattern DEFINITION: width/height are the fixed
+    // 16×16 geometry, n_bytes the closed-form 24-bit BMP size (54-byte
+    // header + 16 rows × 48 data bytes = 822), mean_luma the exact
+    // bright-count arithmetic — gray r=g=b=L pixels make the Rec. 601 luma
+    // exactly L in double (0.299+0.587+0.114 folds to 1.0 at these
+    // integers), so the image mean is (600·popcount(phash)+12800)/256, a
+    // multiple of 1/32 that both engines represent exactly and round
+    // identically on the 6-dp grid; frames_sampled is the
+    // sampleOffsets(822, 4) count. Any codec, header-size, luma, geometry,
+    // or frame-sampling bug on the Spark side breaks the byte match.
+    Q("m_decode_features_portable",
+      (s, dir) => graft.multimodal.Multimodal.extractImageFeatures(
+        graft.multimodal.Multimodal.toPatternImageTable(docs(s, dir), "doc_id")).toDF(),
+      Some("""WITH cb AS (
+             |  SELECT g, c,
+             |    CASE WHEN c = 0 THEN 1
+             |         WHEN ('0x' || substr(md5('img:' || CAST(g AS VARCHAR) || ':' ||
+             |                CAST(c AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1
+             |         ELSE 0 END AS bit
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS g),
+             |       (SELECT unnest(generate_series(0, 62)) AS c)),
+             |pat AS (
+             |  SELECT g, CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << c) ELSE 0 END)
+             |    AS BIGINT) AS ph
+             |  FROM cb GROUP BY g),
+             |sig AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id % 3 = 0 THEN p.ph
+             |         WHEN d.doc_id % 3 = 1 THEN xor(p.ph,
+             |           (1::BIGINT << CAST(1 + d.doc_id % 62 AS INT)))
+             |         ELSE xor(p.ph,
+             |           (15::BIGINT << CAST(1 + d.doc_id % 59 AS INT)))
+             |    END AS phash
+             |  FROM documents d JOIN pat p ON p.g = d.doc_id % 16)
+             |SELECT doc_id AS id, CAST(822 AS BIGINT) AS n_bytes,
+             |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+             |  floor((CAST(600 * bit_count(phash) + 12800 AS DOUBLE) / 256.0)
+             |        * 1000000 + 0.5) / 1000000 AS mean_luma,
+             |  CAST(4 AS INTEGER) AS frames_sampled
+             |FROM sig""".stripMargin)),
+
     // Fixed-k per-stratum sampling ("exactly 20 docs per language") — the
     // complement of t_stratified_sample's RATE-based thinning. Uniformity
     // comes from ordering by a salted portable hash (bounded to 2^50 so the
