@@ -342,6 +342,44 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
 
+    test(s"materialize-once discipline: scan counts pinned per plan (recompute-bug class)$tag") {
+      // Round 10 caught FOUR double-compute bugs (ccnet, KMV, phrase
+      // search, Kneser–Ney) only at the ×10/×100 scale loop: a frame
+      // feeding k consumers lost its eager localCheckpoint and lazy Spark
+      // re-ran the corpus-sized pipeline per consumer. The tell is pure
+      // plan shape — the checkpointed frame appears as `Scan ExistingRDD`
+      // nodes and the corpus as `FileScan parquet`; a dropped checkpoint
+      // re-inlines the pipeline and the parquet scan count JUMPS. Pinning
+      // the counts makes that class fail here at sf0.01, not at sf10
+      // (VERDICT r10 #2). maxParquet is the measured node count at this
+      // HEAD; minRdd the checkpoint-consumer count (fewer means a
+      // materialization was dropped).
+      val pins = Seq(
+        // (entry, max FileScan parquet nodes, min Scan ExistingRDD nodes)
+        ("t_ccnet_buckets", 0, 3),   // scored frame checkpointed (sf10 fix)
+        ("t_kmv_distinct", 0, 2),    // dt materialized once (sf10 fix)
+        ("t_kneser_ney", 1, 4),      // bigram count table (sf1 fix)
+        ("t_triangle_count", 0, 3),  // edge list checkpointed for 3 legs
+        ("t_phrase_search", 0, 3),   // matched postings one-pass (sf1 fix)
+        ("t_proximity_search", 4, 0),// postings legs re-derive: 4 pruned scans
+        ("t_prf_rm3", 14, 0),        // two BM25 passes × pruned legs, by design
+        ("e_jl_project", 2, 0),      // projection pass + census probe
+        ("q15_top_supplier", 1, 2),  // supplier view collapsed once, 2 readers
+        ("t_label_prop", 1, 10),     // edges pre-partitioned once (r9 fix)
+        ("t_source_pagerank", 0, 1)) // rank frame of the executed fixpoint
+      pins.foreach { case (q, maxParquet, minRdd) =>
+        val p = plan(dir, q)
+        val parquetScans = p.linesIterator.count(_.contains("FileScan parquet"))
+        val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+        assert(parquetScans <= maxParquet,
+          s"$q: $parquetScans parquet scans (pinned <= $maxParquet) — a " +
+            s"materialized-once frame is being recomputed:\n$p")
+        assert(rddScans >= minRdd,
+          s"$q: $rddScans ExistingRDD scans (pinned >= $minRdd) — a " +
+            s"localCheckpoint was dropped:\n$p")
+      }
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
       // phase before the exchange — the O(groups·k) shuffle property; the
