@@ -117,9 +117,38 @@ object GenScale {
     if (want("embeddings")) {
       val emb = in("embeddings")
       val vecStride = stride(emb, "vec_id")
+      // Replicas are PERTURBED, not copied (VERDICT r10 #4): an exact copy
+      // makes every scaled-recall reading self-confirming — each probe's
+      // true neighbors are its own replicas sitting in the same IVF cell,
+      // so recall@k reads 1.000 no matter how bad the quantizer is. The
+      // jitter is deterministic (xxhash64 of (vec_id, replica, dim) →
+      // uniform in [-ε, ε] per component) and re-normalized. ε itself
+      // varies PER REPLICA (xxhash64(vec_id, replica) → uniform in
+      // [0.02, 0.42]): a single tight shell would just recreate the
+      // degeneracy one level up — every probe's true top-k stays inside
+      // its own replica family in one cell, and recall reads 1.0 again
+      // (measured). Mixed shells keep ~1/5 of replicas genuine
+      // near-duplicates (ε ≤ 0.1 → cos ≳ 0.95: the dedup-stress story)
+      // while the loose shells (cos → ~0.5) acquire REAL neighbor
+      // orderings that cross cell boundaries — the geometry a quantizer
+      // can get wrong. Replica 0 stays byte-identical so the original
+      // corpus is a subset.
+      val jittered = expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(x AS DOUBLE) +
+          |  (0.02 + 0.40 * (0.5 + CAST(xxhash64(vec_id, __rep) AS DOUBLE)
+          |                        / 1.8446744073709552e19)) *
+          |  (CAST(xxhash64(vec_id, __rep, i) AS DOUBLE) / 9.223372036854776e18))
+          |""".stripMargin.replace("\n", " "))
+      val renormed = expr(
+        "transform(__j, x -> CAST(x / sqrt(aggregate(__j, 0D, (a, v) -> a + v * v)) AS FLOAT))")
       write("embeddings", emb.crossJoin(reps())
         .withColumn("vec_id", col("vec_id") + col("__rep") * vecStride)
-        .drop("__rep"))
+        .withColumn("__j", when(col("__rep") === 0, col("embedding").cast("array<double>"))
+          .otherwise(jittered))
+        .withColumn("embedding",
+          when(col("__rep") === 0, col("embedding")).otherwise(renormed))
+        .drop("__rep", "__j"))
     }
 
     spark.stop()

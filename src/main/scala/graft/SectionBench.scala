@@ -31,13 +31,21 @@ object SectionBench {
           f"wrank_ratio=${js.wrankSkew / js.wrankUniform}%.2f")
       case "retrieval" =>
         // RetrievalIndex lifecycle at whatever SF the dir holds — the sf10
-        // spot-run path (Bench measures the same lifecycle at the round SF)
+        // spot-run path (Bench measures the same lifecycle at the round SF).
+        // build_cold_sec includes this JVM's whole JIT/codegen ramp (~5 s
+        // flat across SFs); build_sec is a second full build in the warm
+        // JVM — the number decade multipliers must be read from.
         val dir = java.nio.file.Files.createTempDirectory("graft-rindex-sb").toString
+        val dir2 = java.nio.file.Files.createTempDirectory("graft-rindex-sb2").toString
         try {
           val docs = Tables.load(spark, sfDir, "documents")
-          val tb = System.nanoTime()
-          graft.retrieval.RetrievalIndex.build(docs, "doc_id", "text", dir)
-          val build = (System.nanoTime() - tb) / 1e9
+          def buildOnce(d: String): Double = {
+            val tb = System.nanoTime()
+            graft.retrieval.RetrievalIndex.build(docs, "doc_id", "text", d)
+            (System.nanoTime() - tb) / 1e9
+          }
+          val cold = buildOnce(dir)
+          val warm = buildOnce(dir2)
           def once(): Double = {
             val t0 = System.nanoTime()
             graft.retrieval.RetrievalIndex.scoreBm25(spark, dir,
@@ -46,8 +54,12 @@ object SectionBench {
             (System.nanoTime() - t0) / 1e9
           }
           once()
-          println(f"retrieval build_sec=$build%.3f score_sec=${once()}%.3f")
-        } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+          println(f"retrieval build_sec=$warm%.3f build_cold_sec=$cold%.3f " +
+            f"score_sec=${once()}%.3f")
+        } finally {
+          BenchUtil.deleteRecursively(new java.io.File(dir))
+          BenchUtil.deleteRecursively(new java.io.File(dir2))
+        }
       case "ivf" =>
         import org.apache.spark.sql.functions.col
         val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sb").toString
@@ -67,6 +79,38 @@ object SectionBench {
           val search = once()
           val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
           println(f"ivf build_sec=$build%.3f search_sec=$search%.3f recall_at_10=$recall%.3f")
+        } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+      case "ivfprod" =>
+        // The SCALE-HONEST recall instrument (VERDICT r10 #4): the default
+        // 16-cell/probe-8 config scans half the corpus per query, so its
+        // recall saturates at 1.0 the moment neighbor clusters fit in a
+        // cell — it measures nothing at 500 k vectors. Production sizing
+        // (nCentroids ≈ √n, the FAISS-family rule; nProbe stays 8) makes
+        // the probed fraction shrink with scale, so the reading tracks the
+        // QUANTIZER against the perturbed replica geometry.
+        import org.apache.spark.sql.functions.col
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfp-sb").toString
+        try {
+          val emb = Tables.load(spark, sfDir, "embeddings")
+          val n = emb.count()
+          val cells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+          val cfg = graft.similarity.IvfIndex.Config(
+            nCentroids = cells, sampleSize = math.max(800, 8 * cells))
+          val tb = System.nanoTime()
+          graft.similarity.IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+          val build = (System.nanoTime() - tb) / 1e9
+          val queries = emb.filter(col("vec_id") < 100)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.similarity.IvfIndex.searchIndex(queries, dir, "vec_id", "embedding", 10)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once()
+          val search = once()
+          val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
+          println(f"ivfprod n=$n cells=$cells build_sec=$build%.3f " +
+            f"search_sec=$search%.3f recall_at_10=$recall%.3f")
         } finally BenchUtil.deleteRecursively(new java.io.File(dir))
       case other =>
         sys.error(s"unknown section '$other' (stream | joinskew | retrieval | ivf)")

@@ -91,6 +91,18 @@ object RetrievalIndex {
 
   private def leaseFor(dir: String) = new FileLease(dir)
 
+  /** Step timer for the scale loop (stderr, only under
+    * GRAFT_RINDEX_TIMING=1): attributes build/compaction wall to the four
+    * subtable writes so a superlinear decade shows WHICH step bent. */
+  private def timed[T](what: String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_RINDEX_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[rindex] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private def hadoopFs(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -126,12 +138,20 @@ object RetrievalIndex {
       s"retrieval index at $dir uses an unknown tokenizer/version")
   }
 
-  /** (doc_id, term) token stream — the ONE text derivation (identical to
-    * the transient t_tfidf tokenization: whitespace split of the lowered
-    * text, so the index twins replay the transient oracles exactly). */
-  private def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (doc_id, term, tf) rows from ONE text derivation, shuffle-free: the
+    * per-row [[graft.expressions.TermCounts]] kernel counts each doc's
+    * terms inside its own row (tokenization identical to the transient
+    * t_tfidf: whitespace split of the lowered text — the index twins
+    * replay the transient oracles exactly), and the explode emits the
+    * already-aggregated postings. The classic
+    * `explode → groupBy(doc_id, term)` form exchanges the full
+    * postings relation to aggregate groups that never span two rows (the
+    * key contains the row's own doc_id) — measured 7×/decade at 500 k
+    * docs; this form is a pure map and stays scan-speed. */
+  private def tfStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
+      explode(graft.expressions.TermCounts(lower(col(textCol)))).as("kv"))
+      .select(col("doc_id"), col("kv.term").as("term"), col("kv.tf").as("tf"))
 
   /** One append under an already-held lease: write the batch's tf
     * partition from the single text derivation, derive dlen/df from the
@@ -144,11 +164,17 @@ object RetrievalIndex {
     val (f, _) = hadoopFs(spark, dir)
     SwapDir.recover(f, new Path(s"$dir/commits")) // crash mid-compaction
     val batch = java.util.UUID.randomUUID().toString
+    // Write STRAIGHT INTO the batch's partition directory instead of
+    // routing a constant-valued `batch` column through partitionBy:
+    // Spark's dynamic-partition write path sorts every row by the
+    // partition key first, and at corpus scale that is a full
+    // UnsafeExternalSorter pass (with spills) over the postings for a key
+    // with exactly one value — measured 12.2 s of the 19.7 s sf10 build.
+    // The directory name carries the value; partition discovery reads it
+    // back identically (RetrievalIndexSpec unchanged).
     def writeSub(sub: String, df: DataFrame): Unit =
-      df.withColumn("batch", lit(batch))
-        .write.mode("append").partitionBy("batch").parquet(s"$dir/$sub")
-    writeSub("tf", tokenStream(docs, idCol, textCol)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      df.write.mode("append").parquet(s"$dir/$sub/batch=$batch")
+    timed("append:tf")(writeSub("tf", tfStream(docs, idCol, textCol)))
     // derive from the written partition: O(batch) columnar read-back,
     // never a second tokenize of the text (an all-empty batch writes no
     // partition dir at all — read back as a typed empty frame)
@@ -159,11 +185,14 @@ object RetrievalIndex {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(TfSchema.dropRight(1)))
-    writeSub("dlen", tfBack.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d")))
-    writeSub("df", tfBack.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    timed("append:dlen")(writeSub("dlen",
+      tfBack.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d"))))
+    timed("append:df")(writeSub("df",
+      tfBack.groupBy(col("term")).agg(count(lit(1)).as("df"))))
     // count(*) over the batch frame prunes every column at the source
-    val nDocs = docs.count()
-    val nTokens = tfBack.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    val nDocs = timed("append:ndocs")(docs.count())
+    val nTokens = timed("append:ntokens")(
+      tfBack.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0))
     import spark.implicits._
     writeSub("stats", Seq((nDocs, nTokens)).toDF("n_docs", "tot_tokens"))
     // the batch becomes visible only now
@@ -222,6 +251,12 @@ object RetrievalIndex {
     val live = committed(spark, dir)
     val base = s"base-${java.util.UUID.randomUUID()}"
     val par = spark.sparkContext.defaultParallelism
+    // Same direct-partition-dir discipline as appendUnlocked: the collapsed
+    // batch id is a constant, so partitionBy would only buy a corpus-sized
+    // pre-write sort. Writing into `batch=<base>` keeps compact:tf's
+    // repartition+sortWithinPartitions the ONLY postings-sized work here
+    // (and that pair is a single hash exchange + per-partition sort — the
+    // term clustering the scoring probes pay for once).
     // snapshot EVERY pre-existing partition dir (committed or orphan) —
     // all are superseded or invisible once the commit set swaps to `base`
     def partDirs(sub: String): Seq[Path] = {
@@ -232,14 +267,12 @@ object RetrievalIndex {
     }
     val snapshot = Seq("tf", "dlen", "df", "stats").flatMap(partDirs)
     def writeSub(sub: String, df: DataFrame): Unit =
-      df.withColumn("batch", lit(base))
-        .write.mode("append").partitionBy("batch").parquet(s"$dir/$sub")
+      df.write.mode("append").parquet(s"$dir/$sub/batch=$base")
     // tf re-clusters by term: scoring probes are term-keyed, so row-group
     // min/max stats skip unprobed terms after compaction
-    writeSub("tf", readSub(spark, dir, "tf", live)
-      .repartition(par, col("term")).sortWithinPartitions(col("term")))
-    writeSub("dlen", readSub(spark, dir, "dlen", live)
-      .repartition(math.max(1, par / 4), col("doc_id")))
+    timed("compact:tf")(writeSub("tf", compactionTfFrame(spark, dir, live)))
+    timed("compact:dlen")(writeSub("dlen", readSub(spark, dir, "dlen", live)
+      .repartition(math.max(1, par / 4), col("doc_id"))))
     writeSub("df", readSub(spark, dir, "df", live)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .repartition(math.max(1, par / 4), col("term"))
@@ -257,6 +290,23 @@ object RetrievalIndex {
     snapshot.foreach(p => try { f.delete(p, true): Unit }
       catch { case _: java.io.IOException => () })
   }
+
+  /** The tf frame compaction writes — exposed so RetrievalIndexSpec can
+    * pin its plan shape: term clustering is exactly ONE hash exchange on
+    * term plus an IN-PARTITION sort (`global = false`), never a range
+    * partitioning or global sort. That pair is the minimal job that buys
+    * the row-group term-skipping the scoring probes rely on; a global
+    * sort creeping in here is the superlinear-compaction regression class
+    * (VERDICT r10 #3). */
+  private[retrieval] def compactionTfFrame(spark: SparkSession, dir: String,
+      live: Seq[String]): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    readSub(spark, dir, "tf", live)
+      .repartition(par, col("term")).sortWithinPartitions(col("term"))
+  }
+
+  private[retrieval] def committedBatches(spark: SparkSession, dir: String): Seq[String] =
+    committed(spark, dir)
 
   /** Corpus totals (n_docs, tot_tokens) — delta sum, 1 row. */
   def stats(spark: SparkSession, dir: String): DataFrame =

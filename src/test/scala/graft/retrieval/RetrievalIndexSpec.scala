@@ -140,6 +140,29 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(forced === got.values.flatten.toSet)
   }
 
+  test("compaction tf plan: one hash exchange on term + in-partition sort, never a global sort") {
+    // The term re-cluster is the ONLY postings-sized job compaction runs;
+    // its plan must stay hash-exchange + sortWithinPartitions (global =
+    // false). A range partitioning / global Sort here is the superlinear-
+    // compaction regression class (VERDICT r10 #3), and a second exchange
+    // means the frame stopped satisfying its distribution from one pass.
+    val dir = buildIncremental()
+    val p = RetrievalIndex.compactionTfFrame(spark, dir,
+      RetrievalIndex.committedBatches(spark, dir))
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"compaction tf must pay exactly one exchange:\n$p")
+    assert(p.contains("hashpartitioning(term"),
+      s"compaction exchange must hash on term:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"compaction must never range-partition (global sort):\n$p")
+    val sortLines = p.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq ++
+      p.linesIterator.filter(_.trim.startsWith("Sort")).toSeq
+    assert(sortLines.forall(_.contains("false")),
+      s"compaction sort must be in-partition (global=false):\n$p")
+  }
+
   test("an empty append is a no-op for every score") {
     val dir = buildIncremental()
     val before = (tfidfRows(dir), bm25Rows(dir))
