@@ -171,6 +171,59 @@ object RelationalOps {
   def round6(c: Column): Column =
     (floor(c * 1000000.0 + lit(0.5)).cast(DoubleType) / 1000000.0).cast(DoubleType)
 
+  /** Exact `ntile(n)` over a TOTAL order without the single-task global
+    * window (the ADVICE-r10 q_rfm_segments limitation, closed): an
+    * unpartitioned `Window.orderBy` funnels the whole frame through one
+    * task; this computes the identical tile assignment from a global
+    * POSITION assembled scalably —
+    *
+    *  1. range-repartition on the order columns (range boundaries are the
+    *     one sampled pass; equal keys stay in one partition, and the
+    *     caller's tiebreak column makes the order total);
+    *  2. per-partition `row_number` (a window PARTITIONED by
+    *     `spark_partition_id()` — sorts each partition locally, never
+    *     funnels);
+    *  3. partition row counts (a #partitions-sized census off the same
+    *     checkpointed frame) → running offsets, broadcast back;
+    *  4. tile from SQL-standard NTILE arithmetic on `offset + local_rn`:
+    *     the first `total mod n` tiles carry `ceil(total/n)` rows.
+    *
+    * Output = input columns + `out` (long in 1..n), byte-identical to
+    * `ntile(n) over (order by ...)` — q_rfm_scalable replays
+    * q_rfm_segments' oracle over this plan. Cost: one range exchange +
+    * local sorts; nothing is ever single-task at any row count. */
+  def exactNtile(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
+    require(n >= 1, "ntile n must be positive")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // eager checkpoint: the census and the tile pass must see the SAME
+    // physical partitioning (a recomputed range shuffle could resample
+    // boundaries) — and it makes the recompute class a scan-count pin
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id()).localCheckpoint()
+    val census = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // #partitions-sized frame: these windows sort 32 rows, not the corpus
+    val byPid = Window.orderBy(col("__pid"))
+    val offsets = census
+      .withColumn("__off", coalesce(sum(col("__cnt"))
+        .over(byPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("__cnt"))
+        .over(byPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__off"), col("__total"))
+    val localRn = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(order: _*))
+    val pos = col("__off") + localRn.cast("long")
+    // integer NTILE arithmetic (floor on positive doubles < 2^53 is exact)
+    val q = floor(col("__total") / lit(n)).cast("long")
+    val r = col("__total") - q * n
+    val tile = when(pos <= (q + 1L) * r,
+        floor((pos - 1L) / (q + 1L)).cast("long") + 1L)
+      .otherwise(r +
+        floor((pos - (q + 1L) * r - 1L) / greatest(q, lit(1L))).cast("long") + 1L)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, tile.cast("long"))
+      .drop("__pid", "__off", "__total")
+  }
+
   /** Exact discrete (type-1) quantiles per key via a VALUE HISTOGRAM —
     * the scale path Spark's `percentile` aggregate is not: `percentile`
     * buffers EVERY value per group in executor memory (a

@@ -773,6 +773,83 @@ object Relational {
              |        ntile(5) OVER (ORDER BY m ASC, custkey ASC) AS m_q
              |      FROM rfm)""".stripMargin)),
 
+    // The SAME RFM segmentation through the scalable exact-ntile plan
+    // (RelationalOps.exactNtile — closes ADVICE r10's single-task-window
+    // note with code, not a comment): byte-identical output replayed
+    // against the IDENTICAL oracle, but each quintile is a range exchange
+    // + per-partition row_number + a #partitions-row offsets broadcast —
+    // no unpartitioned window anywhere, so the plan survives a 100 M-row
+    // customer dimension. PlanShapeSpec pins the no-global-window shape.
+    Q("q_rfm_scalable",
+      (s, dir) => {
+        val rfm = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(
+            max(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+              .cast("long").as("r_day"),
+            count(lit(1)).as("f"),
+            exactSum(col("o_totalprice")).as("m"))
+        val ops = graft.operators.RelationalOps
+        val withR = ops.exactNtile(rfm, 5,
+          Seq(col("r_day").asc, col("custkey").asc), "r_q")
+        val withF = ops.exactNtile(withR, 5,
+          Seq(col("f").asc, col("custkey").asc), "f_q")
+        val withM = ops.exactNtile(withF, 5,
+          Seq(col("m").asc, col("custkey").asc), "m_q")
+        withM.withColumn("rfm_score",
+          col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      },
+      Some("""WITH rfm AS (
+             |  SELECT o_custkey AS custkey,
+             |    CAST(epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT) AS r_day,
+             |    count(*) AS f,
+             |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS m
+             |  FROM orders GROUP BY 1)
+             |SELECT custkey, r_day, f, m,
+             |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+             |  CAST(m_q AS BIGINT) AS m_q,
+             |  CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_score
+             |FROM (SELECT custkey, r_day, f, m,
+             |        ntile(5) OVER (ORDER BY r_day ASC, custkey ASC) AS r_q,
+             |        ntile(5) OVER (ORDER BY f ASC, custkey ASC) AS f_q,
+             |        ntile(5) OVER (ORDER BY m ASC, custkey ASC) AS m_q
+             |      FROM rfm)""".stripMargin)),
+
+    // Last-touch conversion attribution: each purchase credited to the
+    // user's most recent PRECEDING non-purchase event within a 7-day
+    // lookback ('none' otherwise) — the marketing-analytics staple. ONE
+    // user exchange: the struct-max window picks the lexicographically
+    // maximal (tu, event_id, type) among preceding non-purchases (= the
+    // latest, id tiebreak; max skips nulls on both engines), and the
+    // lookback predicate plus the |types|-bounded count shuffle run on the
+    // conversion rows above it.
+    Q("q_attribution_last_touch",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("tu"))
+          .withColumn("lt", max(when(col("event_type") =!= "purchase",
+            struct(col("tu"), col("event_id"), col("event_type")))).over(byTime))
+        e.filter(col("event_type") === "purchase")
+          .select(coalesce(when(col("lt.tu") >= col("tu") - 604800000000L,
+            col("lt.event_type")), lit("none")).as("touch_type"))
+          .groupBy(col("touch_type")).agg(count(lit(1)).as("conversions"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events),
+             |w AS (SELECT user_id, event_id, event_type, tu,
+             |        max(CASE WHEN event_type <> 'purchase'
+             |             THEN {'tu': tu, 'eid': event_id, 'ty': event_type} END)
+             |          OVER (PARTITION BY user_id ORDER BY tu, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+             |      FROM e)
+             |SELECT coalesce(CASE WHEN lt.tu >= tu - 604800000000 THEN lt.ty END, 'none') AS touch_type,
+             |       count(*) AS conversions
+             |FROM w WHERE event_type = 'purchase'
+             |GROUP BY 1""".stripMargin)),
+
     // TPC-H Q7 shape (generalized): cross-nation shipping volume by year —
     // the 4-table star with TWO dimension decodes of the same nation table
     // under different roles. Facts flow through shuffle joins on their

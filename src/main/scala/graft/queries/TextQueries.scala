@@ -2243,6 +2243,63 @@ object TextQueries {
              |  CAST(4 AS INTEGER) AS frames_sampled
              |FROM sig""".stripMargin)),
 
+    // PII scan + redaction audit: plant deterministic PII (emails, phone
+    // numbers, IPv4 addresses) per doc-id class into the text, detect with
+    // explicit-ASCII regexes, and measure the post-redaction length — the
+    // release gate every public-corpus pipeline runs. Patterns use only
+    // portable constructs ([a-z0-9] classes, [.] for literal dots — the
+    // blocklist/token-estimate precedent) so Java regex and RE2/DuckDB
+    // agree byte-for-byte; counts ride regexp_count (codegen'd, no
+    // intermediate arrays) and redaction is ONE alternation
+    // regexp_replace. Pure per-row map over the scan — zero shuffle at
+    // any corpus size. The planted classes make both sides of the
+    // detector load-bearing: class-0 docs must count 0 on clean text,
+    // class-3 docs must find all three types in one row.
+    Q("t_pii_scan",
+      (s, dir) => {
+        val planted = concat(
+          col("text"),
+          when(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 3,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or 555-"),
+              lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 3,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0.1"))).otherwise(lit("")))
+        val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+        val phone = "555-[0-9][0-9][0-9][0-9]"
+        val ip = "10[.][0-9]+[.]0[.]1"
+        docs(s, dir).select(col("doc_id"), planted.as("ptext"))
+          .select(col("doc_id"),
+            regexp_count(col("ptext"), lit(email)).cast("long").as("n_email"),
+            regexp_count(col("ptext"), lit(phone)).cast("long").as("n_phone"),
+            regexp_count(col("ptext"), lit(ip)).cast("long").as("n_ip"),
+            length(regexp_replace(col("ptext"),
+              s"$email|$phone|$ip", "<PII>")).cast("long").as("redacted_len"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    text ||
+             |    CASE WHEN doc_id % 4 IN (1, 3)
+             |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+             |    CASE WHEN doc_id % 4 IN (2, 3)
+             |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |              ' or 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             |    CASE WHEN doc_id % 4 = 3
+             |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END AS ptext
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(ptext, '555-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(ptext, '10[.][0-9]+[.]0[.]1')) AS BIGINT) AS n_ip,
+             |  CAST(length(regexp_replace(ptext, '[a-z0-9]+@[a-z0-9]+[.][a-z]+|555-[0-9][0-9][0-9][0-9]|10[.][0-9]+[.]0[.]1', '<PII>', 'g')) AS BIGINT) AS redacted_len
+             |FROM planted""".stripMargin)),
+
     // Fixed-k per-stratum sampling ("exactly 20 docs per language") — the
     // complement of t_stratified_sample's RATE-based thinning. Uniformity
     // comes from ordering by a salted portable hash (bounded to 2^50 so the

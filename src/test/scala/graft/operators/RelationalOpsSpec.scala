@@ -82,4 +82,21 @@ class RelationalOpsSpec extends AnyFunSuite {
       .toDF("v").select(round6(col("v"))).as[Double].collect()
     assert(got.toSeq === Seq(0.123456, 0.123457, 1.0, 0.0))
   }
+
+  test("exactNtile ≡ the global ntile window, for ragged totals, ties, and total < n") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.ntile
+    // sizes hit every arithmetic branch: total < n, total % n ∈ {0, ±1},
+    // and a size spanning many range partitions; values collide heavily so
+    // the id tiebreak is load-bearing
+    for ((rows, n) <- Seq((3, 5), (100, 5), (101, 4), (96, 4), (1000, 7))) {
+      val df = (0 until rows).map(i => ((i * 37) % 11, i.toLong)).toDF("v", "id")
+      val want = df
+        .withColumn("t", ntile(n).over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+        .as[(Int, Long, Long)].collect().toSet
+      val got = exactNtile(df, n, Seq(col("v").asc, col("id").asc), "t")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(got === want, s"rows=$rows n=$n")
+    }
+  }
 }

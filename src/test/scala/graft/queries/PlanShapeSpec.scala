@@ -380,6 +380,32 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
 
+    test(s"r11 wave: scalable ntile has no global window, attribution rides one user exchange, pii scan is a pure map$tag") {
+      def exchanges(p: String): Int =
+        p.linesIterator.count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
+      // q_rfm_scalable: the exact-ntile plan must carry NO ntile window
+      // (the single-task shape it replaces); tiles come from the offsets
+      // broadcast join. The only windows left are the per-partition
+      // row_number and the #partitions-sized census cumsums.
+      val rf = plan(dir, "q_rfm_scalable")
+      assert(!rf.contains("ntile("),
+        s"q_rfm_scalable: the global-ntile window crept back:\n$rf")
+      assert(rf.contains("BroadcastHashJoin"),
+        s"q_rfm_scalable: partition offsets must broadcast:\n$rf")
+      // q_attribution_last_touch: struct-max window + conversion agg share
+      // the work of ONE user exchange; only the |types|-bounded rollup
+      // adds its exchange.
+      val at = plan(dir, "q_attribution_last_touch")
+      assert(at.contains("hashpartitioning(user_id") && exchanges(at) <= 2
+        && !at.contains("Join"),
+        s"q_attribution_last_touch: one user exchange + bounded rollup:\n$at")
+      // t_pii_scan: per-row regex map over the scan — no exchange, no
+      // join, no aggregate anywhere.
+      val pii = plan(dir, "t_pii_scan")
+      assert(exchanges(pii) == 0 && !pii.contains("Join") && !pii.contains("Aggregate"),
+        s"t_pii_scan must stay a pure map:\n$pii")
+    }
+
     test(s"grouped top-k is a partial aggregate, not a window sort$tag") {
       // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
       // phase before the exchange — the O(groups·k) shuffle property; the
