@@ -850,6 +850,44 @@ object Relational {
              |FROM w WHERE event_type = 'purchase'
              |GROUP BY 1""".stripMargin)),
 
+    // Half-life decay-weighted daily volume — the freshness-weighting op
+    // behind recency-biased sampling and trend dashboards. EXACT across
+    // engines by construction: a 1-day half-life means weight 2^-lag,
+    // a dyadic rational, so the per-day contribution is the INTEGER
+    // n·2^(30-lag) (BIGINT, no float fold anywhere) and the displayed
+    // weight is an exactly-representable double on the 6-dp grid. The
+    // corpus pays one partial-aggregable day count; the 1-row max-day
+    // frame broadcasts back; weights beyond 30 half-lives clamp to zero
+    // (they are sub-ulp anyway).
+    Q("q_decay_volume",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val mx = d.agg(max(col("day")).as("md"))
+        val lag = col("md") - col("day")
+        val pow2 = expr("shiftleft(1L, cast(30 - (md - day) as int))")
+        d.crossJoin(broadcast(mx))
+          .select(col("day"), col("n"),
+            when(lag <= 30, col("n") * pow2)
+              .otherwise(lit(0L)).cast("long").as("contrib_fp"),
+            when(lag <= 30, graft.operators.RelationalOps.round6(
+              pow2.cast("double") / 1073741824.0))
+              .otherwise(lit(0.0)).as("decay_w"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts)//86400000000 AS day, count(*) AS n
+             |          FROM events GROUP BY 1),
+             |mx AS (SELECT max(day) AS md FROM d)
+             |SELECT day, n,
+             |  CASE WHEN md - day <= 30
+             |       THEN CAST(n * (1::BIGINT << CAST(30 - (md - day) AS INT)) AS BIGINT)
+             |       ELSE 0 END AS contrib_fp,
+             |  CASE WHEN md - day <= 30
+             |       THEN floor((CAST(1::BIGINT << CAST(30 - (md - day) AS INT) AS DOUBLE)
+             |            / 1073741824.0) * 1000000 + 0.5) / 1000000
+             |       ELSE 0.0 END AS decay_w
+             |FROM d, mx""".stripMargin)),
+
     // TPC-H Q7 shape (generalized): cross-nation shipping volume by year —
     // the 4-table star with TWO dimension decodes of the same nation table
     // under different roles. Facts flow through shuffle joins on their

@@ -2300,6 +2300,74 @@ object TextQueries {
              |  CAST(length(regexp_replace(ptext, '[a-z0-9]+@[a-z0-9]+[.][a-z]+|555-[0-9][0-9][0-9][0-9]|10[.][0-9]+[.]0[.]1', '<PII>', 'g')) AS BIGINT) AS redacted_len
              |FROM planted""".stripMargin)),
 
+    // BLEU-style n-gram overlap components — the generation-eval staple
+    // (candidate vs reference): clipped unigram/bigram matches, modified
+    // 1-gram precision, and the LOG brevity penalty. Pairs are
+    // deterministic (each doc scored against the next doc_id in its
+    // language — one dimension-sized lang exchange); every emitted value
+    // is rational arithmetic on token counts (no exp/ln — the final BLEU
+    // scalar is a trivial fold the consumer applies), so the 6-dp grid
+    // rounds identically cross-engine. Per-row cost is O(distinct·len)
+    // over a vocabulary-bounded token set; at open-vocabulary 100 TB
+    // scale swap the filter-count lambdas for the TermCounts map kernel
+    // (same per-row contract, one counting pass).
+    Q("t_bleu_eval",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("rtoks", lead(col("toks"), 1).over(w))
+          .filter(col("rtoks").isNotNull)
+        def bigrams(c: String) = expr(
+          s"CASE WHEN size($c) >= 2 THEN transform(sequence(0, size($c)-2), " +
+            s"i -> concat($c[i], '_', $c[i+1])) " +
+            "ELSE CAST(array() AS array<string>) END")
+        def clipped(a: String, b: String) = expr(
+          s"aggregate(array_distinct($a), 0L, (acc, t) -> acc + " +
+            s"least(size(filter($a, x -> x = t)), size(filter($b, x -> x = t))))")
+        val withB = base
+          .withColumn("cb", bigrams("toks")).withColumn("rb", bigrams("rtoks"))
+          .withColumn("m1", clipped("toks", "rtoks"))
+          .withColumn("m2", coalesce(clipped("cb", "rb"), lit(0L)))
+        withB.select(col("doc_id"),
+          size(col("toks")).cast("long").as("cand_len"),
+          size(col("rtoks")).cast("long").as("ref_len"),
+          col("m1"), col("m2"),
+          graft.operators.RelationalOps.round6(
+            col("m1").cast("double") / size(col("toks")).cast("double")).as("p1"),
+          graft.operators.RelationalOps.round6(
+            least(lit(0.0), lit(1.0) -
+              size(col("rtoks")).cast("double") / size(col("toks")).cast("double")))
+            .as("bp_log"))
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, lang, $WS AS toks,
+             |         lead($WS) OVER (PARTITION BY lang ORDER BY doc_id) AS rtoks
+             |  FROM documents),
+             |p AS (SELECT * FROM d WHERE rtoks IS NOT NULL),
+             |big AS (
+             |  SELECT doc_id, toks, rtoks,
+             |    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+             |      i -> toks[i] || '_' || toks[i+1]) ELSE [] END AS cb,
+             |    CASE WHEN len(rtoks) >= 2 THEN list_transform(generate_series(1, len(rtoks)-1),
+             |      i -> rtoks[i] || '_' || rtoks[i+1]) ELSE [] END AS rb
+             |  FROM p),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS cl, len(rtoks) AS rl,
+             |    list_sum(list_transform(list_distinct(toks),
+             |      t -> least(len(list_filter(toks, x -> x = t)),
+             |                 len(list_filter(rtoks, x -> x = t))))) AS m1,
+             |    coalesce(list_sum(list_transform(list_distinct(cb),
+             |      t -> least(len(list_filter(cb, x -> x = t)),
+             |                 len(list_filter(rb, x -> x = t))))), 0) AS m2
+             |  FROM big)
+             |SELECT doc_id, CAST(cl AS BIGINT) AS cand_len, CAST(rl AS BIGINT) AS ref_len,
+             |  CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+             |  floor((CAST(m1 AS DOUBLE) / cl) * 1000000 + 0.5) / 1000000 AS p1,
+             |  floor(least(0.0, 1.0 - CAST(rl AS DOUBLE) / cl) * 1000000 + 0.5) / 1000000 AS bp_log
+             |FROM m""".stripMargin)),
+
     // Fixed-k per-stratum sampling ("exactly 20 docs per language") — the
     // complement of t_stratified_sample's RATE-based thinning. Uniformity
     // comes from ordering by a salted portable hash (bounded to 2^50 so the

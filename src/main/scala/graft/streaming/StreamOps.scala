@@ -83,6 +83,54 @@ object StreamOps {
       }
   }
 
+  // ---- streaming last-touch attribution ------------------------------------
+
+  final case class TouchEvent(userId: Long, tsUs: Long, eventId: Long, eventType: String)
+  /** Latest non-conversion touch seen so far: bounded state, ONE
+    * (ts, id, type) triple per user, forever. */
+  final case class TouchState(tsUs: Long, eventId: Long, eventType: String)
+  final case class TouchOut(userId: Long, tsUs: Long, eventId: Long, touchType: String)
+
+  /** Streaming face of the batch `q_attribution_last_touch` query: each
+    * conversion event is emitted AS IT ARRIVES, credited to the user's
+    * latest preceding non-conversion touch within `lookbackUs`
+    * (`"none"` otherwise). Events are ordered by (tsUs, eventId) within
+    * each micro-batch — the batch query's exact window order — and state
+    * is the single latest-touch triple per user, so executor state is
+    * user-bounded regardless of history length.
+    *
+    * Same in-order contract as [[funnel]] (stated, not hidden): an
+    * out-of-order touch arriving in a LATER batch than a conversion it
+    * precedes in event time cannot retroactively re-credit that
+    * conversion. For in-order delivery the two faces agree exactly
+    * (StreamOpsSpec pins credited counts ≡ the batch oracle's). */
+  def lastTouchAttribution(events: Dataset[TouchEvent], conversionType: String,
+      lookbackUs: Long): Dataset[TouchOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[TouchState, TouchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TouchEvent], state: GroupState[TouchState]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[TouchOut]()
+          batch.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            if (e.eventType == conversionType) {
+              val touch = cur match {
+                case Some(t) if t.tsUs >= e.tsUs - lookbackUs => t.eventType
+                case _ => "none"
+              }
+              out += TouchOut(userId, e.tsUs, e.eventId, touch)
+            } else if (cur.forall(t => t.tsUs < e.tsUs ||
+                (t.tsUs == e.tsUs && t.eventId < e.eventId))) {
+              cur = Some(TouchState(e.tsUs, e.eventId, e.eventType))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // ---- streaming funnel ----------------------------------------------------
 
   final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)

@@ -56,6 +56,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution over in-order batches matches the batch q_attribution_last_touch answer") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.load(spark, GraftTestSpark.sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(e => (e._2, e._3)).map(e => TouchEvent(e._1, e._2, e._3, e._4))
+    val ms = MemoryStream[TouchEvent]
+    val q = StreamOps.lastTouchAttribution(ms.toDS(), "purchase", 604800000000L)
+      .writeStream.format("memory").queryName("touch_out")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("touch_out").as[TouchOut].collect()
+        .groupBy(_.touchType).view.mapValues(_.length.toLong).toMap
+      val want = graft.queries.Registry.byName("q_attribution_last_touch")
+        .build(spark, GraftTestSpark.sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want, s"streaming $got vs batch $want")
+      // each conversion event credited exactly once
+      val perConv = spark.table("touch_out").as[TouchOut].collect()
+        .groupBy(t => (t.userId, t.eventId)).values
+      assert(perConv.forall(_.length == 1))
+    } finally q.stop()
+  }
+
   test("streaming funnel over in-order batches matches the batch q_funnel answer") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
