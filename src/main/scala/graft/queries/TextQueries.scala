@@ -2685,6 +2685,31 @@ object TextQueries {
       },
       Some(Bm25Sql)),
 
+    // The DELETION lifecycle under a full oracle (right-to-be-forgotten
+    // for a standing index): build on the whole corpus, tombstone-delete
+    // every doc_id % 5 == 0, compact (physical removal + statistics
+    // re-derivation), then score. DuckDB replays the transient BM25 math
+    // over `documents WHERE doc_id % 5 <> 0` — so the tombstone anti-join,
+    // the compaction's physical drop, AND the re-derived df/N/avgdl must
+    // all land byte-identically on the surviving corpus, or the match
+    // breaks. (Pre-compaction visibility and torn-delete invisibility are
+    // RetrievalIndexSpec's; this entry pins the end-state.)
+    Q("t_bm25_after_delete",
+      (s, dir) => {
+        val idx = rindexDir("bm25del", dir)
+        val d = docs(s, dir)
+        graft.retrieval.RetrievalIndex.build(d, "doc_id", "text", idx)
+        graft.retrieval.RetrievalIndex.deleteDocs(
+          d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), idx, "doc_id")
+        graft.retrieval.RetrievalIndex.compact(s, idx)
+        graft.retrieval.RetrievalIndex.scoreBm25(s, idx,
+          graft.retrieval.RetrievalIndex.topTerms(s, idx, 3))
+      },
+      // the shared one-image BM25 oracle with its corpus swapped for the
+      // survivors (both references: the token stream and the N count)
+      Some(Bm25Sql.replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 5 <> 0)"))),
+
     // Exact distributed percentiles per stratum — the quality-threshold
     // derivation step of a filtering pipeline ("drop docs below the
     // per-language p25"). Spark's exact `percentile` aggregate and DuckDB's

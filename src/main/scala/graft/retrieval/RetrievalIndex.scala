@@ -20,6 +20,8 @@ import graft.util.{FileLease, SwapDir}
   *   df/     (term, df)               DELTA table: per-append per-term
   *                                    doc counts; readers SUM deltas
   *   stats/  (n_docs, tot_tokens)     DELTA table: one row per append
+  *   tomb/   (doc_id)                 tombstone batches ([[deleteDocs]]):
+  *                                    readers anti-join, compaction applies
   *   commits/<batch-id>               commit markers (see below)
   *   meta/                            tokenizer + version stamp
   * }}}
@@ -82,8 +84,10 @@ object RetrievalIndex {
   private val StatsSchema = StructType(Seq(
     StructField("n_docs", LongType), StructField("tot_tokens", LongType),
     StructField("batch", StringType)))
+  private val TombSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("batch", StringType)))
   private val schemas = Map("tf" -> TfSchema, "dlen" -> DlenSchema,
-    "df" -> DfSchema, "stats" -> StatsSchema)
+    "df" -> DfSchema, "stats" -> StatsSchema, "tomb" -> TombSchema)
 
   /** Compact once the committed-batch count passes this (bounds both the
     * reader-side committed set and the partition-dir fan-out). */
@@ -234,6 +238,56 @@ object RetrievalIndex {
     }
   }
 
+  /** Tombstone-delete indexed documents — the right-to-be-forgotten
+    * lifecycle for a standing index. O(delete batch) under the writer
+    * lease: the ids land as a committed `tomb` partition (same
+    * marker-visibility protocol as appends — a torn delete is invisible),
+    * and every reader anti-joins the bounded tombstone set from that
+    * moment on, so deleted documents NEVER appear in results. Corpus
+    * statistics (df, N, avgdl) stay at their pre-delete values until the
+    * next compaction physically removes the rows and re-derives the
+    * statistics — the standard eventually-consistent index-deletion
+    * design (results exact immediately, idf converges at compaction;
+    * RetrievalIndexSpec pins post-compaction scores byte-identical to a
+    * fresh build without the deleted docs). Tombstones count toward the
+    * compaction threshold, which bounds the reader-side anti-join set.
+    * Contract: re-appending a deleted id before the next compaction is a
+    * caller error (the tombstone would suppress the new rows too) — same
+    * class as appendDocs' "already-deduped upstream". */
+  def deleteDocs(ids: DataFrame, dir: String, idCol: String): Unit = {
+    val spark = ids.sparkSession
+    requireMatching(spark, dir)
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      SwapDir.recover(f, new Path(s"$dir/commits"))
+      val batch = java.util.UUID.randomUUID().toString
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .write.mode("append").parquet(s"$dir/tomb/batch=$batch")
+      val (cf, clive) = hadoopFs(spark, s"$dir/commits")
+      cf.mkdirs(SwapDir.readPath(cf, clive))
+      cf.create(new Path(SwapDir.readPath(cf, clive), batch), true).close()
+      if (committed(spark, dir).size > MaxCommittedBatches)
+        compactUnlocked(spark, dir)
+    }
+  }
+
+  /** `df` minus the committed tombstone set — a no-op when the index has
+    * never seen a delete (no FS probe beyond one exists()); broadcast
+    * anti-join while the set is provably small (it is bounded by the
+    * compaction threshold by contract), shuffle-hash past the cap (the
+    * correct response to which is compact()). */
+  private def minusTombstones(spark: SparkSession, dir: String,
+      live: Seq[String], df: DataFrame, cap: Long = 2000000L): DataFrame = {
+    val (f, p) = hadoopFs(spark, s"$dir/tomb")
+    if (!f.exists(p)) df
+    else {
+      val tb = readSub(spark, dir, "tomb", live)
+      val oversized = tb.limit(cap.toInt + 1).count() > cap
+      if (oversized) df.join(tb.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      else df.join(broadcast(tb), Seq("doc_id"), "left_anti")
+    }
+  }
+
   /** Collapse committed deltas to one batch and reclaim invisible
     * partitions. See the class doc for the crash analysis: the collapsed
     * batch is written UNCOMMITTED alongside the live data, the commit set
@@ -265,22 +319,55 @@ object RetrievalIndex {
       else f.listStatus(p).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("batch=")).map(_.getPath).toSeq
     }
-    val snapshot = Seq("tf", "dlen", "df", "stats").flatMap(partDirs)
+    val snapshot = Seq("tf", "dlen", "df", "stats", "tomb").flatMap(partDirs)
     def writeSub(sub: String, df: DataFrame): Unit =
       df.write.mode("append").parquet(s"$dir/$sub/batch=$base")
+    val hasTombs = {
+      val (tfs, tp) = hadoopFs(spark, s"$dir/tomb")
+      tfs.exists(tp) && readSub(spark, dir, "tomb", live).limit(1).count() > 0
+    }
     // tf re-clusters by term: scoring probes are term-keyed, so row-group
-    // min/max stats skip unprobed terms after compaction
+    // min/max stats skip unprobed terms after compaction (tombstoned docs
+    // are physically dropped here — compactionTfFrame anti-joins them)
     timed("compact:tf")(writeSub("tf", compactionTfFrame(spark, dir, live)))
-    timed("compact:dlen")(writeSub("dlen", readSub(spark, dir, "dlen", live)
-      .repartition(math.max(1, par / 4), col("doc_id"))))
-    writeSub("df", readSub(spark, dir, "df", live)
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .repartition(math.max(1, par / 4), col("term"))
-      .sortWithinPartitions(col("term")))
-    writeSub("stats", readSub(spark, dir, "stats", live)
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("tot_tokens")), lit(0L)).as("tot_tokens"))
-      .coalesce(1))
+    timed("compact:dlen")(writeSub("dlen",
+      minusTombstones(spark, dir, live, readSub(spark, dir, "dlen", live))
+        .repartition(math.max(1, par / 4), col("doc_id"))))
+    if (!hasTombs) {
+      writeSub("df", readSub(spark, dir, "df", live)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .repartition(math.max(1, par / 4), col("term"))
+        .sortWithinPartitions(col("term")))
+      writeSub("stats", readSub(spark, dir, "stats", live)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("tot_tokens")), lit(0L)).as("tot_tokens"))
+        .coalesce(1))
+    } else {
+      // Deletes applied: the delta sums are stale, so the statistics are
+      // re-derived from the COLLAPSED base partitions (the appendUnlocked
+      // read-back discipline — never a second tokenize): df = postings
+      // rows per term, stats = the dlen census. Identical to the delta
+      // sums when nothing was deleted; with tombstones they converge
+      // idf/avgdl to the post-delete corpus. N becomes the count of docs
+      // with ≥ 1 token — the tokenizer emits a token for every non-null
+      // text (split of "" is [""]), so this equals the appended doc count
+      // for any real corpus.
+      def readBase(sub: String, schema: StructType): DataFrame = {
+        val bp = new Path(s"$dir/$sub/batch=$base")
+        if (f.exists(bp)) spark.read.schema(schema).parquet(bp.toString)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      val tfBase = readBase("tf", StructType(TfSchema.dropRight(1)))
+      writeSub("df", tfBase.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .repartition(math.max(1, par / 4), col("term"))
+        .sortWithinPartitions(col("term")))
+      val dlenBase = readBase("dlen", StructType(DlenSchema.dropRight(1)))
+      writeSub("stats", dlenBase
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_d")), lit(0L)).as("tot_tokens"))
+        .coalesce(1))
+    }
     val (cf, clive) = hadoopFs(spark, s"$dir/commits")
     SwapDir.swapIn(cf, clive) { tmp =>
       cf.mkdirs(new Path(tmp))
@@ -301,7 +388,7 @@ object RetrievalIndex {
   private[retrieval] def compactionTfFrame(spark: SparkSession, dir: String,
       live: Seq[String]): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    readSub(spark, dir, "tf", live)
+    minusTombstones(spark, dir, live, readSub(spark, dir, "tf", live))
       .repartition(par, col("term")).sortWithinPartitions(col("term"))
   }
 
@@ -318,7 +405,7 @@ object RetrievalIndex {
     * — the transient t_bm25's deterministic query-derivation rule). */
   def topTerms(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val live = committed(spark, dir)
-    readSub(spark, dir, "tf", live)
+    minusTombstones(spark, dir, live, readSub(spark, dir, "tf", live))
       .groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
       .orderBy(col("ttf").desc, col("term").asc).limit(n)
       .select(col("term"))
@@ -331,7 +418,9 @@ object RetrievalIndex {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     requireMatching(spark, dir)
     val live = committed(spark, dir)
-    val tf = readSub(spark, dir, "tf", live)
+    // tombstoned docs drop at the tf side; dlen rides the inner doc join.
+    // df/N stay at their pre-delete values until compaction (class doc).
+    val tf = minusTombstones(spark, dir, live, readSub(spark, dir, "tf", live))
     val dlen = readSub(spark, dir, "dlen", live)
     val df = readSub(spark, dir, "df", live)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -382,7 +471,10 @@ object RetrievalIndex {
       else qt.count() > maxBroadcastTerms
     def guarded(df: DataFrame): DataFrame =
       if (oversized) df.hint("shuffle_hash") else broadcast(df)
-    val tfq = readSub(spark, dir, "tf", live).join(guarded(qt), Seq("term"))
+    // anti-join AFTER the term probe: the tombstone filter runs on the
+    // candidate-sized frame, never the full postings
+    val tfq = minusTombstones(spark, dir, live,
+      readSub(spark, dir, "tf", live).join(guarded(qt), Seq("term")))
     val dfq = readSub(spark, dir, "df", live).join(guarded(qt), Seq("term"))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val dlen = readSub(spark, dir, "dlen", live)

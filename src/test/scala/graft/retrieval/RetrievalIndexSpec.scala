@@ -163,6 +163,44 @@ class RetrievalIndexSpec extends AnyFunSuite {
       s"compaction sort must be in-partition (global=false):\n$p")
   }
 
+  test("deleteDocs hides docs immediately; compaction re-derives statistics to a fresh-build image") {
+    val dir = GraftTestSpark.tmpDir("rindex-del")
+    RetrievalIndex.build(corpus, "doc_id", "text", dir)
+    val doomed = corpus.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    RetrievalIndex.deleteDocs(doomed, dir, "doc_id")
+    // immediate: no deleted id in any result surface (stats still stale)
+    val deletedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(bm25Rows(dir).forall { case (id, _, _) => !deletedIds(id) },
+      "bm25 must not return tombstoned docs")
+    assert(tfidfRows(dir).forall { case (id, _, _, _, _) => !deletedIds(id) },
+      "tfidf must not return tombstoned docs")
+    // compaction: physically removed + statistics converge — byte-identical
+    // to an index freshly built on the surviving corpus
+    RetrievalIndex.compact(spark, dir)
+    val fresh = GraftTestSpark.tmpDir("rindex-del-fresh")
+    RetrievalIndex.build(corpus.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", fresh)
+    assert(tfidfRows(dir) === tfidfRows(fresh),
+      "post-compaction tfidf must equal a fresh build without the deleted docs")
+    assert(bm25Rows(dir) === bm25Rows(fresh),
+      "post-compaction bm25 must equal a fresh build without the deleted docs")
+    // tombstones are reclaimed — the anti-join path is gone again
+    assert(!new java.io.File(s"$dir/tomb").exists() ||
+      new java.io.File(s"$dir/tomb").listFiles().count(_.getName.startsWith("batch=")) == 0,
+      "compaction must reclaim applied tombstone partitions")
+  }
+
+  test("a torn delete (no commit marker) is invisible to every reader") {
+    val dir = buildIncremental()
+    val before = (tfidfRows(dir), bm25Rows(dir))
+    // tombstone partition lands WITHOUT its marker — a crash between the
+    // parquet write and the commit create
+    import spark.implicits._
+    corpus.select(col("doc_id")).limit(5)
+      .write.mode("append").parquet(s"$dir/tomb/batch=torn-${java.util.UUID.randomUUID()}")
+    assert((tfidfRows(dir), bm25Rows(dir)) === before,
+      "an uncommitted tombstone batch must not change any result")
+  }
+
   test("an empty append is a no-op for every score") {
     val dir = buildIncremental()
     val before = (tfidfRows(dir), bm25Rows(dir))
