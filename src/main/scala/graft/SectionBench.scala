@@ -80,6 +80,32 @@ object SectionBench {
           val recall = graft.similarity.IvfIndex.recallEstimate(spark, dir)
           println(f"ivf build_sec=$build%.3f search_sec=$search%.3f recall_at_10=$recall%.3f")
         } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+      case "retrievaldel" =>
+        // Deletion lifecycle at scale: tombstone 10% of the corpus
+        // (O(batch) — the ids parquet write), then the compaction that
+        // applies it (one postings pass + stats re-derivation).
+        import org.apache.spark.sql.functions.col
+        val dir = java.nio.file.Files.createTempDirectory("graft-rdel-sb").toString
+        try {
+          val docs = Tables.load(spark, sfDir, "documents")
+          graft.retrieval.RetrievalIndex.build(docs, "doc_id", "text", dir)
+          val t0 = System.nanoTime()
+          graft.retrieval.RetrievalIndex.deleteDocs(
+            docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")), dir, "doc_id")
+          val del = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val scored = {
+            graft.retrieval.RetrievalIndex.scoreBm25(spark, dir,
+                graft.retrieval.RetrievalIndex.topTerms(spark, dir, 3))
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t1) / 1e9
+          }
+          val t2 = System.nanoTime()
+          graft.retrieval.RetrievalIndex.compact(spark, dir)
+          val compact = (System.nanoTime() - t2) / 1e9
+          println(f"retrievaldel delete_sec=$del%.3f " +
+            f"tombstoned_score_sec=$scored%.3f compact_sec=$compact%.3f")
+        } finally BenchUtil.deleteRecursively(new java.io.File(dir))
       case "ivfprod" =>
         // The SCALE-HONEST recall instrument (VERDICT r10 #4): the default
         // 16-cell/probe-8 config scans half the corpus per query, so its
