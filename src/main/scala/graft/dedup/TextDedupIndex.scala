@@ -112,6 +112,42 @@ object TextDedupIndex {
     spark.read.parquet(SwapDir.readPath(f, live).toString)
   }
 
+  /** Committed tombstoned doc ids ([[deleteDocs]]); absent table reads as
+    * the empty set with zero FS cost beyond one exists(). */
+  private def readTombs(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (fs, p) = hadoopFs(spark, s"$dir/tomb")
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema("doc_id LONG").parquet(p.toString))
+  }
+
+  /** `df` minus tombstoned ids — no-op for an index that has never seen a
+    * delete. The tombstone set is bounded between compactions by contract
+    * (compact() applies and clears it), so the broadcast is safe. */
+  private def minusTombs(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    readTombs(spark, dir).fold(df)(tb =>
+      df.join(broadcast(tb), Seq("doc_id"), "left_anti"))
+
+  /** Tombstone-delete indexed documents — right-to-be-forgotten for the
+    * standing dedup index, the [[graft.retrieval.RetrievalIndex.deleteDocs]]
+    * pattern applied to the MinHash tables. O(delete batch) under the
+    * writer lease: the ids append to `tomb/`, and every search/curation
+    * path anti-joins the indexed side immediately, so deleted documents
+    * stop matching (or suppressing) arrivals at once; [[compact]]
+    * physically removes their signature/band rows and rebuilds the bucket
+    * census. Idempotent — re-deleting or deleting unknown ids is a no-op.
+    * Disclosed residual: `shortfp` stores only DISTINCT md5 fingerprints
+    * of shingle-less docs (no ids), so a deleted SHORT doc's fingerprint
+    * persists until a full rebuild — it can suppress only a byte-identical
+    * short re-crawl, never surface content. */
+  def deleteDocs(ids: DataFrame, dir: String, idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .write.mode("append").parquet(s"$dir/tomb")
+    }
+  }
+
   /** The indexed short-doc fingerprints; an index persisted before the
     * shortfp table existed reads as empty instead of failing. */
   private def readShortFp(spark: SparkSession, dir: String): DataFrame = {
@@ -228,7 +264,9 @@ object TextDedupIndex {
       .join(corpusCounts, Seq("band_key"), "left")
       .filter(col("n_new") + coalesce(col("n"), lit(0L)) > cfg.maxBucket)
       .select(col("band_key"))
-    val corpusBands = readSub(spark, dir, "bands")
+    // tombstoned docs drop at the band side (cheapest: pre-join); the sets
+    // join is inner on corpus_id, so their signature rows can never rejoin
+    val corpusBands = minusTombs(spark, dir, readSub(spark, dir, "bands"))
       .join(broadcast(hot), Seq("band_key"), "left_anti")
     val cand = newBands.join(broadcast(hot), Seq("band_key"), "left_anti")
       .withColumnRenamed("doc_id", "new_id")
@@ -416,21 +454,39 @@ object TextDedupIndex {
 
   private def compactUnlocked(spark: SparkSession, dir: String, maxFiles: Int): Unit = {
     val par = spark.sparkContext.defaultParallelism
-    def rewrite(sub: String)(arrange: DataFrame => DataFrame): Unit = {
+    // pending deletes force the doc-keyed rewrites regardless of file
+    // count — compaction is where tombstones become physical removal
+    val hasTombs = readTombs(spark, dir)
+      .exists(tb => tb.limit(1).count() > 0)
+    def rewrite(sub: String, force: Boolean = false)(
+        arrange: DataFrame => DataFrame): Unit = {
       val (f, live) = hadoopFs(spark, s"$dir/$sub")
-      if (SwapDir.fileCount(f, SwapDir.readPath(f, live)) <= maxFiles) return
+      if (!force && SwapDir.fileCount(f, SwapDir.readPath(f, live)) <= maxFiles) return
       SwapDir.swapIn(f, live) { tmp =>
         arrange(spark.read.parquet(SwapDir.readPath(f, live).toString))
           .write.mode("overwrite").parquet(tmp)
       }
     }
-    rewrite("bands")(_.repartition(par, col("band_key"))
-      .sortWithinPartitions(col("band_key")))
-    rewrite("sets")(_.repartition(par, col("doc_id")))
+    rewrite("bands", force = hasTombs)(df =>
+      minusTombs(spark, dir, df).repartition(par, col("band_key"))
+        .sortWithinPartitions(col("band_key")))
+    rewrite("sets", force = hasTombs)(df =>
+      minusTombs(spark, dir, df).repartition(par, col("doc_id")))
     rewrite("shortfp")(_.distinct().repartition(math.max(1, par / 4)))
-    // collapse census deltas back to one row per bucket
-    rewrite("counts")(_.groupBy(col("band_key")).agg(sum(col("n")).as("n"))
-      .repartition(math.max(1, par / 4), col("band_key")))
+    if (hasTombs) {
+      // the census must forget the removed rows too — full rebuild from
+      // the now-filtered bands (O(corpus), but compaction already is)
+      refreshCounts(spark, dir)
+      // applied: clear the tombstone set (crash before this delete is
+      // benign — rows are already gone, the anti-join no-ops, and the
+      // next compaction clears again)
+      val (tf, tp) = hadoopFs(spark, s"$dir/tomb")
+      tf.delete(tp, true): Unit
+    } else {
+      // collapse census deltas back to one row per bucket
+      rewrite("counts")(_.groupBy(col("band_key")).agg(sum(col("n")).as("n"))
+        .repartition(math.max(1, par / 4), col("band_key")))
+    }
   }
 
   // ---- continuous curation -------------------------------------------------

@@ -238,9 +238,14 @@ object IvfIndex {
   }
 
   /** Reader-side resolution through a mid-swap backup ([[graft.util.SwapDir]]). */
+  // Every reader resolves cells through here, so the tombstone anti-join
+  // ([[deleteVectors]]) covers search, recall estimation, and the curation
+  // replay guard uniformly — a deleted id reads as "not indexed", which is
+  // exactly what a re-crawl of forgotten content should see.
   private def readCells(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val (f, live) = hadoopFs(spark, s"$dir/cells")
-    spark.read.parquet(graft.util.SwapDir.readPath(f, live).toString)
+    minusTombs(spark, dir,
+      spark.read.parquet(graft.util.SwapDir.readPath(f, live).toString))
   }
 
   /** Train on `corpus` and persist the index under `dir` (overwrites). */
@@ -308,14 +313,60 @@ object IvfIndex {
 
   private def compactUnlocked(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxFiles: Int): Unit = {
+    // pending deletes force the rewrite regardless of file count —
+    // compaction is where tombstones become physical removal
+    val hasTombs = readTombs(spark, dir).exists(_.limit(1).count() > 0)
     val (f, live) = hadoopFs(spark, s"$dir/cells")
-    if (graft.util.SwapDir.fileCount(f, graft.util.SwapDir.readPath(f, live)) <= maxFiles)
+    if (!hasTombs &&
+        graft.util.SwapDir.fileCount(f, graft.util.SwapDir.readPath(f, live)) <= maxFiles)
       return
     graft.util.SwapDir.swapIn(f, live) { tmp =>
-      spark.read.parquet(graft.util.SwapDir.readPath(f, live).toString)
+      minusTombs(spark, dir,
+          spark.read.parquet(graft.util.SwapDir.readPath(f, live).toString))
         .repartition(spark.sparkContext.defaultParallelism, col("cell"))
         .sortWithinPartitions(col("cell"))
         .write.mode("overwrite").parquet(tmp)
+    }
+    if (hasTombs) {
+      // applied: clear the tombstone set (crash before this delete is
+      // benign — the anti-join no-ops and the next compaction re-clears)
+      val (tf, tp) = hadoopFs(spark, s"$dir/tomb")
+      tf.delete(tp, true): Unit
+    }
+  }
+
+  /** Committed tombstoned vector ids ([[deleteVectors]]); absent table is
+    * the empty set at the cost of one exists(). */
+  private def readTombs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val (fs, p) = hadoopFs(spark, s"$dir/tomb")
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema("cand_id LONG").parquet(p.toString))
+  }
+
+  /** `df` minus tombstoned ids (no-op when the index has never seen a
+    * delete; the set is bounded between compactions by contract). */
+  private def minusTombs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame): DataFrame =
+    readTombs(spark, dir).fold(df)(tb =>
+      df.join(broadcast(tb), Seq("cand_id"), "left_anti"))
+
+  /** Tombstone-delete indexed vectors — right-to-be-forgotten for the
+    * standing ANN index, completing the pattern across all three persisted
+    * indexes (RetrievalIndex / TextDedupIndex / here). O(delete batch)
+    * under the writer lease; searches and the curation anti-join stop
+    * returning (or matching against) the ids immediately, and [[compact]]
+    * physically removes their inverted-file rows. Idempotent. The trained
+    * centroids are statistics over the historical corpus (k means, not
+    * content) and persist until the next [[build]]/retrain — the
+    * recall-drift monitor already covers a corpus that drifts from its
+    * quantizer. */
+  def deleteVectors(ids: DataFrame, dir: String, idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+        .write.mode("append").parquet(s"$dir/tomb")
     }
   }
 

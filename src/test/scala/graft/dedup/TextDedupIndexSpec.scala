@@ -380,6 +380,37 @@ class TextDedupIndexSpec extends AnyFunSuite {
       "only the newest idx-mark survives (out-marks die when their idx-mark lands)")
   }
 
+  test("deleteDocs: deleted docs stop matching immediately; compaction removes rows and equals a fresh build") {
+    val dir = GraftTestSpark.tmpDir("lsh-del")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val doomedIds = corpus.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    TextDedupIndex.deleteDocs(
+      corpus.filter(col("doc_id").isin(doomedIds.toSeq: _*)).select(col("doc_id")),
+      dir, "doc_id")
+    // near-dups of the deleted docs no longer match them (tombstone path)
+    val pairs = TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.forall { case (_, cid, _, _) => !doomedIds(cid) },
+      "tombstoned docs must not surface as matches")
+    // compaction applies the deletes physically and clears the tombstones;
+    // the search image equals an index freshly built without them
+    TextDedupIndex.compact(spark, dir, maxFiles = 1000000)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "compaction must clear applied tombstones")
+    val fresh = GraftTestSpark.tmpDir("lsh-del-fresh")
+    TextDedupIndex.build(corpus.filter(!col("doc_id").isin(doomedIds.toSeq: _*)),
+      "doc_id", "text", fresh, cfg)
+    def image(d: String) = TextDedupIndex.searchNew(planted(1000000L), d, "doc_id", "text", cfg)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(image(dir) === image(fresh),
+      "post-compaction search must equal a fresh build without the deleted docs")
+    // re-deleting already-removed ids is a no-op
+    TextDedupIndex.deleteDocs(
+      spark.range(1).select(lit(doomedIds.head).as("doc_id")), dir, "doc_id")
+    assert(image(dir) === image(fresh))
+  }
+
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)

@@ -164,6 +164,39 @@ class IvfSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/cells").count() === 360L)
   }
 
+  test("deleteVectors: ids vanish from search immediately; compaction removes rows and equals a fresh build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    val cfg = IvfIndex.Config(nCentroids = 16, nProbe = 8)
+    IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val doomedIds = doomed.as[Long].collect().toSet
+    IvfIndex.deleteVectors(doomed, dir, "vec_id")
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(d: String) = IvfIndex.searchIndex(queries, d, "vec_id", "embedding", 5, cfg.nProbe)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // immediate: no tombstoned id in any result (incl. self-matches)
+    val tombstoned = rows(dir)
+    assert(tombstoned.forall { case (_, cand, _, _) => !doomedIds(cand) },
+      "tombstoned vectors must not surface in search results")
+    // compaction is a PURE physical application of the tombstones: the
+    // search image must be byte-identical before and after (the stored
+    // quantizer is deliberately untouched — deletion never retrains; a
+    // fresh build on the survivors would train DIFFERENT centroids and is
+    // not the contract for a data-dependent quantizer)
+    IvfIndex.compact(spark, dir, maxFiles = 1000000)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "compaction must clear applied tombstones")
+    assert(rows(dir) === tombstoned,
+      "compaction must not change the search image, only the storage")
+    // and the rows are physically gone: an exhaustive probe of every cell
+    // finds no doomed id anywhere in the inverted file
+    val all = IvfIndex.searchIndex(queries, dir, "vec_id", "embedding",
+        1000, nProbe = cfg.nCentroids)
+      .select(col("cand_id")).as[Long].collect().toSet
+    assert(all.nonEmpty && doomedIds.forall(!all(_)),
+      "compaction must physically remove tombstoned rows from every cell")
+  }
+
   test("self-similar vectors land in the same cell (dup search works)") {
     val dup = emb.filter(col("vec_id") === 7)
       .select((col("vec_id") + 50000).as("vec_id"), col("embedding"), col("label"))
