@@ -138,8 +138,44 @@ object SectionBench {
           println(f"ivfprod n=$n cells=$cells build_sec=$build%.3f " +
             f"search_sec=$search%.3f recall_at_10=$recall%.3f")
         } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+      case "ivfcurve" =>
+        // Recall-vs-cost OPERATING CURVE at production sizing (VERDICT r11
+        // #1): one √n-cell build, then sweep the nProbe dial, printing
+        // recall@10 + the measured search wall + the scanned fraction at
+        // each point — the dial table a user reads to pick a target-recall
+        // operating point (recorded per-SF in SCALING.md). For plain IVF
+        // the in-cell scores are already exact cosines, so nProbe is THE
+        // recall dial — a widened-shortlist rerank (the e_knn_bq pattern)
+        // only helps quantized-score variants.
+        import org.apache.spark.sql.functions.col
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfc-sb").toString
+        try {
+          val emb = Tables.load(spark, sfDir, "embeddings")
+          val n = emb.count()
+          val cells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+          val cfg = graft.similarity.IvfIndex.Config(
+            nCentroids = cells, sampleSize = math.max(800, 8 * cells))
+          graft.similarity.IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+          val queries = emb.filter(col("vec_id") < 100)
+          def once(np: Int): Double = {
+            val t0 = System.nanoTime()
+            graft.similarity.IvfIndex
+              .searchIndex(queries, dir, "vec_id", "embedding", 10, np)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once(8) // warm: listing + codegen
+          Seq(1, 2, 4, 8, 16, 32, 64, 128, 256).filter(_ <= cells).foreach { np =>
+            val s = once(np)
+            val r = graft.similarity.IvfIndex.recallEstimate(spark, dir, 10, 64, np)
+            println(f"ivfcurve n=$n cells=$cells nprobe=$np " +
+              f"recall_at_10=$r%.3f search_sec=$s%.3f " +
+              f"scan_frac=${np.toDouble / cells}%.4f")
+          }
+        } finally BenchUtil.deleteRecursively(new java.io.File(dir))
       case other =>
-        sys.error(s"unknown section '$other' (stream | joinskew | retrieval | ivf)")
+        sys.error(s"unknown section '$other' " +
+          "(stream | joinskew | retrieval | ivf | retrievaldel | ivfprod | ivfcurve)")
     }
     spark.stop()
   }

@@ -304,13 +304,27 @@ object StreamBench {
     import spark.implicits._
     import graft.streaming.StreamOps
     val feed = s"$base/funnelfeed"
-    // event-time-ordered replay: range-partition on the µs key so file
-    // order IS arrival order (same discipline as the ingest corpus)
+    // event-time-ordered replay: range-partition on the µs key so each
+    // FILE covers one time range (same discipline as the ingest corpus)
     graft.Tables.load(spark, sfDir, "events")
       .select(col("user_id").as("userId"), expr("ts div 1000").as("tsUs"),
         col("event_type").as("eventType"))
       .repartitionByRange(12, col("tsUs")).sortWithinPartitions(col("tsUs"))
       .write.parquet(feed)
+    // FileStreamSource orders files by MODIFICATION TIME, not name — and
+    // one job writes all 12 part files within the same few ms, so arrival
+    // order (hence the in-order replay this phase claims) would be a
+    // tie-break coin flip. Stagger mtimes in part-name order (range
+    // partition ids ARE time order) so replay order is deterministic.
+    locally {
+      val parts = new java.io.File(feed).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 120000
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L): Unit
+      }
+    }
     val batchSecs = new ConcurrentLinkedQueue[java.lang.Double]()
     val rowsSeen = new AtomicLong(0)
     val stateRows = new AtomicLong(-1)

@@ -120,12 +120,22 @@ object TextDedupIndex {
     else Some(spark.read.schema("doc_id LONG").parquet(p.toString))
   }
 
+  /** Tombstone sets past this row count stop broadcasting and trigger
+    * immediate compaction from [[deleteDocs]] — the RetrievalIndex cap. */
+  private val MaxTombBroadcast = 2000000L
+
   /** `df` minus tombstoned ids — no-op for an index that has never seen a
-    * delete. The tombstone set is bounded between compactions by contract
-    * (compact() applies and clears it), so the broadcast is safe. */
+    * delete. The set is bounded between compactions by contract, but the
+    * bound is PROBED (bounded `limit(cap+1).count()`), not assumed: one
+    * large right-to-be-forgotten batch degrades the anti-join to
+    * shuffle-hash instead of exceeding the broadcast limit. */
   private def minusTombs(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
-    readTombs(spark, dir).fold(df)(tb =>
-      df.join(broadcast(tb), Seq("doc_id"), "left_anti"))
+    readTombs(spark, dir).fold(df) { tb =>
+      val oversized =
+        tb.limit(MaxTombBroadcast.toInt + 1).count() > MaxTombBroadcast
+      if (oversized) df.join(tb.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      else df.join(broadcast(tb), Seq("doc_id"), "left_anti")
+    }
 
   /** Tombstone-delete indexed documents — right-to-be-forgotten for the
     * standing dedup index, the [[graft.retrieval.RetrievalIndex.deleteDocs]]
@@ -145,6 +155,12 @@ object TextDedupIndex {
     leaseFor(dir).withLease(f) {
       ids.select(col(idCol).cast("long").as("doc_id")).distinct()
         .write.mode("append").parquet(s"$dir/tomb")
+      // enforce "bounded between compactions": a delete wave past the
+      // broadcast cap applies physically NOW (and clears the set) instead
+      // of taxing every subsequent search with an oversized anti-join
+      if (readTombs(spark, dir).exists(
+          _.limit(MaxTombBroadcast.toInt + 1).count() > MaxTombBroadcast))
+        compactUnlocked(spark, dir, maxIndexFiles(spark))
     }
   }
 
@@ -180,6 +196,14 @@ object TextDedupIndex {
     import spark.implicits._
     val (f, _) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
+      // a rebuild replaces the index: tombstones from the previous
+      // generation must not anti-join the new one (a reused/re-added id
+      // would silently read as not-indexed, and the next compact() would
+      // physically delete its legitimate rows)
+      locally {
+        val (tf, tp) = hadoopFs(spark, s"$dir/tomb")
+        if (tf.exists(tp)) tf.delete(tp, true): Unit
+      }
       TextDedup.signatures(corpus, idCol, textCol, cfg)
         .filter(size(col("sh")) > 0)
         .write.mode("overwrite").parquet(s"$dir/sets")

@@ -2710,6 +2710,46 @@ object TextQueries {
       Some(Bm25Sql.replace("FROM documents",
         "FROM (SELECT * FROM documents WHERE doc_id % 5 <> 0)"))),
 
+    // The MinHash-index deletion lifecycle under a full oracle — the
+    // t_bm25_after_delete pattern applied to TextDedupIndex: build the
+    // portable-family index on the whole corpus, tombstone-delete every
+    // doc_id % 5 == 0, compact (physical removal + census rebuild + tomb
+    // clear), then searchNew with the SURVIVORS as the arriving batch.
+    // DuckDB replays the portable MinHash chain over the survivor corpus:
+    // the tombstone anti-join, the compaction's physical drop, and the
+    // rebuilt bucket census must land the index byte-identical to a fresh
+    // build on the survivors, or the match breaks. Two searchNew-specific
+    // oracle details: (1) the maxBucket cap applies to the COMBINED bucket
+    // population — stored census + the arriving batch's own band counts;
+    // batch ≡ corpus here, so a bucket survives iff 2·census ≤ 64 (the
+    // doubled-cap HAVING below); (2) an id on both sides self-matches at
+    // jaccard 1.0 whenever ≥ 1 of its buckets survives the cap, and a≠b
+    // pairs surface in BOTH orientations (mjp is a<b — reorient by union).
+    Q("t_dup_after_delete",
+      (s, dir) => {
+        val idx = rindexDir("lshdel", dir)
+        val pcfg = graft.dedup.TextDedup.MinHashConfig(
+          jaccardThreshold = 0.4, portable = true)
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        graft.dedup.TextDedupIndex.build(d, "doc_id", "text", idx, pcfg)
+        graft.dedup.TextDedupIndex.deleteDocs(
+          d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), idx, "doc_id")
+        graft.dedup.TextDedupIndex.compact(s, idx, maxFiles = 1)
+        graft.dedup.TextDedupIndex.searchNew(
+          d.filter(col("doc_id") % 5 =!= 0), idx, "doc_id", "text", pcfg)
+      },
+      Some(s"""WITH ${
+          minhashCtes("(SELECT * FROM documents WHERE doc_id % 5 <> 0)")
+            .replace("HAVING count(*) <= 64", "HAVING count(*) * 2 <= 64")}
+          |SELECT a_id AS new_id, b_id AS corpus_id, inter, jaccard FROM mjp
+          |UNION ALL
+          |SELECT b_id AS new_id, a_id AS corpus_id, inter, jaccard FROM mjp
+          |UNION ALL
+          |SELECT b.doc_id AS new_id, b.doc_id AS corpus_id, c.n AS inter,
+          |  CAST(1.0 AS DOUBLE) AS jaccard
+          |FROM (SELECT DISTINCT doc_id FROM mbok) b
+          |JOIN mcnt c ON b.doc_id = c.doc_id""".stripMargin)),
+
     // Exact distributed percentiles per stratum — the quality-threshold
     // derivation step of a filtering pipeline ("drop docs below the
     // per-language p25"). Spark's exact `percentile` aggregate and DuckDB's

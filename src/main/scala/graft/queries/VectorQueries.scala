@@ -304,11 +304,11 @@ object VectorQueries {
     * shared by e_semdedup and x_pair_hardneg so both oracles replay the
     * exact same cell structure. Yields CTEs `seeds`, `sc`, `asg`
     * (asg: vec_id, seed_id, embedding). */
-  private val SemCellCtes: String = {
+  private def semCellCtes(src: String): String = {
     val dotES = duckFoldSum("embedding", "CAST(embedding[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")
     val normS = s"sqrt(${duckFoldSum("sv", "CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)")})"
     s"""seeds AS (
-       |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+       |  SELECT vec_id AS seed_id, embedding AS sv FROM $src
        |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
        |           vec_id
        |  LIMIT 16),
@@ -317,7 +317,7 @@ object VectorQueries {
        |    floor((CASE WHEN na * ns = 0 THEN 0.0 ELSE d / (na * ns) END) * 1000000 + 0.5) / 1000000 AS score
        |  FROM (SELECT e.vec_id, s.seed_id, e.embedding,
        |          $dotES AS d, $NormE AS na, $normS AS ns
-       |        FROM embeddings e, seeds s)),
+       |        FROM $src e, seeds s)),
        |asg AS (
        |  SELECT vec_id, seed_id, embedding FROM (
        |    SELECT vec_id, seed_id, embedding,
@@ -325,6 +325,8 @@ object VectorQueries {
        |    FROM sc)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  private val SemCellCtes: String = semCellCtes("embeddings")
 
   val all: Seq[Q] = Seq(
 
@@ -435,6 +437,64 @@ object VectorQueries {
            |  SELECT c.query_id, c.cand_id, eq.embedding AS ea, ec.embedding AS eb
            |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
            |              JOIN embeddings ec ON ec.vec_id = c.cand_id),
+           |cs AS (SELECT query_id, cand_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM cp),
+           |r AS (
+           |  SELECT query_id, cand_id,
+           |    floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END) * 1000000 + 0.5) / 1000000 AS score
+           |  FROM cs)
+           |SELECT query_id, cand_id, score, rnk FROM (
+           |  SELECT query_id, cand_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+           |  FROM r)
+           |WHERE rnk <= 5""".stripMargin)),
+
+    // The ANN DELETION lifecycle under a full oracle (right-to-be-forgotten
+    // for a standing vector index, the t_bm25_after_delete pattern): build
+    // the portable persisted index on the survivors, append the doomed
+    // vectors (assigned with the STORED seeds — no reseed), tombstone-
+    // delete them, compact (physical removal + tomb clear), then search.
+    // DuckDB replays the e_knn_ivf_portable chain over `embeddings WHERE
+    // vec_id % 5 <> 0` — so the tombstone anti-join, the compaction's
+    // physical drop, and the stored-seed append must land the index
+    // byte-identical to a fresh build on the survivors, or the match
+    // breaks. (The TRAINED index deliberately lacks this property — its
+    // centroids are historical-corpus statistics; IvfSpec pins its
+    // delete semantics instead.)
+    Q("e_knn_after_delete",
+      (s, dir) => {
+        val idx = s"${sys.props("java.io.tmpdir")}/graft-ivfdel-" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val e = emb(s, dir)
+        val survivors = e.filter(col("vec_id") % 5 =!= 0)
+        val victims = e.filter(col("vec_id") % 5 === 0)
+        graft.similarity.IvfIndex.buildPortable(
+          survivors, "vec_id", "embedding", idx, nCells = 16)
+        graft.similarity.IvfIndex.appendVectorsPortable(
+          victims, "vec_id", "embedding", idx)
+        graft.similarity.IvfIndex.deleteVectors(
+          victims.select(col("vec_id")), idx, "vec_id")
+        graft.similarity.IvfIndex.compact(s, idx, maxFiles = 1)
+        graft.similarity.IvfIndex.searchIndexPortable(
+          survivors.filter(col("vec_id") < 20), idx, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+      },
+      Some(
+        s"""WITH surv AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+           |${semCellCtes("surv")},
+           |probe AS (
+           |  SELECT vec_id AS query_id, seed_id AS cell_id FROM (
+           |    SELECT vec_id, seed_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, seed_id) AS rn
+           |    FROM sc WHERE vec_id < 20)
+           |  WHERE rn <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id AS cand_id
+           |  FROM probe p JOIN asg a ON a.seed_id = p.cell_id
+           |  WHERE a.vec_id <> p.query_id),
+           |cp AS (
+           |  SELECT c.query_id, c.cand_id, eq.embedding AS ea, ec.embedding AS eb
+           |  FROM cand c JOIN surv eq ON eq.vec_id = c.query_id
+           |              JOIN surv ec ON ec.vec_id = c.cand_id),
            |cs AS (SELECT query_id, cand_id, $DotAB AS d, $NormA AS na, $NormB AS nb FROM cp),
            |r AS (
            |  SELECT query_id, cand_id,

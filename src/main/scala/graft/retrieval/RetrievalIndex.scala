@@ -215,7 +215,10 @@ object RetrievalIndex {
     import spark.implicits._
     val (f, root) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
-      Seq("tf", "dlen", "df", "stats", "commits").foreach(s =>
+      // tomb included: stale tombstone batches are already invisible once
+      // commits/ is wiped, but leaving the dir costs every future read the
+      // exists() probe and leaves dead data for compaction to sweep
+      Seq("tf", "dlen", "df", "stats", "commits", "tomb").foreach(s =>
         f.delete(new Path(root, s), true))
       Seq(("ws-lower", 1)).toDF("tokenizer", "version")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -281,6 +284,16 @@ object RetrievalIndex {
     val (f, p) = hadoopFs(spark, s"$dir/tomb")
     if (!f.exists(p)) df
     else {
+      // short-circuit on COMMITTED-batch membership before any Spark job:
+      // a tomb dir whose batches are all compacted-away/orphaned (e.g. the
+      // dir outlived its last delete) must not tax every read with a
+      // bounded count + anti-join against an empty set — one FS listing
+      // settles it
+      val liveSet = live.toSet
+      val hasLive = f.exists(p) && f.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          liveSet.contains(s.getPath.getName.stripPrefix("batch=")))
+      if (!hasLive) return df
       val tb = readSub(spark, dir, "tomb", live)
       val oversized = tb.limit(cap.toInt + 1).count() > cap
       if (oversized) df.join(tb.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
@@ -376,6 +389,17 @@ object RetrievalIndex {
     // space reclamation only — everything here is already invisible
     snapshot.foreach(p => try { f.delete(p, true): Unit }
       catch { case _: java.io.IOException => () })
+    // compaction never writes a tomb base partition, so the tomb dir is
+    // now childless — drop the parent too, restoring the zero-cost
+    // "never deleted" read path (one exists() instead of exists + listing)
+    locally {
+      val (tf, tp) = hadoopFs(spark, s"$dir/tomb")
+      try {
+        if (tf.exists(tp) && tf.listStatus(tp).forall(s =>
+            !(s.isDirectory && s.getPath.getName.startsWith("batch="))))
+          tf.delete(tp, true): Unit
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** The tf frame compaction writes — exposed so RetrievalIndexSpec can

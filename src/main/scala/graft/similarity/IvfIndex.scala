@@ -255,6 +255,11 @@ object IvfIndex {
     import spark.implicits._
     val (f, _) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
+      // a rebuild REPLACES the index: pending tombstones refer to the old
+      // generation and must not anti-join (or be physically applied
+      // against) the new one — a reused id would otherwise read as
+      // not-indexed until a compaction deleted its legitimate rows
+      clearTombs(spark, dir)
       val centroids = trainCentroids(corpus, vecCol, cfg)
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -330,9 +335,14 @@ object IvfIndex {
     if (hasTombs) {
       // applied: clear the tombstone set (crash before this delete is
       // benign — the anti-join no-ops and the next compaction re-clears)
-      val (tf, tp) = hadoopFs(spark, s"$dir/tomb")
-      tf.delete(tp, true): Unit
+      clearTombs(spark, dir)
     }
+  }
+
+  private def clearTombs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (tf, tp) = hadoopFs(spark, s"$dir/tomb")
+    if (tf.exists(tp)) tf.delete(tp, true): Unit
   }
 
   /** Committed tombstoned vector ids ([[deleteVectors]]); absent table is
@@ -344,12 +354,25 @@ object IvfIndex {
     else Some(spark.read.schema("cand_id LONG").parquet(p.toString))
   }
 
+  /** Tombstone sets past this row count stop broadcasting (executor/driver
+    * memory guard) and trigger immediate compaction from [[deleteVectors]]
+    * — the same cap as RetrievalIndex's minusTombstones. */
+  private val MaxTombBroadcast = 2000000L
+
   /** `df` minus tombstoned ids (no-op when the index has never seen a
-    * delete; the set is bounded between compactions by contract). */
+    * delete). Broadcast anti-join while the set is provably small — the
+    * contract says it is bounded between compactions, but one large
+    * right-to-be-forgotten batch can exceed it, so the bound is PROBED
+    * (bounded `limit(cap+1).count()`), not assumed: past the cap the
+    * anti-join degrades to shuffle-hash instead of OOMing the driver. */
   private def minusTombs(spark: org.apache.spark.sql.SparkSession,
       dir: String, df: DataFrame): DataFrame =
-    readTombs(spark, dir).fold(df)(tb =>
-      df.join(broadcast(tb), Seq("cand_id"), "left_anti"))
+    readTombs(spark, dir).fold(df) { tb =>
+      val oversized =
+        tb.limit(MaxTombBroadcast.toInt + 1).count() > MaxTombBroadcast
+      if (oversized) df.join(tb.hint("shuffle_hash"), Seq("cand_id"), "left_anti")
+      else df.join(broadcast(tb), Seq("cand_id"), "left_anti")
+    }
 
   /** Tombstone-delete indexed vectors — right-to-be-forgotten for the
     * standing ANN index, completing the pattern across all three persisted
@@ -367,7 +390,97 @@ object IvfIndex {
     leaseFor(dir).withLease(f) {
       ids.select(col(idCol).cast("long").as("cand_id")).distinct()
         .write.mode("append").parquet(s"$dir/tomb")
+      // enforce "bounded between compactions": a delete wave past the
+      // broadcast cap compacts NOW (physical removal + tomb clear) instead
+      // of taxing every subsequent read with an oversized anti-join
+      if (readTombs(spark, dir).exists(
+          _.limit(MaxTombBroadcast.toInt + 1).count() > MaxTombBroadcast))
+        compactUnlocked(spark, dir, maxIndexFiles(spark))
     }
+  }
+
+  // ---- portable persisted lifecycle ---------------------------------------
+  //
+  // [[knnJoinIVFPortable]]'s SemDedup-seed quantizer given the same
+  // build/append/delete/compact lifecycle as the trained index, so the
+  // DELETION end-state can carry a full DuckDB oracle: hash-chosen seeds,
+  // rounded argmax-cosine assignment, probe ranking, and the exact
+  // shortlist rerank are all SQL-replayable. Because [[appendVectorsPortable]]
+  // assigns with the STORED seeds, `buildPortable(survivors)` +
+  // `append(victims)` + `deleteVectors(victims)` + `compact` ends
+  // byte-identical to a fresh build on the survivors — the
+  // search-after-delete ≡ fresh-build-on-survivors property the TRAINED
+  // quantizer deliberately does not offer (its centroids are statistics of
+  // the historical corpus, untouched by deletes until a retrain). Storage
+  // shares `cells/` + `tomb/`, so [[deleteVectors]], [[compact]] and the
+  // tombstone read path work unchanged; the quantizer lives under `seeds/`
+  // instead of `centroids/`, which also makes a mismatched search fail
+  // loudly (missing subtable) instead of probing a foreign quantizer.
+
+  /** Persist a portable-quantizer index under `dir` (overwrites): seeds =
+    * the `nCells` corpus rows with the smallest portable id-hash
+    * ([[SemDedup.seeds]]), cells = rounded argmax-cosine assignment. */
+  def buildPortable(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      clearTombs(spark, dir) // same rebuild contract as [[build]]
+      val seeds = SemDedup.seeds(corpus, idCol, vecCol, nCells).localCheckpoint()
+      seeds.coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
+      writePortableCells(corpus, idCol, vecCol, dir, seeds, "overwrite")
+    }
+  }
+
+  private def writePortableCells(docs: DataFrame, idCol: String, vecCol: String,
+      dir: String, seeds: DataFrame, mode: String): Unit = {
+    val spark = docs.sparkSession
+    SemDedup.assignCellsTo(docs, idCol, vecCol, seeds)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col("cell_id").as("cell"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode(mode).parquet(s"$dir/cells")
+  }
+
+  /** Assign new vectors with the STORED seeds and append — the portable
+    * twin of [[appendVectors]] (no reseed: the quantizer is fixed until the
+    * next [[buildPortable]], so append-then-forget converges to the
+    * fresh-on-survivors image). */
+  def appendVectorsPortable(newDocs: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (f, _) = hadoopFs(spark, dir)
+    leaseFor(dir).withLease(f) {
+      val seeds = spark.read.parquet(s"$dir/seeds").localCheckpoint()
+      writePortableCells(newDocs, idCol, vecCol, dir, seeds, "append")
+      compactUnlocked(spark, dir, maxIndexFiles(spark))
+    }
+  }
+
+  /** Search a portable persisted index — identical math to
+    * [[knnJoinIVFPortable]] over the stored seed set and inverted file
+    * (6-dp-rounded cosines, seed-id tiebreaks, bounded-heap top-k), with
+    * tombstoned ids anti-joined like every cells reader. */
+  def searchIndexPortable(queries: DataFrame, dir: String, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.operators.RelationalOps.round6
+    val spark = queries.sparkSession
+    val seeds = spark.read.parquet(s"$dir/seeds")
+    val qs = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val probed = qs.crossJoin(broadcast(seeds))
+      .withColumn("ps", round6(SimilaritySearch.cosine(col("qv"), col("sv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ps").desc, col("seed_id"))
+    val queryCells = probed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("seed_id").as("cell"))
+    val scored = queryCells.join(readCells(spark, dir), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", round6(SimilaritySearch.cosine(col("qv"), col("cv"))))
+      .select(col("query_id"), col("cand_id"), col("score"))
+    SimilaritySearch.topKPerKey(scored, "query_id", "score", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
   }
 
   /** Search a persisted index: read centroids (driver-side, tiny), scan the

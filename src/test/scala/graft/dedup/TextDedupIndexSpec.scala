@@ -411,6 +411,31 @@ class TextDedupIndexSpec extends AnyFunSuite {
     assert(image(dir) === image(fresh))
   }
 
+  test("rebuild after delete clears stale tombstones (re-added docs match again)") {
+    val dir = GraftTestSpark.tmpDir("lsh-rebuild")
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    val doomedIds = corpus.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    TextDedupIndex.deleteDocs(
+      corpus.filter(col("doc_id").isin(doomedIds.toSeq: _*)).select(col("doc_id")),
+      dir, "doc_id")
+    assert(new java.io.File(s"$dir/tomb").exists())
+    // rebuild IN PLACE without compacting first: the new generation
+    // re-indexes the previously deleted ids; stale tombstones must not
+    // anti-join them away (or be physically applied by a later compact)
+    TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "rebuild must clear tombstones of the replaced generation")
+    def matches(): Set[Long] =
+      TextDedupIndex.searchNew(planted(1000000L), dir, "doc_id", "text", cfg)
+        .as[(Long, Long, Long, Double)].collect().map(_._2).toSet
+    // planted(...) docs are near-dups of exactly the 5 lowest-id docs
+    assert(doomedIds.forall(matches()), "re-indexed docs must match again")
+    TextDedupIndex.compact(spark, dir, maxFiles = 1)
+    assert(doomedIds.forall(matches()),
+      "compaction after rebuild must not delete the re-indexed rows")
+  }
+
   test("a mismatched hash family fails loudly instead of joining foreign keys") {
     val dir = GraftTestSpark.tmpDir("lsh-index")
     TextDedupIndex.build(corpus, "doc_id", "text", dir, cfg)

@@ -197,6 +197,60 @@ class IvfSpec extends AnyFunSuite {
       "compaction must physically remove tombstoned rows from every cell")
   }
 
+  test("rebuild after delete clears stale tombstones (reused ids are searchable)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    val cfg = IvfIndex.Config(nCentroids = 16, nProbe = 16)
+    IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+    val doomed = emb.filter(col("vec_id") < 50).select(col("vec_id"))
+    IvfIndex.deleteVectors(doomed, dir, "vec_id")
+    assert(new java.io.File(s"$dir/tomb").exists())
+    // rebuild IN PLACE without an intervening compaction — the retrain
+    // path deleteVectors' own doc points to. The new generation re-adds
+    // the previously deleted ids; stale tombstones must not suppress them.
+    IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "rebuild must clear tombstones of the replaced generation")
+    val res = IvfIndex.searchIndex(
+        emb.filter(col("vec_id") === 60), dir, "vec_id", "embedding", 500,
+        nProbe = cfg.nCentroids)
+      .select(col("cand_id")).as[Long].collect().toSet
+    assert((0L until 50L).exists(res), "re-added ids must be searchable again")
+    // and the next compaction must not physically delete their rows
+    IvfIndex.compact(spark, dir, maxFiles = 1)
+    val res2 = IvfIndex.searchIndex(
+        emb.filter(col("vec_id") === 60), dir, "vec_id", "embedding", 500,
+        nProbe = cfg.nCentroids)
+      .select(col("cand_id")).as[Long].collect().toSet
+    assert(res2 === res)
+  }
+
+  test("portable persisted lifecycle: search ≡ transient portable; append-then-forget ≡ fresh survivors build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-portable").toString
+    val survivors = emb.filter(col("vec_id") % 5 =!= 0)
+    val victims = emb.filter(col("vec_id") % 5 === 0)
+    val queries = survivors.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    IvfIndex.buildPortable(survivors, "vec_id", "embedding", dir, nCells = 16)
+    val transient =
+      rows(IvfIndex.knnJoinIVFPortable(queries, survivors, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4))
+    assert(transient.nonEmpty)
+    assert(rows(IvfIndex.searchIndexPortable(queries, dir, "vec_id", "embedding",
+      k = 5, nProbe = 4)) === transient,
+      "the persisted portable index must reproduce the transient portable search")
+    // append with STORED seeds, forget, compact: the end state must be
+    // byte-identical to the fresh survivors-only build (the full-oracle
+    // property e_knn_after_delete rides)
+    IvfIndex.appendVectorsPortable(victims, "vec_id", "embedding", dir)
+    IvfIndex.deleteVectors(victims.select(col("vec_id")), dir, "vec_id")
+    IvfIndex.compact(spark, dir, maxFiles = 1)
+    assert(!new java.io.File(s"$dir/tomb").exists())
+    assert(rows(IvfIndex.searchIndexPortable(queries, dir, "vec_id", "embedding",
+      k = 5, nProbe = 4)) === transient,
+      "append-then-forget must converge to the fresh-on-survivors image")
+  }
+
   test("self-similar vectors land in the same cell (dup search works)") {
     val dup = emb.filter(col("vec_id") === 7)
       .select((col("vec_id") + 50000).as("vec_id"), col("embedding"), col("label"))
