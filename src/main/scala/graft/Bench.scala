@@ -446,6 +446,36 @@ object Bench {
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
     } catch { case e: Throwable => failed("ivf_lifecycle", e); (-1.0, -1.0, -1.0, -1.0) }
 
+    // Production-sized ANN operating point (VERDICT r11 #1): √n cells +
+    // the MEASURED probe width — calibrateNProbe walks the dial until
+    // recall@10 clears 0.8 on the standing index, and the record carries
+    // the chosen width, the recall it delivers, and the search wall at
+    // that width. A quantizer/calibration regression now moves BENCH_rN.
+    val (ivfProdCells, ivfProdNProbe, ivfProdRecall, ivfProdSearchSec,
+        ivfProdCalibSec) = try {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfprod").toString
+      try {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val cfg = graft.similarity.IvfIndex.prodConfig(emb.count())
+        graft.similarity.IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+        val tc = System.nanoTime()
+        val (np, recall) = graft.similarity.IvfIndex.calibrateNProbe(spark, dir)
+        val calib = (System.nanoTime() - tc) / 1e9
+        val queries = emb.filter(col("vec_id") < 100)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.similarity.IvfIndex
+            .searchIndex(queries, dir, "vec_id", "embedding", 10, np)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        (cfg.nCentroids, np, recall, once(), calib)
+      } finally BenchUtil.deleteRecursively(new java.io.File(dir))
+    } catch { case e: Throwable =>
+      failed("ivf_prod", e); (-1, -1, -1.0, -1.0, -1.0) }
+
     // Persisted text-dedup (MinHash-LSH) lifecycle: index the documents
     // corpus once, then the incremental dedupe-new-against-corpus search —
     // the daily-crawl operation a standing corpus runs (nothing is
@@ -478,7 +508,14 @@ object Bench {
     // re-tokenization (compare bm25_sec above, which pays the full
     // recompute every run; at 100 TB that recompute is the dominant
     // retrieval cost the index removes).
-    val (retrievalBuildSec, retrievalScoreSec) = try {
+    // The deletion lifecycle rides the same standing index (VERDICT r11
+    // #3): tombstone 10% of the corpus (O(batch)), score THROUGH the
+    // tombstones (the anti-join read path every query pays between delete
+    // and compaction), then the compaction that applies them physically —
+    // so a tombstone-path regression moves this round's record directly,
+    // not a SCALING.md spot-run.
+    val (retrievalBuildSec, retrievalScoreSec, retrievalDeleteSec,
+        retrievalScoreTombSec, retrievalCompactDelSec) = try {
       val dir = java.nio.file.Files.createTempDirectory("graft-rindex-bench").toString
       try {
         val docs = Tables.load(spark, sfDir, "documents")
@@ -493,9 +530,20 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm: listing + codegen
-        (build, once())
+        val score = once()
+        val t1 = System.nanoTime()
+        graft.retrieval.RetrievalIndex.deleteDocs(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+            .select(org.apache.spark.sql.functions.col("doc_id")), dir, "doc_id")
+        val del = (System.nanoTime() - t1) / 1e9
+        val scoreTomb = once()
+        val t2 = System.nanoTime()
+        graft.retrieval.RetrievalIndex.compact(spark, dir)
+        val compactDel = (System.nanoTime() - t2) / 1e9
+        (build, score, del, scoreTomb, compactDel)
       } finally BenchUtil.deleteRecursively(new java.io.File(dir))
-    } catch { case e: Throwable => failed("retrieval_lifecycle", e); (-1.0, -1.0) }
+    } catch { case e: Throwable =>
+      failed("retrieval_lifecycle", e); (-1.0, -1.0, -1.0, -1.0, -1.0) }
 
     // Sharded-corpus sink (r7): the terminal write of a curation pipeline —
     // placement map + one repartition + in-task sort + atomic swap, with
@@ -609,6 +657,8 @@ object Bench {
       "extra:t_dup_clusters" -> (ccSec < 0),
       "extra:cc_reliable" -> (ccReliableSec < 0),
       "retrieval_lifecycle" -> (retrievalBuildSec < 0 || retrievalScoreSec < 0),
+      "retrieval_delete_lifecycle" -> (retrievalDeleteSec < 0 ||
+        retrievalScoreTombSec < 0 || retrievalCompactDelSec < 0),
       "extra:t_passage_dedup" -> (passageSec < 0),
       "extra:t_shard_shuffle" -> (shardSec < 0),
       "extra:t_mix_sample" -> (mixSec < 0),
@@ -656,6 +706,15 @@ object Bench {
       // but returns junk" must fail the round. Floor matches IvfSpec's
       // random-embedding recall floor (measured 0.76 sf0.1 / 0.98 sf1).
       "ivf_recall_floor" -> (ivfBuildSec >= 0 && ivfRecallEst < 0.5),
+      // the calibrated production point must exist AND deliver its target
+      // (calibrateNProbe converges to exact search if nothing cheaper does,
+      // so < 0.8 here means the instrument itself broke)
+      "ivf_prod" -> (ivfProdNProbe < 0 || ivfProdRecall < 0.8),
+      // parity is a correctness gate: the streamed attribution aggregate
+      // must equal the batch query over the same corpus
+      "streaming_attribution" -> (stream.batches > 0 &&
+        (stream.attributionBatches <= 0 || stream.attributionOutRows <= 0 ||
+          !stream.attributionParity)),
       "lsh_lifecycle" -> (lshBuildSec < 0 || lshSearchSec < 0),
       "shard_write" -> (shardWriteSec < 0),
       "curation" -> (curateBatchSec < 0 || csBatches <= 0)
@@ -698,6 +757,9 @@ object Bench {
       s""""cc_clusters_reliable_sec":${f"$ccReliableSec%.3f"},""" +
       s""""retrieval_index_build_sec":${f"$retrievalBuildSec%.3f"},""" +
       s""""retrieval_score_sec":${f"$retrievalScoreSec%.3f"},""" +
+      s""""retrieval_delete_sec":${f"$retrievalDeleteSec%.3f"},""" +
+      s""""retrieval_score_tombstoned_sec":${f"$retrievalScoreTombSec%.3f"},""" +
+      s""""retrieval_compact_delete_sec":${f"$retrievalCompactDelSec%.3f"},""" +
       s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
       s""""shard_shuffle_sec":${f"$shardSec%.3f"},""" +
       s""""mix_sample_sec":${f"$mixSec%.3f"},""" +
@@ -756,6 +818,11 @@ object Bench {
       s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""" +
       s""""shard_write_sec":${f"$shardWriteSec%.3f"},""" +
       s""""ivf_recall_est":${f"$ivfRecallEst%.3f"},""" +
+      s""""ivf_prod_cells":$ivfProdCells,""" +
+      s""""ivf_prod_nprobe":$ivfProdNProbe,""" +
+      s""""ivf_prod_recall":${f"$ivfProdRecall%.3f"},""" +
+      s""""ivf_prod_search_sec":${f"$ivfProdSearchSec%.3f"},""" +
+      s""""ivf_prod_calibrate_sec":${f"$ivfProdCalibSec%.3f"},""" +
       s""""vec_curate_batch_sec":${f"$vecCurateSec%.3f"},""" +
       s""""curate_batch_sec":${f"$curateBatchSec%.3f"},""" +
       s""""curate_survivors_per_sec":${f"$curateSurvPerSec%.1f"},""" +
@@ -795,7 +862,14 @@ object Bench {
       s""""funnel_p50_sec":${f"${stream.funnelP50Sec}%.3f"},""" +
       s""""funnel_p95_sec":${f"${stream.funnelP95Sec}%.3f"},""" +
       s""""funnel_state_rows":${stream.funnelStateRows},""" +
-      s""""funnel_out_rows":${stream.funnelOutRows}},""" +
+      s""""funnel_out_rows":${stream.funnelOutRows},""" +
+      s""""attribution_rows":${stream.attributionRows},""" +
+      s""""attribution_batches":${stream.attributionBatches},""" +
+      s""""attribution_p50_sec":${f"${stream.attributionP50Sec}%.3f"},""" +
+      s""""attribution_p95_sec":${f"${stream.attributionP95Sec}%.3f"},""" +
+      s""""attribution_state_rows":${stream.attributionStateRows},""" +
+      s""""attribution_out_rows":${stream.attributionOutRows},""" +
+      s""""attribution_parity":${stream.attributionParity}},""" +
       s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
       s""""queries":${jmap(_.median.toString)},""" +
       s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +

@@ -60,7 +60,17 @@ object StreamBench {
       // completed-stage output rows.
       funnelRows: Long = 0, funnelBatches: Int = 0,
       funnelP50Sec: Double = -1, funnelP95Sec: Double = -1,
-      funnelStateRows: Long = -1, funnelOutRows: Long = -1)
+      funnelStateRows: Long = -1, funnelOutRows: Long = -1,
+      // streaming last-touch attribution (VERDICT r11 #4): the second
+      // stateful operator's deployed shape, plus an IN-RUN parity check —
+      // the streamed per-touch-type conversion counts must equal the batch
+      // q_attribution_last_touch answer over the same events (the feed is
+      // event-time-ordered, where the two agree exactly by the operator's
+      // documented contract).
+      attributionRows: Long = 0, attributionBatches: Int = 0,
+      attributionP50Sec: Double = -1, attributionP95Sec: Double = -1,
+      attributionStateRows: Long = -1, attributionOutRows: Long = -1,
+      attributionParity: Boolean = false)
 
   val Empty: Stats = Stats(0, 0, -1, -1, -1, -1, -1, 0, 0, -1,
     -1, -1, -1, -1, -1, 0)
@@ -267,6 +277,14 @@ object StreamBench {
       e.printStackTrace(); (0L, 0, -1.0, -1.0, -1L, -1L)
     }
 
+    // ---- streaming attribution phase: lastTouchAttribution as deployed,
+    // with batch-parity asserted inside the run (VERDICT r11 #4)
+    val attr = try attributionPhase(spark, sfDir, base)
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] attribution phase failed: $e")
+      e.printStackTrace(); (0L, 0, -1.0, -1.0, -1L, -1L, false)
+    }
+
     import scala.jdk.CollectionConverters._
     val batchWalls = batchSecs.asScala.map(_.doubleValue).toSeq
     val conc = concWalls.asScala
@@ -288,7 +306,103 @@ object StreamBench {
       steadyP95Sec = BenchUtil.p95(batchWalls.drop(1)),
       funnelRows = fun._1, funnelBatches = fun._2,
       funnelP50Sec = fun._3, funnelP95Sec = fun._4,
-      funnelStateRows = fun._5, funnelOutRows = fun._6)
+      funnelStateRows = fun._5, funnelOutRows = fun._6,
+      attributionRows = attr._1, attributionBatches = attr._2,
+      attributionP50Sec = attr._3, attributionP95Sec = attr._4,
+      attributionStateRows = attr._5, attributionOutRows = attr._6,
+      attributionParity = attr._7)
+  }
+
+  /** FileStreamSource orders files by MODIFICATION TIME, not name — and
+    * one job writes all part files within the same few ms, so arrival
+    * order (hence the in-order replay the event-time-ordered phases claim)
+    * would be a tie-break coin flip. Stagger mtimes in part-name order
+    * (range partition ids ARE time order) so replay order is
+    * deterministic across runs. */
+  private def staggerFeedMtimes(feed: String): Unit = {
+    val parts = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 120000
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 2000L): Unit
+    }
+  }
+
+  /** Deployed shape of `StreamOps.lastTouchAttribution` (the r11 stateful
+    * operator): the events corpus replayed in event-time order as a
+    * bounded file stream against a real checkpoint and a parquet sink.
+    * Reported like the funnel phase, PLUS an in-run parity assertion: the
+    * streamed conversions aggregated by touch type must equal the batch
+    * `q_attribution_last_touch` answer over the same corpus (in-order
+    * delivery is exactly where the operator's contract promises batch
+    * equivalence — a silent drift here is a correctness regression, not a
+    * latency one). Returns (rows, batches, p50, p95, stateRows, outRows,
+    * parity). */
+  private def attributionPhase(spark: SparkSession, sfDir: String,
+      base: String): (Long, Int, Double, Double, Long, Long, Boolean) = {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val feed = s"$base/attrfeed"
+    graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("userId"), expr("ts div 1000").as("tsUs"),
+        col("event_id").as("eventId"), col("event_type").as("eventType"))
+      .repartitionByRange(12, col("tsUs"), col("eventId"))
+      .sortWithinPartitions(col("tsUs"), col("eventId"))
+      .write.parquet(feed)
+    staggerFeedMtimes(feed)
+    val batchSecs = new ConcurrentLinkedQueue[java.lang.Double]()
+    val rowsSeen = new AtomicLong(0)
+    val stateRows = new AtomicLong(-1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          rowsSeen.addAndGet(p.numInputRows)
+          val d = p.durationMs.get("triggerExecution")
+          if (d != null) batchSecs.add(d.toDouble / 1e3): Unit
+        }
+        val so = p.stateOperators
+        if (so != null && so.nonEmpty) stateRows.set(so.map(_.numRowsTotal).sum)
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val src = spark.readStream
+        .schema("userId LONG, tsUs LONG, eventId LONG, eventType STRING")
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .as[StreamOps.TouchEvent]
+      val out = StreamOps.lastTouchAttribution(src, "purchase", 604800000000L)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$base/attrout")
+        .option("checkpointLocation", s"$base/attrckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination(300000)
+        if (q.isActive) q.stop()
+        if (q.exception.isDefined) throw q.exception.get
+      } finally { try q.stop() catch { case _: Throwable => () } }
+      Thread.sleep(500) // listener delivery is async; let the tail land
+      import scala.jdk.CollectionConverters._
+      val walls = batchSecs.asScala.map(_.doubleValue).toSeq
+      val streamed = spark.read.parquet(s"$base/attrout")
+      val outRows = streamed.count()
+      val streamAgg = streamed.groupBy(col("touchType"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val batchAgg = graft.queries.Registry.byName("q_attribution_last_touch")
+        .build(spark, sfDir)
+        .as[(String, Long)].collect().toMap
+      val parity = streamAgg == batchAgg && streamAgg.nonEmpty
+      if (!parity)
+        System.err.println(s"[streambench] attribution parity MISMATCH: " +
+          s"stream=$streamAgg batch=$batchAgg")
+      (rowsSeen.get(), walls.size, BenchUtil.median(walls),
+        BenchUtil.p95(walls), stateRows.get(), outRows, parity)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** Deployed shape of `StreamOps.funnel` (the round-10 stateful operator):
@@ -311,20 +425,7 @@ object StreamBench {
         col("event_type").as("eventType"))
       .repartitionByRange(12, col("tsUs")).sortWithinPartitions(col("tsUs"))
       .write.parquet(feed)
-    // FileStreamSource orders files by MODIFICATION TIME, not name — and
-    // one job writes all 12 part files within the same few ms, so arrival
-    // order (hence the in-order replay this phase claims) would be a
-    // tie-break coin flip. Stagger mtimes in part-name order (range
-    // partition ids ARE time order) so replay order is deterministic.
-    locally {
-      val parts = new java.io.File(feed).listFiles()
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-        .sortBy(_.getName)
-      val t0 = System.currentTimeMillis() - 120000
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L): Unit
-      }
-    }
+    staggerFeedMtimes(feed)
     val batchSecs = new ConcurrentLinkedQueue[java.lang.Double]()
     val rowsSeen = new AtomicLong(0)
     val stateRows = new AtomicLong(-1)

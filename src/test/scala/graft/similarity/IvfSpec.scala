@@ -251,6 +251,20 @@ class IvfSpec extends AnyFunSuite {
       "append-then-forget must converge to the fresh-on-survivors image")
   }
 
+  test("calibrateNProbe reaches the 0.8 recall target at production sizing") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-calib").toString
+    val cfg = IvfIndex.prodConfig(emb.count())
+    IvfIndex.build(emb, "vec_id", "embedding", dir, cfg)
+    val (np, recall) = IvfIndex.calibrateNProbe(spark, dir, target = 0.8)
+    // converges by construction: at nProbe = nCells the search is exact
+    assert(np >= 1 && np <= cfg.nCentroids, s"nProbe=$np cells=${cfg.nCentroids}")
+    assert(recall >= 0.8, s"calibrated recall=$recall at nProbe=$np")
+    // the calibrated width must be an honest reading of the same instrument
+    val check = IvfIndex.recallEstimate(spark, dir, nProbe = np)
+    assert(math.abs(check - recall) < 1e-9,
+      "calibration must report the estimator's own reading")
+  }
+
   test("self-similar vectors land in the same cell (dup search works)") {
     val dup = emb.filter(col("vec_id") === 7)
       .select((col("vec_id") + 50000).as("vec_id"), col("embedding"), col("label"))
