@@ -1996,6 +1996,47 @@ object TextQueries {
           count(lit(1)).as("exact_rows")),
       None),
 
+    // PORTABLE-oracle twin of t_approx_distinct (VERDICT r11 #8 — the last
+    // rows-only entry gains its own twin): the same query shape (per-source
+    // distinct-DOCUMENT estimate next to the exact row count) with Spark's
+    // HLL sketch replaced by the deterministic md5-prefix KMV estimator —
+    // k-th minimum value over the distinct text-hash set, k = 64, the
+    // t_kmv_distinct machinery pointed at whole documents instead of
+    // grams. Every stage is SQL-replayable, so the sketch-accuracy
+    // adjudication is self-contained. The rank window runs over the
+    // per-source DISTINCT-HASH set — corpus-sized at the extreme; this
+    // twin exists to adjudicate the sketch, and the production entry's
+    // partial-aggregating HLL stays the 100 TB path.
+    Q("t_approx_distinct_portable",
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("text").isNotNull)
+        val h = d.select(col("source"),
+          portableHash60(concat(lit("acd:"), col("text"))).as("hv")).distinct()
+        val w = Window.partitionBy(col("source")).orderBy(col("hv").asc)
+        val kth = h.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 64)
+          .groupBy(col("source")).agg(max(col("hv")).as("hk"), count(lit(1)).as("k"))
+        val ex = d.groupBy(col("source")).agg(count(lit(1)).as("exact_rows"))
+        kth.join(ex, "source").select(col("source"),
+          when(col("k") < 64, col("k"))
+            .otherwise(floor(lit(63.0) * lit(1152921504606846976.0)
+              / col("hk").cast("double")).cast("long")).as("approx_docs"),
+          col("exact_rows"))
+      },
+      Some("""WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL),
+             |h AS (SELECT DISTINCT source,
+             |        ('0x' || substr(md5('acd:' || text), 1, 15))::BIGINT AS hv FROM d),
+             |rk AS (SELECT source, hv, row_number() OVER (
+             |         PARTITION BY source ORDER BY hv ASC) AS rnk FROM h),
+             |kth AS (SELECT source, max(hv) AS hk, count(*) AS k
+             |        FROM rk WHERE rnk <= 64 GROUP BY 1),
+             |ex AS (SELECT source, count(*) AS exact_rows FROM d GROUP BY 1)
+             |SELECT source,
+             |  CASE WHEN k < 64 THEN CAST(k AS BIGINT)
+             |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT) END AS approx_docs,
+             |  exact_rows
+             |FROM kth JOIN ex USING (source)""".stripMargin)),
+
     // Deterministic train/val/test split: the assignment is a pure function
     // of the id's md5 (engine-portable hex), so re-running the pipeline —
     // on any engine, any partitioning — reproduces the same split. Hex
