@@ -738,147 +738,148 @@ object Bench {
     // adjudication fields (per-query medians, per-query CPU, pipeline rates,
     // total) go LAST so a truncated capture still contains them.
     // cpu seconds are summed over the 3 timed runs; per-run cpu ≈ /3.
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""query_runs":${jmap(_.wall.mkString("[", ",", "]"))},""" +
-      s""""query_gc_sec_3runs":${jmap(s => f"${s.gcSec}%.3f")},""" +
-      s""""query_executor_run_sec_3runs":${jmap(s => f"${s.runSec}%.3f")},""" +
-      s""""query_shuffle_rw_mb_3runs":${jmap(s => f"${s.shufMB}%.1f")},""" +
-      s""""query_load_avg":${jmap(s => f"${s.loadAvg}%.1f")},""" +
-      s""""load_avg_start":${f"$loadStart%.1f"},"load_avg_end":${f"$loadAvg%.1f"},""" +
-      s""""code_cache_used_mb":${f"$ccUsed%.0f"},"code_cache_max_mb":${f"$ccMax%.0f"},""" +
-      s""""jit_compile_ms":${ManagementFactory.getCompilationMXBean.getTotalCompilationTime},""" +
-      s""""cores":${Runtime.getRuntime.availableProcessors},""" +
-      s""""heap_max_gb":${f"${Runtime.getRuntime.maxMemory / 1e9}%.1f"},""" +
-      s""""ingest_rows":${rates.ingestRows},""" +
-      s""""ingest_cpu_sec":${f"${rates.ingestCpuSec}%.3f"},""" +
-      s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""" +
-      s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""" +
-      s""""cc_clusters_sec":${f"$ccSec%.3f"},""" +
-      s""""cc_clusters_reliable_sec":${f"$ccReliableSec%.3f"},""" +
-      s""""retrieval_index_build_sec":${f"$retrievalBuildSec%.3f"},""" +
-      s""""retrieval_score_sec":${f"$retrievalScoreSec%.3f"},""" +
-      s""""retrieval_delete_sec":${f"$retrievalDeleteSec%.3f"},""" +
-      s""""retrieval_score_tombstoned_sec":${f"$retrievalScoreTombSec%.3f"},""" +
-      s""""retrieval_compact_delete_sec":${f"$retrievalCompactDelSec%.3f"},""" +
-      s""""passage_dedup_sec":${f"$passageSec%.3f"},""" +
-      s""""shard_shuffle_sec":${f"$shardSec%.3f"},""" +
-      s""""mix_sample_sec":${f"$mixSec%.3f"},""" +
-      s""""best_of_cluster_sec":${f"$bestOfSec%.3f"},""" +
-      s""""trigram_lm_sec":${f"$trigramSec%.3f"},""" +
-      s""""tfidf_sec":${f"$tfidfSec%.3f"},""" +
-      s""""bm25_sec":${f"$bm25Sec%.3f"},""" +
-      s""""text_knn_sec":${f"$textKnnSec%.3f"},""" +
-      s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""" +
-      s""""dsir_sec":${f"$dsirSec%.3f"},""" +
-      s""""quality_lr_train_sec":${f"$qualityLrSec%.3f"},""" +
-      s""""fuzzy_link_sec":${f"$fuzzyLinkSec%.3f"},""" +
-      s""""cc_incremental_sec":${f"$ccIncrementalSec%.3f"},""" +
-      s""""source_pagerank_sec":${f"$sourcePagerankSec%.3f"},""" +
-      s""""pagerank_sec":${f"$pagerankSec%.3f"},""" +
-      s""""cms_heavy_hitters_sec":${f"$cmsSec%.3f"},""" +
-      s""""top_pc_sec":${f"$topPcSec%.3f"},""" +
-      s""""kmeans_sec":${f"$kmeansSec%.3f"},""" +
-      s""""kmeans_prod_sec":${f"$kmeansProdSec%.3f"},""" +
-      s""""semdedup_km_sec":${f"$semdedupKmSec%.3f"},""" +
-      s""""curation_pipeline_sec":${f"$curationPipelineSec%.3f"},""" +
-      s""""ivfpq_sec":${f"$ivfpqSec%.3f"},""" +
-      s""""bpe_encode_sec":${f"$bpeEncodeSec%.3f"},""" +
-      s""""fuzzy_decon_sec":${f"$fuzzyDeconSec%.3f"},""" +
-      s""""hashing_tf_sec":${f"$hashingTfSec%.3f"},""" +
-      s""""quantile_hist_sec":${f"$quantileHistSec%.3f"},""" +
-      s""""quality_ensemble_sec":${f"$qualityEnsembleSec%.3f"},""" +
-      s""""rollup_incremental_sec":${f"$rollupIncrementalSec%.3f"},""" +
-      s""""mmr_sec":${f"$mmrSec%.3f"},""" +
-      s""""matryoshka_sec":${f"$matryoshkaSec%.3f"},""" +
-      s""""source_overlap_sec":${f"$sourceOverlapSec%.3f"},""" +
-      s""""eval_metrics_sec":${f"$evalMetricsSec%.3f"},""" +
-      s""""zorder_key_sec":${f"$zorderKeySec%.3f"},""" +
-      s""""label_prop_sec":${f"$labelPropSec%.3f"},""" +
-      s""""data_card_sec":${f"$dataCardSec%.3f"},""" +
-      s""""prf_rm3_sec":${f"$prfRm3Sec%.3f"},""" +
-      s""""triangle_count_sec":${f"$triangleSec%.3f"},""" +
-      s""""jl_project_sec":${f"$jlProjectSec%.3f"},""" +
-      s""""ccnet_buckets_sec":${f"$ccnetSec%.3f"},""" +
-      s""""kneser_ney_sec":${f"$kneserNeySec%.3f"},""" +
-      s""""zorder_write_sec":${f"$zorderWriteSec%.3f"},""" +
-      s""""zorder_prune_frac_x":${f"$zorderPruneX%.3f"},""" +
-      s""""zorder_prune_frac_y":${f"$zorderPruneY%.3f"},""" +
-      s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""" +
-      s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""" +
-      s""""semdedup_sec":${f"$semdedupSec%.3f"},""" +
-      s""""semdedup_cpu_sec":${f"$semdedupCpuSec%.3f"},""" +
-      s""""hardneg_sec":${f"$hardnegSec%.3f"},""" +
-      s""""semdedup_prod_sec":${f"$semdedupProdSec%.3f"},""" +
-      s""""semdedup_prod_cpu_sec":${f"$semdedupProdCpuSec%.3f"},""" +
-      s""""hardneg_prod_sec":${f"$hardnegProdSec%.3f"},""" +
-      s""""semdedup_prod_ncells":$semdedupProdCells,""" +
-      s""""ivf_build_sec":${f"$ivfBuildSec%.3f"},""" +
-      s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""" +
-      s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""" +
-      s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""" +
-      s""""shard_write_sec":${f"$shardWriteSec%.3f"},""" +
-      s""""ivf_recall_est":${f"$ivfRecallEst%.3f"},""" +
-      s""""ivf_prod_cells":$ivfProdCells,""" +
-      s""""ivf_prod_nprobe":$ivfProdNProbe,""" +
-      s""""ivf_prod_recall":${f"$ivfProdRecall%.3f"},""" +
-      s""""ivf_prod_search_sec":${f"$ivfProdSearchSec%.3f"},""" +
-      s""""ivf_prod_calibrate_sec":${f"$ivfProdCalibSec%.3f"},""" +
-      s""""vec_curate_batch_sec":${f"$vecCurateSec%.3f"},""" +
-      s""""curate_batch_sec":${f"$curateBatchSec%.3f"},""" +
-      s""""curate_survivors_per_sec":${f"$curateSurvPerSec%.1f"},""" +
-      s""""curate_stream_batches":$csBatches,""" +
-      s""""curate_stream_p50_sec":${f"$csP50%.3f"},""" +
-      s""""curate_stream_p95_sec":${f"$csP95%.3f"},""" +
-      s""""skew_ingest_rows_per_sec":${skew.ingestRowsPerSec.round},""" +
-      s""""skew_dedupe_sec":${skew.dedupeSec},""" +
-      s""""skew_dupes_removed":${skew.dedupeDuplicates},""" +
-      s""""skew_ingest_slowdown":${ratio(rates.ingestRowsPerSec, skew.ingestRowsPerSec)},""" +
-      s""""skew_dedupe_slowdown":${ratio(skew.dedupeSec, rates.dedupeSec)},""" +
-      s""""skew_join_q3_sec":${f"${joinSkew.q3Skew}%.3f"},""" +
-      s""""skew_join_q3_slowdown":${ratio(joinSkew.q3Skew, joinSkew.q3Uniform)},""" +
-      s""""skew_join_wrank_sec":${f"${joinSkew.wrankSkew}%.3f"},""" +
-      s""""skew_join_wrank_slowdown":${ratio(joinSkew.wrankSkew, joinSkew.wrankUniform)},""" +
-      s""""streaming":{"rows":${stream.rows},"batches":${stream.batches},""" +
-      s""""batch_p50_sec":${f"${stream.batchP50Sec}%.3f"},""" +
-      s""""batch_p95_sec":${f"${stream.batchP95Sec}%.3f"},""" +
-      s""""first_batch_sec":${f"${stream.firstBatchSec}%.3f"},""" +
-      s""""steady_p50_sec":${f"${stream.steadyP50Sec}%.3f"},""" +
-      s""""steady_p95_sec":${f"${stream.steadyP95Sec}%.3f"},""" +
-      s""""rows_per_sec":${stream.rowsPerSec.round},""" +
-      s""""dedupe_quiet_sec":${f"${stream.quietDedupeSec}%.3f"},""" +
-      s""""dedupe_concurrent_sec":${f"${stream.concurrentDedupeSec}%.3f"},""" +
-      s""""dedupe_concurrency_tax":${ratio(stream.concurrentDedupeSec, stream.quietDedupeSec)},""" +
-      s""""quiet_runs":${stream.quietRuns},"concurrent_runs":${stream.concurrentRuns},""" +
-      s""""dupes_removed":${stream.dupesRemoved},""" +
-      s""""saturated_offered_rps":${stream.satOfferedRps.round},""" +
-      s""""saturated_p95_sec":${f"${stream.satP95Sec}%.3f"},""" +
-      s""""backlog_peak_rows":${stream.satBacklogPeakRows},""" +
-      s""""backlog_recovery_sec":${f"${stream.satRecoverySec}%.3f"},""" +
-      s""""recovered_p50_sec":${f"${stream.satRecoveredP50Sec}%.3f"},""" +
-      s""""saturated_dedupe_runs":${stream.satDedupeRuns},""" +
-      s""""environment_suspect":$streamEnvSuspect,""" +
-      s""""funnel_rows":${stream.funnelRows},""" +
-      s""""funnel_batches":${stream.funnelBatches},""" +
-      s""""funnel_p50_sec":${f"${stream.funnelP50Sec}%.3f"},""" +
-      s""""funnel_p95_sec":${f"${stream.funnelP95Sec}%.3f"},""" +
-      s""""funnel_state_rows":${stream.funnelStateRows},""" +
-      s""""funnel_out_rows":${stream.funnelOutRows},""" +
-      s""""attribution_rows":${stream.attributionRows},""" +
-      s""""attribution_batches":${stream.attributionBatches},""" +
-      s""""attribution_p50_sec":${f"${stream.attributionP50Sec}%.3f"},""" +
-      s""""attribution_p95_sec":${f"${stream.attributionP95Sec}%.3f"},""" +
-      s""""attribution_state_rows":${stream.attributionStateRows},""" +
-      s""""attribution_out_rows":${stream.attributionOutRows},""" +
-      s""""attribution_parity":${stream.attributionParity}},""" +
-      s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""" +
-      s""""queries":${jmap(_.median.toString)},""" +
-      s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""" +
-      s""""dedupe_incremental_sec":${rates.dedupeSec},""" +
-      s""""dedupe_windowed_sec":${f"${rates.windowedDedupeSec}%.3f"},""" +
-      s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""failed_sections":${failedSections.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""failed_count":$failedCount,""" +
-      s""""total":$total,"value":$total}"""
+    val json = Seq(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir",""",
+      s""""query_runs":${jmap(_.wall.mkString("[", ",", "]"))},""",
+      s""""query_gc_sec_3runs":${jmap(s => f"${s.gcSec}%.3f")},""",
+      s""""query_executor_run_sec_3runs":${jmap(s => f"${s.runSec}%.3f")},""",
+      s""""query_shuffle_rw_mb_3runs":${jmap(s => f"${s.shufMB}%.1f")},""",
+      s""""query_load_avg":${jmap(s => f"${s.loadAvg}%.1f")},""",
+      s""""load_avg_start":${f"$loadStart%.1f"},"load_avg_end":${f"$loadAvg%.1f"},""",
+      s""""code_cache_used_mb":${f"$ccUsed%.0f"},"code_cache_max_mb":${f"$ccMax%.0f"},""",
+      s""""jit_compile_ms":${ManagementFactory.getCompilationMXBean.getTotalCompilationTime},""",
+      s""""cores":${Runtime.getRuntime.availableProcessors},""",
+      s""""heap_max_gb":${f"${Runtime.getRuntime.maxMemory / 1e9}%.1f"},""",
+      s""""ingest_rows":${rates.ingestRows},""",
+      s""""ingest_cpu_sec":${f"${rates.ingestCpuSec}%.3f"},""",
+      s""""dedupe_cpu_sec":${f"${rates.dedupeCpuSec}%.3f"},""",
+      s""""dedupe_duplicates_removed":${rates.dedupeDuplicates},""",
+      s""""cc_clusters_sec":${f"$ccSec%.3f"},""",
+      s""""cc_clusters_reliable_sec":${f"$ccReliableSec%.3f"},""",
+      s""""retrieval_index_build_sec":${f"$retrievalBuildSec%.3f"},""",
+      s""""retrieval_score_sec":${f"$retrievalScoreSec%.3f"},""",
+      s""""retrieval_delete_sec":${f"$retrievalDeleteSec%.3f"},""",
+      s""""retrieval_score_tombstoned_sec":${f"$retrievalScoreTombSec%.3f"},""",
+      s""""retrieval_compact_delete_sec":${f"$retrievalCompactDelSec%.3f"},""",
+      s""""passage_dedup_sec":${f"$passageSec%.3f"},""",
+      s""""shard_shuffle_sec":${f"$shardSec%.3f"},""",
+      s""""mix_sample_sec":${f"$mixSec%.3f"},""",
+      s""""best_of_cluster_sec":${f"$bestOfSec%.3f"},""",
+      s""""trigram_lm_sec":${f"$trigramSec%.3f"},""",
+      s""""tfidf_sec":${f"$tfidfSec%.3f"},""",
+      s""""bm25_sec":${f"$bm25Sec%.3f"},""",
+      s""""text_knn_sec":${f"$textKnnSec%.3f"},""",
+      s""""corpus_diff_sec":${f"$corpusDiffSec%.3f"},""",
+      s""""dsir_sec":${f"$dsirSec%.3f"},""",
+      s""""quality_lr_train_sec":${f"$qualityLrSec%.3f"},""",
+      s""""fuzzy_link_sec":${f"$fuzzyLinkSec%.3f"},""",
+      s""""cc_incremental_sec":${f"$ccIncrementalSec%.3f"},""",
+      s""""source_pagerank_sec":${f"$sourcePagerankSec%.3f"},""",
+      s""""pagerank_sec":${f"$pagerankSec%.3f"},""",
+      s""""cms_heavy_hitters_sec":${f"$cmsSec%.3f"},""",
+      s""""top_pc_sec":${f"$topPcSec%.3f"},""",
+      s""""kmeans_sec":${f"$kmeansSec%.3f"},""",
+      s""""kmeans_prod_sec":${f"$kmeansProdSec%.3f"},""",
+      s""""semdedup_km_sec":${f"$semdedupKmSec%.3f"},""",
+      s""""curation_pipeline_sec":${f"$curationPipelineSec%.3f"},""",
+      s""""ivfpq_sec":${f"$ivfpqSec%.3f"},""",
+      s""""bpe_encode_sec":${f"$bpeEncodeSec%.3f"},""",
+      s""""fuzzy_decon_sec":${f"$fuzzyDeconSec%.3f"},""",
+      s""""hashing_tf_sec":${f"$hashingTfSec%.3f"},""",
+      s""""quantile_hist_sec":${f"$quantileHistSec%.3f"},""",
+      s""""quality_ensemble_sec":${f"$qualityEnsembleSec%.3f"},""",
+      s""""rollup_incremental_sec":${f"$rollupIncrementalSec%.3f"},""",
+      s""""mmr_sec":${f"$mmrSec%.3f"},""",
+      s""""matryoshka_sec":${f"$matryoshkaSec%.3f"},""",
+      s""""source_overlap_sec":${f"$sourceOverlapSec%.3f"},""",
+      s""""eval_metrics_sec":${f"$evalMetricsSec%.3f"},""",
+      s""""zorder_key_sec":${f"$zorderKeySec%.3f"},""",
+      s""""label_prop_sec":${f"$labelPropSec%.3f"},""",
+      s""""data_card_sec":${f"$dataCardSec%.3f"},""",
+      s""""prf_rm3_sec":${f"$prfRm3Sec%.3f"},""",
+      s""""triangle_count_sec":${f"$triangleSec%.3f"},""",
+      s""""jl_project_sec":${f"$jlProjectSec%.3f"},""",
+      s""""ccnet_buckets_sec":${f"$ccnetSec%.3f"},""",
+      s""""kneser_ney_sec":${f"$kneserNeySec%.3f"},""",
+      s""""zorder_write_sec":${f"$zorderWriteSec%.3f"},""",
+      s""""zorder_prune_frac_x":${f"$zorderPruneX%.3f"},""",
+      s""""zorder_prune_frac_y":${f"$zorderPruneY%.3f"},""",
+      s""""span_dedup_sec":${f"$spanDedupSec%.3f"},""",
+      s""""span_dedup_exact_sec":${f"$spanDedupExactSec%.3f"},""",
+      s""""semdedup_sec":${f"$semdedupSec%.3f"},""",
+      s""""semdedup_cpu_sec":${f"$semdedupCpuSec%.3f"},""",
+      s""""hardneg_sec":${f"$hardnegSec%.3f"},""",
+      s""""semdedup_prod_sec":${f"$semdedupProdSec%.3f"},""",
+      s""""semdedup_prod_cpu_sec":${f"$semdedupProdCpuSec%.3f"},""",
+      s""""hardneg_prod_sec":${f"$hardnegProdSec%.3f"},""",
+      s""""semdedup_prod_ncells":$semdedupProdCells,""",
+      s""""ivf_build_sec":${f"$ivfBuildSec%.3f"},""",
+      s""""ivf_search_sec":${f"$ivfSearchSec%.3f"},""",
+      s""""lsh_index_build_sec":${f"$lshBuildSec%.3f"},""",
+      s""""lsh_index_search_sec":${f"$lshSearchSec%.3f"},""",
+      s""""shard_write_sec":${f"$shardWriteSec%.3f"},""",
+      s""""ivf_recall_est":${f"$ivfRecallEst%.3f"},""",
+      s""""ivf_prod_cells":$ivfProdCells,""",
+      s""""ivf_prod_nprobe":$ivfProdNProbe,""",
+      s""""ivf_prod_recall":${f"$ivfProdRecall%.3f"},""",
+      s""""ivf_prod_search_sec":${f"$ivfProdSearchSec%.3f"},""",
+      s""""ivf_prod_calibrate_sec":${f"$ivfProdCalibSec%.3f"},""",
+      s""""vec_curate_batch_sec":${f"$vecCurateSec%.3f"},""",
+      s""""curate_batch_sec":${f"$curateBatchSec%.3f"},""",
+      s""""curate_survivors_per_sec":${f"$curateSurvPerSec%.1f"},""",
+      s""""curate_stream_batches":$csBatches,""",
+      s""""curate_stream_p50_sec":${f"$csP50%.3f"},""",
+      s""""curate_stream_p95_sec":${f"$csP95%.3f"},""",
+      s""""skew_ingest_rows_per_sec":${skew.ingestRowsPerSec.round},""",
+      s""""skew_dedupe_sec":${skew.dedupeSec},""",
+      s""""skew_dupes_removed":${skew.dedupeDuplicates},""",
+      s""""skew_ingest_slowdown":${ratio(rates.ingestRowsPerSec, skew.ingestRowsPerSec)},""",
+      s""""skew_dedupe_slowdown":${ratio(skew.dedupeSec, rates.dedupeSec)},""",
+      s""""skew_join_q3_sec":${f"${joinSkew.q3Skew}%.3f"},""",
+      s""""skew_join_q3_slowdown":${ratio(joinSkew.q3Skew, joinSkew.q3Uniform)},""",
+      s""""skew_join_wrank_sec":${f"${joinSkew.wrankSkew}%.3f"},""",
+      s""""skew_join_wrank_slowdown":${ratio(joinSkew.wrankSkew, joinSkew.wrankUniform)},""",
+      s""""streaming":{"rows":${stream.rows},"batches":${stream.batches},""",
+      s""""batch_p50_sec":${f"${stream.batchP50Sec}%.3f"},""",
+      s""""batch_p95_sec":${f"${stream.batchP95Sec}%.3f"},""",
+      s""""first_batch_sec":${f"${stream.firstBatchSec}%.3f"},""",
+      s""""steady_p50_sec":${f"${stream.steadyP50Sec}%.3f"},""",
+      s""""steady_p95_sec":${f"${stream.steadyP95Sec}%.3f"},""",
+      s""""rows_per_sec":${stream.rowsPerSec.round},""",
+      s""""dedupe_quiet_sec":${f"${stream.quietDedupeSec}%.3f"},""",
+      s""""dedupe_concurrent_sec":${f"${stream.concurrentDedupeSec}%.3f"},""",
+      s""""dedupe_concurrency_tax":${ratio(stream.concurrentDedupeSec, stream.quietDedupeSec)},""",
+      s""""quiet_runs":${stream.quietRuns},"concurrent_runs":${stream.concurrentRuns},""",
+      s""""dupes_removed":${stream.dupesRemoved},""",
+      s""""saturated_offered_rps":${stream.satOfferedRps.round},""",
+      s""""saturated_p95_sec":${f"${stream.satP95Sec}%.3f"},""",
+      s""""backlog_peak_rows":${stream.satBacklogPeakRows},""",
+      s""""backlog_recovery_sec":${f"${stream.satRecoverySec}%.3f"},""",
+      s""""recovered_p50_sec":${f"${stream.satRecoveredP50Sec}%.3f"},""",
+      s""""saturated_dedupe_runs":${stream.satDedupeRuns},""",
+      s""""environment_suspect":$streamEnvSuspect,""",
+      s""""funnel_rows":${stream.funnelRows},""",
+      s""""funnel_batches":${stream.funnelBatches},""",
+      s""""funnel_p50_sec":${f"${stream.funnelP50Sec}%.3f"},""",
+      s""""funnel_p95_sec":${f"${stream.funnelP95Sec}%.3f"},""",
+      s""""funnel_state_rows":${stream.funnelStateRows},""",
+      s""""funnel_out_rows":${stream.funnelOutRows},""",
+      s""""attribution_rows":${stream.attributionRows},""",
+      s""""attribution_batches":${stream.attributionBatches},""",
+      s""""attribution_p50_sec":${f"${stream.attributionP50Sec}%.3f"},""",
+      s""""attribution_p95_sec":${f"${stream.attributionP95Sec}%.3f"},""",
+      s""""attribution_state_rows":${stream.attributionStateRows},""",
+      s""""attribution_out_rows":${stream.attributionOutRows},""",
+      s""""attribution_parity":${stream.attributionParity}},""",
+      s""""query_cpu_sec_3runs":${jmap(s => f"${s.cpuSec}%.3f")},""",
+      s""""queries":${jmap(_.median.toString)},""",
+      s""""ingest_rows_per_sec":${rates.ingestRowsPerSec.round},""",
+      s""""dedupe_incremental_sec":${rates.dedupeSec},""",
+      s""""dedupe_windowed_sec":${f"${rates.windowedDedupeSec}%.3f"},""",
+      s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+      s""""failed_sections":${failedSections.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+      s""""failed_count":$failedCount,""",
+      s""""total":$total,"value":$total}""").mkString
     // Belt and braces: persist the full record where a repo snapshot finds it
     // even if stdout capture truncates. GRAFT_BENCH_OUT redirects (e.g. an
     // sf1 scale-evidence run must not clobber the sf0.1 record).

@@ -203,7 +203,8 @@ object SectionBench {
         } finally BenchUtil.deleteRecursively(new java.io.File(dir))
       case other =>
         sys.error(s"unknown section '$other' " +
-          "(stream | joinskew | retrieval | ivf | retrievaldel | ivfprod | ivfcurve)")
+          "(stream | joinskew | retrieval | ivf | retrievaldel | ivfprod | " +
+          "ivfcurve | retrievalappend)")
     }
     spark.stop()
   }
