@@ -40,7 +40,7 @@ object HederaParity {
     // numeric + timestamp + day partition string derived from the raw ns
     // long, JSON field extracted. Reference: TransactionJsonToTableRow.java:52-66.
     Q("h_ingest_project",
-      (s, dir) => events(s, dir).select(
+      (s, dir) => Tables.loadSpread(s, dir, "events").select(
         col("event_id"),
         tsUs.as("ts_us"),
         timestamp_micros(tsUs).cast("timestamp_ntz").as("ts_stamp"),

@@ -27,9 +27,13 @@ object Relational {
 
   val all: Seq[Q] = Seq(
 
-    // TPC-H Q1 shape: the classic scan → filter → hash-agg suite.
+    // TPC-H Q1 shape: the classic scan → filter → hash-agg suite. The scan
+    // rides the layout-adaptive spread: nine decimal aggregates per row is
+    // exactly the pipelined-CPU shape that a degenerate (single-row-group)
+    // layout serializes onto one task — measured r12 on local[32]/sf0.1:
+    // 1.36 s single-task vs 0.65 s spread (plain scan at healthy layouts).
     Q("q1_pricing",
-      (s, dir) => t(s, dir, "lineitem")
+      (s, dir) => Tables.loadSpread(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(

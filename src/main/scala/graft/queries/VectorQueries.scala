@@ -21,6 +21,15 @@ object VectorQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
 
+  /** The embeddings scan with the layout-adaptive spread (Tables.loadSpread)
+    * — for pipelines that EXPAND each row by d× or d²× before aggregating
+    * (the covariance outer product), where a degenerate single-row-group
+    * layout serializes the expansion onto one task. Per-row vector kernels
+    * (cosine, norms, banding) keep the plain scan: measured r12, the
+    * exchange costs more than it wins there. */
+  private def embSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.loadSpread(s, dir, "embeddings")
+
   /** DuckDB in-order left fold: sum of `expr` over list `l` (index var i). */
   private def duckFoldSum(l: String, expr: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -573,7 +582,7 @@ object VectorQueries {
     // PrincipalComponentSpec.
     Q("e_top_pc",
       (s, dir) => {
-        val q = emb(s, dir).select(quantQ(col("embedding")).as("qv"))
+        val q = embSpread(s, dir).select(quantQ(col("embedding")).as("qv"))
         graft.similarity.PrincipalComponent.topComponent(q, "qv", PcIters)
           .select(col("i").cast("long").as("i"), col("v"))
       },
@@ -591,7 +600,7 @@ object VectorQueries {
     Q("e_whiten_topk",
       (s, dir) => {
         val e = emb(s, dir)
-        val q = e.select(quantQ(col("embedding")).as("qv"))
+        val q = embSpread(s, dir).select(quantQ(col("embedding")).as("qv"))
         val pc = graft.similarity.PrincipalComponent.topComponent(q, "qv", PcIters)
         val pcArr = pc
           .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("st"))
@@ -1469,13 +1478,26 @@ object VectorQueries {
         val el = emb(s, dir)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
           .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
-        val jd = broadcast(s.range(0, k).select(col("id").as("j")))
-        val sgn = when(pmod(graft.functions.TextFunctions.portableHash60(
-          concat(lit("jl:"), col("j").cast("string"), lit(":"), col("i").cast("string"))),
-          lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
-        val y = el.crossJoin(jd)
+        // The ±1 projection matrix depends only on (j, i) — k·d entries.
+        // Building it once driver-side (the portableHash60 image on k·d
+        // strings) and broadcast-joining on i replaces an md5 evaluation
+        // per (row, dim, j) — corpus·k hashes — with k·d of them; the
+        // joined values are the identical hash function of (j, i), so the
+        // projection is byte-unchanged. d comes from a 1-row probe (the
+        // embedding dim is uniform by schema contract).
+        val d = emb(s, dir).select(size(col("embedding")).as("d")).head().getInt(0)
+        val signRows = for (j <- 0L until k.toLong; i <- 0 until d) yield {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"jl:$j:$i".getBytes("UTF-8"))
+          val h = java.lang.Long.parseLong(
+            md.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+          (j, i, if (h % 2L == 0L) 1.0 else -1.0)
+        }
+        import s.implicits._
+        val signs = broadcast(s.createDataset(signRows.toSeq).toDF("j", "i", "sgn"))
+        val y = el.join(signs, Seq("i"))
           .select(col("vec_id"), col("j"),
-            floor(col("x") * sgn * lit(1e9)).cast("long").as("tfx"))
+            floor(col("x") * col("sgn") * lit(1e9)).cast("long").as("tfx"))
           .groupBy(col("vec_id"), col("j")).agg(sum(col("tfx")).as("yfx"))
         val sy = y.select(col("vec_id"),
             floor((col("yfx").cast("double") / lit(1e9))

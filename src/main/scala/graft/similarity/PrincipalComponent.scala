@@ -42,7 +42,8 @@ object PrincipalComponent {
     * an `array<long>` of uniform length (quantize floats first — see
     * e_quant_topk's int8 grid). */
   def topComponent(vecs: DataFrame, vecCol: String,
-      iterations: Int = 12, scale: Long = 4096L): DataFrame = {
+      iterations: Int = 12, scale: Long = 4096L,
+      maxDriverCells: Long = 1L << 22): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val v = col(vecCol)
     // d² outer-product cells, produced map-side from each row alone
@@ -64,22 +65,60 @@ object PrincipalComponent {
       .crossJoin(broadcast(n))
       .withColumn("num", col("n") * col("sxy") - col("mi") * col("mj"))
       .select(col("i"), col("j"), expr("num div n").as("sv"))
-      .localCheckpoint(true) // d² rows; every round re-reads it
-    var vec = sm.select(col("i")).distinct()
-      .select(col("i"),
-        (pmod(portableHash60(concat(lit("pc0:"), col("i").cast("string"))),
-          lit(2 * scale)) - scale).as("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val u = sm.join(vec.select(col("i").as("j"), col("v")), "j")
-        .select(col("i"), (col("sv") * col("v")).as("p"))
-        .groupBy(col("i")).agg(sum(col("p")).as("u"))
-      val mx = u.agg(max(abs(col("u"))).as("mx"))
-      vec = u.crossJoin(broadcast(mx))
+      .localCheckpoint(true) // d² rows; corpus work ends here
+    // The eigensolve itself is corpus-FREE: its whole state is the d²-cell
+    // matrix and a d-row vector — bounded by construction (the census /
+    // k-centroids collect class). Running the 12 power steps as Spark jobs
+    // costs ~3 tiny jobs per step in pure scheduling latency (measured r12:
+    // ~70% of e_top_pc's wall); the same integer ops on the collected
+    // cells are exact-identical (Scala Long `/` truncates toward zero like
+    // Spark's `div`; overflow headroom per the scaladoc) and free. The
+    // distributed loop remains for d past the collect bound.
+    val spark = vecs.sparkSession
+    if (sm.count() <= maxDriverCells) {
+      val cells = sm.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val dims = cells.map(_._1).distinct.sorted
+      var v: Map[Int, Long] = dims.map(i =>
+        i -> (math.floorMod(h60(s"pc0:$i"), 2 * scale) - scale)).toMap
+      for (_ <- 1 to iterations) {
+        val u = new scala.collection.mutable.HashMap[Int, Long]()
+        cells.foreach { case (i, j, sv) =>
+          u.update(i, u.getOrElse(i, 0L) + sv * v(j))
+        }
+        val mx = if (u.isEmpty) 0L else u.valuesIterator.map(math.abs).max
+        v = dims.map(i => i ->
+          (if (mx == 0L) u(i) else (u(i) * scale) / mx)).toMap
+      }
+      import spark.implicits._
+      spark.createDataset(dims.map(i => (i, v(i))).toSeq).toDF("i", "v")
+    } else {
+      var vec = sm.select(col("i")).distinct()
         .select(col("i"),
-          expr(s"CASE WHEN mx = 0 THEN u ELSE (u * $scale) div mx END").as("v"))
+          (pmod(portableHash60(concat(lit("pc0:"), col("i").cast("string"))),
+            lit(2 * scale)) - scale).as("v"))
         .localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val u = sm.join(vec.select(col("i").as("j"), col("v")), "j")
+          .select(col("i"), (col("sv") * col("v")).as("p"))
+          .groupBy(col("i")).agg(sum(col("p")).as("u"))
+        val mx = u.agg(max(abs(col("u"))).as("mx"))
+        vec = u.crossJoin(broadcast(mx))
+          .select(col("i"),
+            expr(s"CASE WHEN mx = 0 THEN u ELSE (u * $scale) div mx END").as("v"))
+          .localCheckpoint(true)
+      }
+      vec
     }
-    vec
+  }
+
+  /** Driver-side image of [[graft.functions.TextFunctions.portableHash60]]:
+    * the first 15 hex chars of md5 parsed base-16 (a nonnegative 60-bit
+    * long), byte-identical to the SQL expression. */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
   }
 }

@@ -96,8 +96,12 @@ class PlanShapeSpec extends AnyFunSuite {
     test(s"column pruning: q1 scans only the aggregated lineitem columns$tag") {
       val p = plan(dir, "q1_pricing")
       val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-      // identity keys are not part of the aggregate — pruned at the scan
-      assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+      // columns not in the aggregate are pruned at the scan. (The spread
+      // key — l_orderkey, l_linenumber — legitimately joins the ReadSchema
+      // when the layout-adaptive spread fires on a degenerate layout;
+      // l_partkey/l_suppkey must stay pruned in every configuration.)
+      assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey")
+        && !readSchema.contains("l_suppkey"),
         s"unexpected ReadSchema: $readSchema")
     }
 
@@ -292,8 +296,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
     test(s"r10 positional/graph wave: funnel and SCD2 ride one user exchange, postings legs equi-join$tag") {
+      // organic exchanges only: the loader's layout-adaptive spread (an
+      // xxhash64 hash repartition, Tables.load r12) is not a plan
+      // regression — exclude it by its marker.
       def exchanges(p: String): Int =
-        p.linesIterator.count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
+        p.linesIterator.count(l => l.contains("Exchange ") &&
+          !l.contains("ReusedExchange") && !l.contains("xxhash64"))
       // q_funnel: four chained stage windows share ONE hashpartitioning
       // (user_id) exchange; only the global stage-count rollup adds its
       // single-partition exchange. A per-stage self-join cascade would
@@ -381,8 +389,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
     test(s"r11 wave: scalable ntile has no global window, attribution rides one user exchange, pii scan is a pure map$tag") {
+      // organic exchanges only (loader spread excluded — see above)
       def exchanges(p: String): Int =
-        p.linesIterator.count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
+        p.linesIterator.count(l => l.contains("Exchange ") &&
+          !l.contains("ReusedExchange") && !l.contains("xxhash64"))
       // q_rfm_scalable: the exact-ntile plan must carry NO ntile window
       // (the single-task shape it replaces); tiles come from the offsets
       // broadcast join. The only windows left are the per-partition

@@ -66,4 +66,16 @@ class PrincipalComponentSpec extends AnyFunSuite {
     val flat = Seq.fill(20)((1L to dim).toSeq)
     assert(run(flat).forall(_ === 0.0))
   }
+
+  test("driver-side and distributed iteration paths are byte-identical") {
+    // r12: d²-bounded corpora collect the covariance cells and iterate on
+    // the driver; past maxDriverCells the Spark-job loop runs. Same
+    // integer ops — forcing the distributed path must not move a bit.
+    val df = cloud.toDF("qv").repartition(4)
+    val fast = PrincipalComponent.topComponent(df, "qv")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val dist = PrincipalComponent.topComponent(df, "qv", maxDriverCells = 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fast === dist)
+  }
 }
