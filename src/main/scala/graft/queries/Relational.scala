@@ -71,8 +71,13 @@ object Relational {
           .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
         val l = t(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp_ntz"))
-        c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("o_orderkey") === col("l_orderkey"))
+        // fact-first (r12): stream lineitem through two INDEPENDENT
+        // broadcast builds (filtered orders, BUILDING customers) instead of
+        // the dim-first chain that built its broadcasts sequentially and
+        // broadcast the filtered 600k-row lineitem side. Inner joins
+        // reorder freely: same rows, same oracle.
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(decToDouble(sum(decP(col("l_extendedprice")) * decR(lit(1) - col("l_discount"))))
             .as("revenue"))
@@ -90,8 +95,16 @@ object Relational {
              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
       headline = true),
 
-    // TPC-H Q5 shape: star join down the region→nation→customer→orders→
-    // lineitem chain; small dims broadcast, one shuffle for the agg.
+    // TPC-H Q5 shape: star join over region/nation/customer/orders — built
+    // LEFT-DEEP FROM THE FACT TABLE (r12): the old dim-first chain
+    // (r⋈n⋈c⋈o⋈l) nested each broadcast build inside the next build's job,
+    // so the four builds ran as SEQUENTIAL stage barriers and the planner
+    // even picked the 600k-row lineitem side as the last build. Fact-first,
+    // every dimension build is an independent leaf (AQE materializes them
+    // in parallel) and lineitem only streams — locally fewer sequential
+    // barriers, and at scale the facts shuffle at most once per join key
+    // while the bounded dims (nation, ASIA region) ride explicit broadcast
+    // hints. Inner joins reorder freely: same rows, same oracle.
     Q("q5_region_rev",
       (s, dir) => {
         val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -99,10 +112,10 @@ object Relational {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        broadcast(r).join(n, col("r_regionkey") === col("n_regionkey"))
-          .join(c, col("n_nationkey") === col("c_nationkey"))
-          .join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("o_orderkey") === col("l_orderkey"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
           .agg(decToDouble(sum(decP(col("l_extendedprice")) * decR(lit(1) - col("l_discount"))))
             .as("revenue"))

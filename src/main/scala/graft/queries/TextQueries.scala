@@ -655,7 +655,10 @@ object TextQueries {
     * bootstrap trained quality classifiers from rule-labeled slices. */
   private def lrFeatures(s: org.apache.spark.sql.SparkSession, dir: String,
       extraCols: Seq[String] = Nil) = {
-    val d = docs(s, dir)
+    // spread: the feature frame is localCheckpointed by its consumers and
+    // then re-read once per training epoch — a degenerate layout would pin
+    // all 16 epoch aggregates to ONE task
+    val d = docsSpread(s, dir)
       .select(col("doc_id") +: extraCols.map(col) :+ col("text")
         :+ tokens(lower(col("text"))).as("ws"): _*)
     val feats = graft.functions.TextFunctions
