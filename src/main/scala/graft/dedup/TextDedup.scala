@@ -144,9 +144,17 @@ object TextDedup {
     * freed by the ContextCleaner once the frame is unreferenced. */
   private[dedup] def nearDuplicatePairsWith(docs: DataFrame, idCol: String,
       textCol: String, cfg: MinHashConfig,
-      mat: DataFrame => DataFrame): DataFrame = {
-    val sigs = mat(signatures(docs, idCol, textCol, cfg)
-      .filter(size(col("sh")) > 0))
+      mat: DataFrame => DataFrame): DataFrame =
+    nearDuplicatePairsFromSigs(mat(signatures(docs, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0)), cfg)
+
+  /** [[nearDuplicatePairs]] body over an already-materialized signature
+    * frame (doc_id, sh, sig) — the reuse seam for callers that sign a
+    * batch ONCE and thread the frame through intra-dedup, index search and
+    * index append (the curation lifecycle signed every batch three times
+    * before r12). */
+  private[dedup] def nearDuplicatePairsFromSigs(sigs: DataFrame,
+      cfg: MinHashConfig): DataFrame = {
     val sets = sigs.select(col("doc_id"), col("sh"))
     candidatePairs(sigs, cfg)
       .join(sets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
@@ -213,6 +221,18 @@ object TextDedup {
       textCol: String, cfg: MinHashConfig,
       mat: DataFrame => DataFrame): DataFrame = {
     val pairs = nearDuplicatePairsWith(docs, idCol, textCol, cfg, mat)
+      .select(col("a_id"), col("b_id"))
+    val losers = ConnectedComponents.components(pairs, "a_id", "b_id")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[minHashDedupWith]] over a pre-materialized signature frame (see
+    * [[nearDuplicatePairsFromSigs]]). */
+  private[dedup] def minHashDedupFromSigs(docs: DataFrame, idCol: String,
+      sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val pairs = nearDuplicatePairsFromSigs(sigs, cfg)
       .select(col("a_id"), col("b_id"))
     val losers = ConnectedComponents.components(pairs, "a_id", "b_id")
       .filter(col("id") =!= col("component"))

@@ -265,7 +265,6 @@ object TextDedupIndex {
   def searchNew(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val spark = newDocs.sparkSession
-    requireMatching(spark, dir, cfg)
     // one derivation of the arriving batch: localCheckpoint (not cache)
     // materializes it so bands and sets are consistent views even over a
     // non-deterministic input, without leaking a CacheManager entry per
@@ -273,6 +272,16 @@ object TextDedupIndex {
     val newSigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
+    searchNewFromSigs(spark, newSigs, dir, cfg)
+  }
+
+  /** [[searchNew]] over an already-materialized signature frame (doc_id,
+    * sh, sig) — the reuse seam of the curation lifecycle: the batch is
+    * signed ONCE (stageSurvivors) and the same frame drives intra-dedup,
+    * this search, and the survivor append. */
+  private[dedup] def searchNewFromSigs(spark: SparkSession, newSigs: DataFrame,
+      dir: String, cfg: MinHashConfig): DataFrame = {
+    requireMatching(spark, dir, cfg)
     val newBands = TextDedup.bandRows(newSigs.select(col("doc_id"), col("sig")), cfg)
     val newSets = newSigs.select(col("doc_id"), col("sh"))
     val newCounts = newBands.groupBy(col("band_key")).agg(count(lit(1)).as("n_new"))
@@ -352,10 +361,14 @@ object TextDedupIndex {
     val (f, _) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
       val b = batch.localCheckpoint()
-      val intra = TextDedup
-        .nearDuplicatePairsWith(b, idCol, textCol, cfg, _.localCheckpoint())
+      // one signing per batch (r12) — intra pairs, the index search and
+      // the append all read the same materialized frame
+      val sigs = TextDedup.signatures(b, idCol, textCol, cfg)
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint()
+      val intra = TextDedup.nearDuplicatePairsFromSigs(sigs, cfg)
         .select(col("a_id"), col("b_id"))
-      val cross = searchNew(b, dir, idCol, textCol, cfg)
+      val cross = searchNewFromSigs(spark, sigs, dir, cfg)
         .filter(col("new_id") =!= col("corpus_id"))
         .select(col("new_id").as("a_id"), col("corpus_id").as("b_id"))
       // The edge frame's lineage READS the index tables; materialize it
@@ -364,7 +377,7 @@ object TextDedupIndex {
       // would match its own fresh entries — semantically benign after the
       // self-edge filter, but a wasteful second search).
       val edges = intra.union(cross).localCheckpoint(true)
-      appendDocsUnlocked(b, dir, idCol, textCol, cfg)
+      appendFromSigsUnlocked(b, sigs, dir, idCol, textCol, cfg)
       // IncrementalClusters takes its own lease on clustersDir — a
       // DIFFERENT path, so no self-deadlock with the index lease held here.
       IncrementalClusters.addBatch(spark, clustersDir,
@@ -428,12 +441,21 @@ object TextDedupIndex {
     * continuous appends otherwise accrete `defaultParallelism` files per
     * batch forever. */
   private def appendDocsUnlocked(newDocs: DataFrame, dir: String, idCol: String,
-      textCol: String, cfg: MinHashConfig): Unit = {
+      textCol: String, cfg: MinHashConfig): Unit =
+    appendFromSigsUnlocked(newDocs,
+      TextDedup.signatures(newDocs, idCol, textCol, cfg)
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(),
+      dir, idCol, textCol, cfg)
+
+  /** [[appendDocsUnlocked]] with the signature frame supplied by the
+    * caller (already filtered to non-empty shingle sets and materialized)
+    * — the curation lifecycle's reuse seam. `newDocs` still supplies the
+    * raw text for the shingle-less fingerprint path. */
+  private def appendFromSigsUnlocked(newDocs: DataFrame, sigs: DataFrame,
+      dir: String, idCol: String, textCol: String, cfg: MinHashConfig): Unit = {
     val spark = newDocs.sparkSession
     requireMatching(spark, dir, cfg)
-    val sigs = TextDedup.signatures(newDocs, idCol, textCol, cfg)
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
     // Census is a DELTA table: append this batch's per-bucket counts
     // (O(batch)) instead of re-aggregating the whole bands table per
     // append (O(corpus) — the old refreshCounts swap, which a
@@ -532,14 +554,23 @@ object TextDedupIndex {
     * owns its lifecycle (deleted after the rows are persisted elsewhere;
     * orphans from crashed attempts are inert and swept on stream start). */
   private def stageSurvivors(batch: DataFrame, dir: String, idCol: String,
-      textCol: String, cfg: MinHashConfig): String = {
+      textCol: String, cfg: MinHashConfig): (String, DataFrame) = {
     val spark = batch.sparkSession
+    // The batch is SIGNED EXACTLY ONCE (r12): shingling + the numPerm-hash
+    // MinHash fold is the lifecycle's per-row CPU, and the pre-r12 shape
+    // paid it three times per batch (intra-dedup, index search, survivor
+    // append). One materialized signature frame now drives all three —
+    // id-subset views of it are cheap joins against executor-local blocks.
+    val sigsAll = TextDedup.signatures(batch, idCol, textCol, cfg)
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     // ONE evaluation of the intra-batch dedup pipeline, into executor
     // block storage (truncated lineage; freed by the ContextCleaner)
-    val intra = TextDedup.minHashDedupWith(batch, idCol, textCol, cfg,
-        _.localCheckpoint())
+    val intra = TextDedup.minHashDedupFromSigs(batch, idCol, sigsAll, cfg)
       .localCheckpoint()
-    val nearMatched = searchNew(intra, dir, idCol, textCol, cfg)
+    val intraSigs = sigsAll.join(
+      intra.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+    val nearMatched = searchNewFromSigs(spark, intraSigs, dir, cfg)
       .select(col("new_id").as(idCol))
     // shingle-less docs: exact dedupe by normalized fingerprint — within
     // the batch (keep min id) and against the indexed short-doc set
@@ -557,7 +588,12 @@ object TextDedupIndex {
     val stage = s"$dir/staging/${java.util.UUID.randomUUID()}"
     intra.join(drop, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(stage)
-    stage
+    // survivors' signatures: an id-subset view of the one signed frame,
+    // keyed by the ids that actually landed in the stage
+    val stagedSigs = sigsAll.join(
+      spark.read.parquet(stage).select(col(idCol).as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    (stage, stagedSigs)
   }
 
   private def hadoopFs(spark: SparkSession, path: String) = {
@@ -578,10 +614,10 @@ object TextDedupIndex {
     import spark.implicits._
     val (f, _) = hadoopFs(spark, dir)
     leaseFor(dir).withLease(f) {
-      val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+      val (stage, stagedSigs) = stageSurvivors(batch, dir, idCol, textCol, cfg)
       val staged = spark.read.parquet(stage)
       staged.write.mode("append").parquet(outDir)
-      appendDocsUnlocked(staged, dir, idCol, textCol, cfg)
+      appendFromSigsUnlocked(staged, stagedSigs, dir, idCol, textCol, cfg)
       // the curation API reports survivor ids as longs (the engine's doc-id
       // type); build/searchNew/appendDocs themselves stay id-type agnostic
       val ids = staged.select(col(idCol).cast("long")).as[Long].collect()
@@ -723,7 +759,7 @@ object TextDedupIndex {
         leaseFor(dir).withLease(lfs) {
           pruneLedger()
           if (!fs.exists(idxMark) && !replayFromOutMark()) {
-            val stage = stageSurvivors(batch, dir, idCol, textCol, cfg)
+            val (stage, stagedSigs) = stageSurvivors(batch, dir, idCol, textCol, cfg)
             spark.read.parquet(stage).write.mode("append").parquet(outDir)
             // atomic mark: write to a temp name, then rename — a half-written
             // mark must never exist under the real name
@@ -733,7 +769,8 @@ object TextDedupIndex {
             try o.write(stage.getBytes("UTF-8")) finally o.close()
             fs.delete(outMark, false)
             fs.rename(tmp, outMark)
-            appendDocsUnlocked(spark.read.parquet(stage), dir, idCol, textCol, cfg)
+            appendFromSigsUnlocked(spark.read.parquet(stage), stagedSigs,
+              dir, idCol, textCol, cfg)
             markIdx(stage)
           }
         }
