@@ -98,7 +98,13 @@ object Tables {
     val fs = p.getFileSystem(hconf)
     val files = dataFiles(fs, fs.getFileStatus(p))
     val bytes = files.map(_.getLen).sum
-    if (files.size >= parallelism) (bytes, parallelism)
+    // Only substantive files count toward the "healthy multi-file layout"
+    // short-circuit: a parquet file with zero rows still carries magic +
+    // footer (~hundreds of bytes), so a skewed layout of N−1 empty shards
+    // around one big single-row-group file must fall through to the footer
+    // probe, not read as already-parallel (ADVICE r12). 4 KiB comfortably
+    // clears bare footers while any shard with real data exceeds it.
+    if (files.count(_.getLen > 4096L) >= parallelism) (bytes, parallelism)
     else {
       var rgs = 0
       val it = files.iterator

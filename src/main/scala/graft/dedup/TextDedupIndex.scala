@@ -174,13 +174,19 @@ object TextDedupIndex {
     else Seq.empty[String].toDF("fp")
   }
 
-  private def writeBands(sigs: DataFrame, dir: String, cfg: MinHashConfig,
-      mode: String): Unit = {
+  /** Band rows of `sigs`, hash-partitioned by band_key and materialized
+    * ONCE (executor block storage, truncated lineage): the bands write and
+    * the census aggregation both read this single derivation, and because
+    * the frame is already hash-partitioned by the census's grouping key,
+    * the `groupBy(band_key)` rides the existing partitioning with NO
+    * further exchange — one banding pass and one exchange total where the
+    * r12 shape paid two of each (bands write + a parquet re-read and
+    * re-exchange for the census). */
+  private def bandedOnce(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val spark = sigs.sparkSession
-    TextDedup.bandRows(sigs, cfg)
+    TextDedup.bandRows(sigs.select(col("doc_id"), col("sig")), cfg)
       .repartition(spark.sparkContext.defaultParallelism, col("band_key"))
-      .sortWithinPartitions(col("band_key"))
-      .write.mode(mode).parquet(s"$dir/bands")
+      .localCheckpoint(true)
   }
 
   /** Index `corpus` under `dir` (overwrites any previous index). Text is
@@ -207,9 +213,19 @@ object TextDedupIndex {
       TextDedup.signatures(corpus, idCol, textCol, cfg)
         .filter(size(col("sh")) > 0)
         .write.mode("overwrite").parquet(s"$dir/sets")
-      writeBands(spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sig")),
-        dir, cfg, "overwrite")
-      refreshCounts(spark, dir)
+      val banded = bandedOnce(
+        spark.read.parquet(s"$dir/sets").select(col("doc_id"), col("sig")), cfg)
+      banded.sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      // census from the SAME partitioned frame — no bands re-read, no
+      // second exchange (build-time equivalent of refreshCounts)
+      locally {
+        val (cf, clive) = hadoopFs(spark, s"$dir/counts")
+        SwapDir.swapIn(cf, clive) { tmp =>
+          banded.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(tmp)
+        }
+      }
       corpus.filter(noShingles(textCol, cfg))
         .select(shortFp(textCol)).distinct()
         .write.mode("overwrite").parquet(s"$dir/shortfp")
@@ -265,6 +281,10 @@ object TextDedupIndex {
   def searchNew(newDocs: DataFrame, dir: String, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val spark = newDocs.sparkSession
+    // validate the family FIRST: a config-mismatched call must fail before
+    // paying the batch's shingle+MinHash signing job, not after (ADVICE
+    // r12; searchNewFromSigs re-checks for its direct callers)
+    requireMatching(spark, dir, cfg)
     // one derivation of the arriving batch: localCheckpoint (not cache)
     // materializes it so bands and sets are consistent views even over a
     // non-deterministic input, without leaking a CacheManager entry per
@@ -466,14 +486,19 @@ object TextDedupIndex {
     // over-trigger (safe) — the old order (bands first, census swapped
     // last) exposed an under-cap window where a just-appended hot bucket
     // was not yet in the census.
+    // One banding pass per batch (r13): the census delta and the bands
+    // append read the same partitioned materialization (bandedOnce), and
+    // the delta's groupBy rides its partitioning exchange-free. The delta
+    // still LEADS the bands append (the lock-free-reader ordering above).
+    val banded = bandedOnce(sigs, cfg)
     locally {
       val (cf, clive) = hadoopFs(spark, s"$dir/counts")
       SwapDir.recover(cf, clive) // crash mid-compaction must not orphan history
-      TextDedup.bandRows(sigs.select(col("doc_id"), col("sig")), cfg)
-        .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      banded.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
         .write.mode("append").parquet(clive.toString)
     }
-    writeBands(sigs.select(col("doc_id"), col("sig")), dir, cfg, "append")
+    banded.sortWithinPartitions(col("band_key"))
+      .write.mode("append").parquet(s"$dir/bands")
     sigs.write.mode("append").parquet(s"$dir/sets")
     newDocs.filter(noShingles(textCol, cfg))
       .select(shortFp(textCol)).distinct()
@@ -589,10 +614,15 @@ object TextDedupIndex {
     intra.join(drop, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(stage)
     // survivors' signatures: an id-subset view of the one signed frame,
-    // keyed by the ids that actually landed in the stage
+    // keyed by the ids that actually landed in the stage — MATERIALIZED
+    // (batch-bounded) so the append path's consumers read blocks instead of
+    // re-running the semi-join per write, honoring the
+    // appendFromSigsUnlocked contract ("already materialized") by
+    // construction rather than by lineage-stability luck (ADVICE r12).
     val stagedSigs = sigsAll.join(
       spark.read.parquet(stage).select(col(idCol).as("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     (stage, stagedSigs)
   }
 

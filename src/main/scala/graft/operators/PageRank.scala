@@ -48,7 +48,16 @@ object PageRank {
       iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val (e, ranks) = prepare(nodes, nodeCol, edges, srcCol, dstCol, wCol)
-    (1 to iterations).foldLeft(ranks)((r, _) => step(e, r)._1)
+    // Fixed-count rounds chain LAZILY (r13): the per-round localCheckpoint
+    // bought nothing here — no action runs between rounds, so K eager
+    // checkpoint jobs were pure scheduler latency plus K block-store writes
+    // of the rank frame. One plan holds all K rounds; shuffles still
+    // materialize per round inside the single job (stage boundaries), the
+    // checkpointed edge frame appears once (scan reuse), and the plan depth
+    // is K·3 operators — trivial for any sane K. The convergence-driven
+    // variant keeps its per-round checkpoint: it needs a per-round ACTION
+    // to read the delta metric anyway.
+    (1 to iterations).foldLeft(ranks)((r, _) => step(e, r, materialize = false)._1)
   }
 
   /** [[ranks]] with CONVERGENCE-driven termination instead of a fixed
@@ -101,7 +110,7 @@ object PageRank {
     * max |Δrank_e9| this round (measured by the checkpoint job itself),
     * else -1. */
   private def step(e: DataFrame, ranks: DataFrame,
-      observeDelta: Boolean = false): (DataFrame, Long) = {
+      observeDelta: Boolean = false, materialize: Boolean = true): (DataFrame, Long) = {
     val inc = e
       .join(ranks.select(col("node").as("src"), col("rank_e9")), "src")
       .select(col("dst"), expr("(rank_e9 * w) div out_w").as("c"))
@@ -120,7 +129,9 @@ object PageRank {
       // ranks is nonempty (ranksConverged guards), so the metric row
       // always arrives
       (next, obs.get("delta").asInstanceOf[Long])
-    } else
-      (stepped.select(col("node"), col("rank_e9")).localCheckpoint(true), -1L)
+    } else {
+      val out = stepped.select(col("node"), col("rank_e9"))
+      (if (materialize) out.localCheckpoint(true) else out, -1L)
+    }
   }
 }

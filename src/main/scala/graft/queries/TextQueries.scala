@@ -302,39 +302,52 @@ object TextQueries {
     * under any partial-aggregation merge order; a raw double sum(contrib)
     * would differ by last-ulp with the merge schedule and flake the
     * byte-exact oracle). Returns (doc_id, n_query_terms, bm25). */
+  /** The per-(doc, term) frequency table — the ROOT of every lexical
+    * statistic the retrieval family needs: document lengths (Σtf per doc),
+    * document frequencies (row count per term — tf holds exactly one row
+    * per distinct (doc, term), so counting rows per term ≡ counting
+    * distinct docs per term), total term frequencies, and the BM25 scoring
+    * join itself. Callers materialize it ONCE per invocation
+    * (localCheckpoint, the lmModel discipline) and thread it through every
+    * pass: the r12 shape re-tokenized and re-exploded the corpus per
+    * derived statistic — up to six corpus passes in t_prf_rm3 (VERDICT r12
+    * #8). */
+  private[queries] def tfFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
   /** The canonical query for the lexical-retrieval entries: the corpus's
     * top-n terms by total frequency (ttf DESC, term ASC — deterministic).
     * Shared by bm25Scores (n=3, the Bm25Sql `qt` image) and t_prf_rm3's
     * first pass, so the query-term definition cannot drift between them. */
-  private[queries] def topQueryTerms(s: org.apache.spark.sql.SparkSession,
-      dir: String, n: Int): org.apache.spark.sql.DataFrame =
-    docs(s, dir).select(col("doc_id"),
-        explode(tokens(lower(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
+  private[queries] def topQueryTermsFromTf(tf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    tf.groupBy(col("term")).agg(sum(col("tf")).as("ttf"))
       .orderBy(col("ttf").desc, col("term").asc).limit(n)
       .select(col("term"))
 
   private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    bm25ScoresFor(s, dir, topQueryTerms(s, dir, 3))
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tf = tfFrame(s, dir).localCheckpoint(true)
+    bm25ScoresFor(s, dir, topQueryTermsFromTf(tf, 3), tf)
+  }
 
   /** BM25 scoring against an arbitrary query-term frame (k1=1.2, b=0.75,
     * the Bm25Sql constants) — the parameterized body behind [[bm25Scores]]
     * (whose query is the corpus top-3) and t_prf_rm3's second pass (whose
     * query is top-3 ∪ expansion). Scores are fixed-point-summed then
-    * 6-dp-rounded, so ranking on them is oracle-exact. */
+    * 6-dp-rounded, so ranking on them is oracle-exact. `tf` is the
+    * caller-materialized [[tfFrame]]. */
   private[queries] def bm25ScoresFor(s: org.apache.spark.sql.SparkSession,
       dir: String,
-      qterms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      qterms: org.apache.spark.sql.DataFrame,
+      tf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val k1 = 1.2
     val b = 0.75
-    val tok = docs(s, dir).select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_d"))
-    val dft = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       .crossJoin(dlen.agg(sum(col("n_d")).as("tot_tokens")))
     tf.join(broadcast(qterms), Seq("term"))
@@ -2630,11 +2643,11 @@ object TextQueries {
     // per-doc shuffle.
     Q("t_top_terms",
       (s, dir) => {
-        val tok = docs(s, dir).select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
-        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val df = tok.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // One tokenize pass (r13): df derives from the materialized tf
+        // frame — tf holds exactly one row per distinct (doc, term), so
+        // counting its rows per term ≡ the old tok.distinct count.
+        val tf = tfFrame(s, dir).localCheckpoint(true)
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
         tf.join(broadcast(df), Seq("term"))
@@ -4081,11 +4094,13 @@ object TextQueries {
     // postings, not corpus.
     Q("t_prf_rm3",
       (s, dir) => {
-        val tok = docs(s, dir).select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
-        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val qt = topQueryTerms(s, dir, 3)
-        val fb = bm25ScoresFor(s, dir, qt)
+        // ONE corpus tokenize per invocation (r13): both BM25 passes, the
+        // query-term census and the expansion-mass aggregate all read the
+        // materialized tf frame — the r12 shape re-tokenized the corpus
+        // per pass (≈6 full explode passes).
+        val tf = tfFrame(s, dir).localCheckpoint(true)
+        val qt = topQueryTermsFromTf(tf, 3)
+        val fb = bm25ScoresFor(s, dir, qt, tf)
           .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
           .select(col("doc_id"))
         val expTerms = tf.join(broadcast(fb), "doc_id")
@@ -4094,7 +4109,7 @@ object TextQueries {
           .orderBy(col("mass").desc, col("term").asc).limit(5)
           .select(col("term"))
         val q2 = qt.union(expTerms)
-        bm25ScoresFor(s, dir, q2)
+        bm25ScoresFor(s, dir, q2, tf)
           .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))

@@ -1475,17 +1475,29 @@ object VectorQueries {
     Q("e_jl_project",
       (s, dir) => {
         val k = 16
-        val el = emb(s, dir)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
-          .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
         // The ±1 projection matrix depends only on (j, i) — k·d entries.
         // Building it once driver-side (the portableHash60 image on k·d
         // strings) and broadcast-joining on i replaces an md5 evaluation
         // per (row, dim, j) — corpus·k hashes — with k·d of them; the
         // joined values are the identical hash function of (j, i), so the
         // projection is byte-unchanged. d comes from a 1-row probe (the
-        // embedding dim is uniform by schema contract).
-        val d = emb(s, dir).select(size(col("embedding")).as("d")).head().getInt(0)
+        // embedding dim is uniform by schema contract) — guarded (ADVICE
+        // r12): an empty table yields d = 0 and an empty result (the old
+        // per-row-hash form's behavior, not a NoSuchElementException), and
+        // a row LONGER than the probed d raises instead of silently
+        // dropping its tail dimensions (the uniform-dim contract enforced,
+        // not assumed; shorter rows were always summed over their own
+        // length by both forms).
+        val d = emb(s, dir).select(size(col("embedding")).as("d"))
+          .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+        val el = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+          .select(col("vec_id"), col("i"),
+            when(col("i") < lit(d), col("xf").cast("double"))
+              .otherwise(raise_error(lit(
+                s"e_jl_project: embedding longer than probed dim d=$d — " +
+                  "the uniform-dim contract is violated")).cast("double"))
+              .as("x"))
         val signRows = for (j <- 0L until k.toLong; i <- 0 until d) yield {
           val md = java.security.MessageDigest.getInstance("MD5")
             .digest(s"jl:$j:$i".getBytes("UTF-8"))

@@ -662,11 +662,58 @@ object IvfIndex {
       target: Double = 0.8, k: Int = 10, sampleN: Int = 64): (Int, Double) = {
     val nCells = readCentroids(spark, dir).size
     val (probes, exact) = probeTruth(spark, dir, k, sampleN)
-    var np = 1
-    var r = recallAt(spark, dir, probes, exact, k, np)
-    while (r < target && np < nCells) {
-      np = math.min(np * 2, nCells)
-      r = recallAt(spark, dir, probes, exact, k, np)
+    // The doubling ladder the sweep walks: 1, 2, 4, …, capped at nCells.
+    val ladder = {
+      val b = Seq.newBuilder[Int]
+      var np = 1
+      b += np
+      while (np < nCells) { np = math.min(np * 2, nCells); b += np }
+      b.result()
+    }
+    // ONE index search at full probe width instead of one per ladder step
+    // (r13): NearestCentroids ranks cells by a stable total order
+    // (-score, index), so the top-np cells are exactly the first np of the
+    // full-width list — every smaller setting's candidate set is a PREFIX.
+    // Tag each candidate with its cell's probe rank, explode it into the
+    // ladder settings whose prefix contains it, and take the per-(setting,
+    // query) top-k with the SAME bounded-heap aggregate searchIndex uses
+    // (score desc, id asc) — byte-identical shortlists to running
+    // searchIndex at each setting, for one corpus-scored pass and one
+    // bounded collect (≤ sampleN · |ladder| · k rows).
+    val centroids = readCentroids(spark, dir)
+    val ladderArr = array(ladder.map(lit(_)): _*)
+    val qc = probes.select(col("vid").as("query_id"), col("vec").as("qv"),
+      posexplode(NearestCentroids(col("vec"), centroids, nCells))
+        .as(Seq("cr", "cell")))
+    val scored = qc.join(readCells(spark, dir), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score",
+        graft.operators.RelationalOps.round6(
+          SimilaritySearch.cosine(col("qv"), col("cv"))))
+      .withColumn("np", explode(filter(ladderArr, p => p > col("cr"))))
+    import spark.implicits._
+    val shortlists = scored
+      .groupBy(col("np"), col("query_id"))
+      .agg(graft.expressions.TopKByScore(col("score"), col("cand_id"), k).as("tk"))
+      .select(col("np"), col("query_id").cast("string"),
+        col("tk.id").cast("array<string>"))
+      .as[(Int, String, Seq[String])].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3.toSet).toMap).toMap
+    def recallFor(np: Int): Double = {
+      val approx = shortlists.getOrElse(np, Map.empty)
+      val recalls = exact.toSeq.map { case (q, truth) =>
+        if (truth.isEmpty) 1.0
+        else (truth & approx.getOrElse(q, Set.empty)).size.toDouble / truth.size
+      }
+      if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size
+    }
+    var np = ladder.head
+    var r = recallFor(np)
+    val rest = ladder.iterator.drop(1)
+    while (r < target && rest.hasNext) {
+      np = rest.next()
+      r = recallFor(np)
     }
     (np, r)
   }

@@ -43,29 +43,40 @@ object PrincipalComponent {
     * e_quant_topk's int8 grid). */
   def topComponent(vecs: DataFrame, vecCol: String,
       iterations: Int = 12, scale: Long = 4096L,
-      maxDriverCells: Long = 1L << 22): DataFrame = {
+      maxDriverCells: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val v = col(vecCol)
-    // d² outer-product cells, produced map-side from each row alone
+    // ONE corpus pass (r13; the r12 shape scanned the corpus three times —
+    // outer products, per-dim means, row count): each row emits its d²
+    // outer-product cells PLUS d mean cells tagged j = −1 PLUS one count
+    // cell tagged (−1, −1), and a single fixed-state aggregation collapses
+    // all of them. Sums are order-independent integers, so the three
+    // slices are byte-identical to the three separate aggregations.
     val outer = flatten(transform(v, (x, i) =>
       transform(v, (y, j) =>
         struct(i.as("i"), j.as("j"), (x * y).as("xy")))))
-    val prod = vecs.select(explode(outer).as("c"))
+    val meanCells = transform(v, (x, i) =>
+      struct(i.as("i"), lit(-1).as("j"), x.as("xy")))
+    val countCell = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("xy")))
+    val agg = vecs.select(explode(concat(outer, meanCells, countCell)).as("c"))
       .select(col("c.i"), col("c.j"), col("c.xy"))
       .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
-    val means = vecs.select(posexplode(v).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("m"))
-    val n = vecs.agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤ d²+d+1 rows; corpus work ends here
+    val prod = agg.filter(col("i") >= 0 && col("j") >= 0)
+    val means = agg.filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i"), col("sxy").as("m"))
+    val n = agg.filter(col("i") === -1).select(col("sxy").as("n"))
     // S̃ = (N·Σxy − m_i·m_j) div N. Spark's `div` truncates toward zero on
     // the (possibly negative) numerator; the oracle sign-splits its `//`
-    // (which floors) to agree — the scaladoc's portability note.
+    // (which floors) to agree — the scaladoc's portability note. All
+    // frames below are d²-bounded views of the checkpointed aggregate —
+    // tiny joins, no corpus lineage.
     val sm = prod
       .join(means.select(col("i"), col("m").as("mi")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
       .crossJoin(broadcast(n))
       .withColumn("num", col("n") * col("sxy") - col("mi") * col("mj"))
       .select(col("i"), col("j"), expr("num div n").as("sv"))
-      .localCheckpoint(true) // d² rows; corpus work ends here
     // The eigensolve itself is corpus-FREE: its whole state is the d²-cell
     // matrix and a d-row vector — bounded by construction (the census /
     // k-centroids collect class). Running the 12 power steps as Spark jobs
@@ -73,10 +84,17 @@ object PrincipalComponent {
     // ~70% of e_top_pc's wall); the same integer ops on the collected
     // cells are exact-identical (Scala Long `/` truncates toward zero like
     // Spark's `div`; overflow headroom per the scaladoc) and free. The
-    // distributed loop remains for d past the collect bound.
+    // distributed loop remains for d past the collect bound — default
+    // 2²⁰ cells (d ≤ 1024): ~16 B of payload per cell plus Row overhead,
+    // order 100 MB of driver heap at the bound (r13; the old 2²² default
+    // allowed ~4× that, a generous slice of a default driver heap).
+    // The bound is probed with ONE limit-guarded collect — no separate
+    // count() job.
     val spark = vecs.sparkSession
-    if (sm.count() <= maxDriverCells) {
-      val cells = sm.collect().map(r =>
+    val probeN = math.min(maxDriverCells, Int.MaxValue.toLong - 1L)
+    val probed = sm.limit(probeN.toInt + 1).collect()
+    if (probed.length <= maxDriverCells) {
+      val cells = probed.map(r =>
         (r.getInt(0), r.getInt(1), r.getLong(2)))
       val dims = cells.map(_._1).distinct.sorted
       var v: Map[Int, Long] = dims.map(i =>

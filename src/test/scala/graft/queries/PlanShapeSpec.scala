@@ -296,12 +296,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
     test(s"r10 positional/graph wave: funnel and SCD2 ride one user exchange, postings legs equi-join$tag") {
-      // organic exchanges only: the loader's layout-adaptive spread (an
-      // xxhash64 hash repartition, Tables.load r12) is not a plan
-      // regression — exclude it by its marker.
+      // organic exchanges only: the loader's layout-adaptive spread
+      // (Tables.loadSpread r12) is not a plan regression — excluded by its
+      // EXACT signature, `hashpartitioning(xxhash64(…))` (a bare
+      // "xxhash64" match would also mask a genuine regression that merely
+      // partitions on an xxhash64-derived column — ADVICE r12).
       def exchanges(p: String): Int =
         p.linesIterator.count(l => l.contains("Exchange ") &&
-          !l.contains("ReusedExchange") && !l.contains("xxhash64"))
+          !l.contains("ReusedExchange") &&
+          !l.contains("hashpartitioning(xxhash64("))
       // q_funnel: four chained stage windows share ONE hashpartitioning
       // (user_id) exchange; only the global stage-count rollup adds its
       // single-partition exchange. A per-stage self-join cascade would
@@ -370,7 +373,9 @@ class PlanShapeSpec extends AnyFunSuite {
         ("t_triangle_count", 0, 3),  // edge list checkpointed for 3 legs
         ("t_phrase_search", 0, 3),   // matched postings one-pass (sf1 fix)
         ("t_proximity_search", 4, 0),// postings legs re-derive: 4 pruned scans
-        ("t_prf_rm3", 14, 0),        // two BM25 passes × pruned legs, by design
+        ("t_prf_rm3", 4, 4),         // ONE tokenize: tf checkpointed (r13);
+                                     // remaining parquet scans are the two
+                                     // n_docs counts (was 14 pruned legs)
         ("e_jl_project", 2, 0),      // projection pass + census probe
         ("q15_top_supplier", 1, 2),  // supplier view collapsed once, 2 readers
         ("t_label_prop", 1, 10),     // edges pre-partitioned once (r9 fix)
@@ -392,7 +397,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // organic exchanges only (loader spread excluded — see above)
       def exchanges(p: String): Int =
         p.linesIterator.count(l => l.contains("Exchange ") &&
-          !l.contains("ReusedExchange") && !l.contains("xxhash64"))
+          !l.contains("ReusedExchange") &&
+          !l.contains("hashpartitioning(xxhash64("))
       // q_rfm_scalable: the exact-ntile plan must carry NO ntile window
       // (the single-task shape it replaces); tiles come from the offsets
       // broadcast join. The only windows left are the per-partition
