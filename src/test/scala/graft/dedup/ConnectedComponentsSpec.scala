@@ -113,4 +113,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
   }
+
+  test("driver fast path and distributed fixpoint are byte-identical (r13)") {
+    // The default path collects bounded edge lists and union-finds on the
+    // driver; cap = 0 forces every call through the distributed engine.
+    // Random graphs over several densities must label IDENTICALLY —
+    // including chains (path compression), cliques, self-loops, isolated
+    // self-loop nodes and duplicate/reversed edges.
+    val rnd = new scala.util.Random(13)
+    for (density <- Seq(0.3, 1.0, 2.5)) {
+      val n = 120
+      val m = (n * density).toInt
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq((77L, 77L)) // self-loop-only node
+      val df = edges.toDF("a", "b")
+      val fast = ConnectedComponents.components(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val dist = ConnectedComponents
+        .componentsBounded(df, "a", "b", 30, None, cap = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(fast === dist, s"fast path diverged at density $density")
+    }
+  }
+
+  test("driver fast path falls back to the distributed engine past the cap") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 9L)).toDF("a", "b")
+    val out = ConnectedComponents.componentsBounded(pairs, "a", "b", 30, None, cap = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
 }
