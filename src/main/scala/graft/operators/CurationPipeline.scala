@@ -41,21 +41,33 @@ object CurationPipeline {
   def audit(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val id = col(idCol)
-    // One tokenization feeds both per-row gates.
+    // One tokenization feeds both per-row gates — and the gate VERDICTS are
+    // materialized once as an id-sized frame (r13): the lazy r12 plan
+    // re-evaluated the tokenize + classifier logit + lang-ID subtree per
+    // consumer (the verdict assembly, the fingerprint leg, the near-dup
+    // leg's survivor join each re-derived it — the corpus paid the gates
+    // ~4×). Downstream stages re-read the raw text by a cheap semi-join
+    // against the kept ids; only the gate COLUMNS live in block storage.
     val staged = docs.select(id.cast("long").as(idCol), col(textCol),
       tokens(lower(col(textCol))).as("__cp_ws"))
     val gated = withLangGuessFromTokens(
       staged.withColumn("__cp_q",
         qualityClassifierLogit(col(textCol), col("__cp_ws")) >= 0),
       "__cp_ws", "__cp_lang")
-    val s1 = gated.filter(col("__cp_q") && col("__cp_lang") === cfg.lang)
-      .select(id, col(textCol))
+      .select(id, col("__cp_q"), col("__cp_lang"))
+      .localCheckpoint(true)
+    val s1 = docs.select(id.cast("long").as(idCol), col(textCol))
+      .join(gated.filter(col("__cp_q") && col("__cp_lang") === cfg.lang)
+        .select(id), Seq(idCol), "left_semi")
     // Exact dedup on the survivors: keep the min-id doc per normalized
     // fingerprint (id-only frames past this projection).
+    // id-sized too, consumed by both the near-dup leg's input and the
+    // verdict assembly — materialized so the md5 fingerprint pass runs once
     val fps = s1.select(id, fingerprint(col(textCol)).as("__cp_fp"))
     val exactKeep = fps
       .join(fps.groupBy(col("__cp_fp")).agg(min(id).as("__cp_keep_id")), Seq("__cp_fp"))
       .select(id, (id === col("__cp_keep_id")).as("__cp_e_keep"))
+      .localCheckpoint(true)
     val s2 = s1.join(
       exactKeep.filter(col("__cp_e_keep")).select(id), Seq(idCol), "left_semi")
     // Near-dup dedup on what's left; only the surviving ids come back.
